@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Centralizes the configs that matter at both test scale (local[32]) and
+cluster scale (1000 executors / 100 TB):
+
+- AQE on: runtime shuffle-partition coalescing, auto broadcast conversion,
+  and skew-join splitting replace hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` defaults to ~cores locally; at cluster
+  scale AQE's coalescing makes the initial number a ceiling, not a target.
+- Arrow enabled: every pandas UDF / mapInPandas crossing is batched.
+- Session timezone pinned UTC so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "mapreduce_code_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster the caller passes ``master=None`` and lets
+    spark-submit decide; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,70 @@
+"""Parquet readers for the star-schema test tables, plus ingest for the
+reference's two native text formats.
+
+The reference reads line-oriented text via Hadoop ``TextInputFormat``
+(``apriori_final.java:259``, ``logisticreg.java:182``) and parses each line
+with ``StringTokenizer`` inside the mapper. Here ingest is declarative:
+``spark.read.text`` → ``split`` → typed columns, so Catalyst can prune and
+push down from the first plan node. Canonical storage is Parquet —
+columnar, compressed, pushdown-capable — which the row-oriented reference
+lacks entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.sources.schemas import SCHEMAS
+
+TABLES = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once; all tables if none named."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def read_transactions_text(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest the reference's apriori input: one basket per line,
+    whitespace-separated item tokens (``apriori_final.java:6,51-53``).
+
+    Returns ``(basket_id bigint, items array<string>)`` with items
+    sorted+distinct — the engine's canonical itemset identity
+    (documented deviation from the reference's order-sensitive strings,
+    SURVEY.md §7.2).
+    """
+    lines = spark.read.text(path)
+    return lines.select(
+        F.monotonically_increasing_id().alias("basket_id"),
+        F.array_sort(
+            F.array_distinct(F.split(F.trim(F.col("value")), r"\s+"))
+        ).alias("items"),
+    ).filter(F.size("items") > 0)
+
+
+def read_labeled_points_text(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest the regressions' input: ``y x1 x2 ...`` per line with an
+    implicit bias x0=1.0 prepended (``logisticreg.java:58-66``).
+
+    Returns ``(row_id bigint, y double, features array<double>)`` where
+    ``features[0] == 1.0`` (bias), matching the mapper's in-memory layout.
+    """
+    lines = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return lines.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        toks.getItem(0).cast("double").alias("y"),
+        F.concat(
+            F.array(F.lit(1.0)),
+            F.transform(F.slice(toks, 2, 1_000_000), lambda t: t.cast("double")),
+        ).alias("features"),
+    )

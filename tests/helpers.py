@@ -1,0 +1,45 @@
+"""Oracle-differential helpers mirroring the driver's compare: row count,
+column set, and order-insensitive values (sorted columns, sorted rows)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from mapreduce_code_spark.sources.schemas import SCHEMAS
+
+
+def duckdb_run(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in SCHEMAS:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+def assert_parity(spark_df, sf_dir: str, sql: str, rtol: float = 1e-9) -> None:
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(duckdb_run(sf_dir, sql))
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_numeric_dtype(w):
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=rtol, check_dtype=False,
+            )
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), f"values differ in {c}"

@@ -1,0 +1,86 @@
+"""Emulate the driver's verify pass against the live contract surface.
+
+Runs ``entry(spark)`` (smoke: >=0 rows, stable schema), then every
+``queries()[name]`` at the given sf_dir and compares row-count + column
+set + order-insensitive values against ``oracle_sql()[name]`` via DuckDB —
+the same check the driver records in CORRECTNESS_r{N}.json.
+
+Usage: python tools/driver_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as contract
+from mapreduce_code_spark.session import get_spark
+from mapreduce_code_spark.sources.schemas import SCHEMAS
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="driver_check")
+
+    edf = contract.entry(spark)
+    n = edf.count()
+    print(f"entry(): rows={n} schema={edf.schema.simpleString()}")
+    assert n >= 0
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        got = normalize(sdf.toPandas())
+        if name not in oracles:
+            print(f"  {name}: rows-only check, rows={len(got)}")
+            continue
+        con = duckdb.connect()
+        for t in SCHEMAS:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        want = normalize(con.sql(oracles[name]).df())
+        con.close()
+        status = "OK"
+        if list(got.columns) != list(want.columns):
+            status = f"SCHEMA MISMATCH spark={list(got.columns)} oracle={list(want.columns)}"
+        elif len(got) != len(want):
+            status = f"ROWCOUNT MISMATCH spark={len(got)} oracle={len(want)}"
+        else:
+            for c in got.columns:
+                g, w = got[c], want[c]
+                try:
+                    if pd.api.types.is_numeric_dtype(w):
+                        pd.testing.assert_series_equal(
+                            g.astype(float), w.astype(float),
+                            check_names=False, rtol=1e-9, check_dtype=False)
+                    elif not g.astype(str).equals(w.astype(str)):
+                        status = f"VALUE MISMATCH in {c}"
+                        break
+                except AssertionError:
+                    status = f"VALUE MISMATCH in {c}"
+                    break
+        print(f"  {name}: rows={len(got)} {status}")
+        if status != "OK":
+            failures.append(name)
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
