@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_code_spark.operators import frequent
+from mapreduce_code_spark.operators import frequent, rules
 from mapreduce_code_spark.plans import prep
 from mapreduce_code_spark.sources.io import load_table
 
@@ -104,3 +104,100 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent.frequent_itemsets(
         _transactions(spark, sf_dir), frequent.AprioriConfig(support=SUPPORT)
     )
+
+
+# Shared CTE prefix for rule oracles: itemset counts as columns (i1<i2<i3),
+# with support HAVING — the DuckDB twin of operators.frequent at max_size=3.
+_SQL_ITEMSET_CTES = f"""
+WITH tok AS ({_SQL_TOKENS}),
+freq AS (SELECT item FROM tok GROUP BY item HAVING count(*) >= {SUPPORT}),
+ftok AS (SELECT basket_id, item FROM tok WHERE item IN (SELECT item FROM freq)),
+singles AS (SELECT item, count(*) AS cnt FROM ftok GROUP BY item),
+pairs2 AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS cnt
+  FROM ftok a JOIN ftok b ON a.basket_id = b.basket_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {SUPPORT}),
+triples2 AS (
+  SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS cnt
+  FROM ftok a
+  JOIN ftok b ON a.basket_id = b.basket_id AND a.item < b.item
+  JOIN ftok c ON b.basket_id = c.basket_id AND b.item < c.item
+  GROUP BY 1, 2, 3 HAVING count(*) >= {SUPPORT})
+"""
+
+
+@register(
+    "apriori_association_rules",
+    oracle=_SQL_ITEMSET_CTES
+    + """
+SELECT antecedent, consequent, itemset, sub_cnt, full_cnt,
+       100.0 * full_cnt / sub_cnt AS confidence
+FROM (
+  SELECT p.i1 AS antecedent, p.i2 AS consequent,
+         p.i1 || ' ' || p.i2 AS itemset, s.cnt AS sub_cnt, p.cnt AS full_cnt
+  FROM pairs2 p JOIN singles s ON s.item = p.i1
+  UNION ALL
+  SELECT p.i2, p.i1, p.i1 || ' ' || p.i2, s.cnt, p.cnt
+  FROM pairs2 p JOIN singles s ON s.item = p.i2
+  UNION ALL
+  SELECT t.i1, t.i2 || ' ' || t.i3, t.i1 || ' ' || t.i2 || ' ' || t.i3, s.cnt, t.cnt
+  FROM triples2 t JOIN singles s ON s.item = t.i1
+  UNION ALL
+  SELECT t.i2, t.i1 || ' ' || t.i3, t.i1 || ' ' || t.i2 || ' ' || t.i3, s.cnt, t.cnt
+  FROM triples2 t JOIN singles s ON s.item = t.i2
+  UNION ALL
+  SELECT t.i3, t.i1 || ' ' || t.i2, t.i1 || ' ' || t.i2 || ' ' || t.i3, s.cnt, t.cnt
+  FROM triples2 t JOIN singles s ON s.item = t.i3
+  UNION ALL
+  SELECT t.i1 || ' ' || t.i2, t.i3, t.i1 || ' ' || t.i2 || ' ' || t.i3, q.cnt, t.cnt
+  FROM triples2 t JOIN pairs2 q ON q.i1 = t.i1 AND q.i2 = t.i2
+  UNION ALL
+  SELECT t.i1 || ' ' || t.i3, t.i2, t.i1 || ' ' || t.i2 || ' ' || t.i3, q.cnt, t.cnt
+  FROM triples2 t JOIN pairs2 q ON q.i1 = t.i1 AND q.i2 = t.i3
+  UNION ALL
+  SELECT t.i2 || ' ' || t.i3, t.i1, t.i1 || ' ' || t.i2 || ' ' || t.i3, q.cnt, t.cnt
+  FROM triples2 t JOIN pairs2 q ON q.i1 = t.i2 AND q.i2 = t.i3
+)
+""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori job 3, canonical A=>B semantics (SURVEY §2: T3, J3, F6)."""
+    counts = frequent.frequent_itemsets(
+        _transactions(spark, sf_dir), frequent.AprioriConfig(support=SUPPORT)
+    )
+    return rules.association_rules(counts, SUPPORT)
+
+
+@register(
+    "apriori_association_rules_ref",
+    oracle=_SQL_ITEMSET_CTES
+    + """
+SELECT antecedent, consequent, itemset, sub_cnt, full_cnt,
+       100.0 * full_cnt / sub_cnt AS confidence,
+       '[' || antecedent || '] => [' || i1 || ', ' || i2 || ', ' || i3
+           || '] [X]-' || sub_cnt || ' => [X,Y]-' || full_cnt
+           || ' CONFIDENCE-RATE =' AS rule
+FROM (
+  SELECT t.i1 || ' ' || t.i2 AS antecedent,
+         t.i1 || ' ' || t.i2 || ' ' || t.i3 AS consequent,
+         t.i1 || ' ' || t.i2 || ' ' || t.i3 AS itemset,
+         q.cnt AS sub_cnt, t.cnt AS full_cnt, t.i1, t.i2, t.i3
+  FROM triples2 t JOIN pairs2 q ON q.i1 = t.i1 AND q.i2 = t.i2
+  UNION ALL
+  SELECT t.i1 || ' ' || t.i3,
+         t.i1 || ' ' || t.i2 || ' ' || t.i3,
+         t.i1 || ' ' || t.i2 || ' ' || t.i3,
+         q.cnt, t.cnt, t.i1, t.i2, t.i3
+  FROM triples2 t JOIN pairs2 q ON q.i1 = t.i1 AND q.i2 = t.i3
+)
+""",
+)
+def q_association_rules_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori job 3, faithful reference-recursion semantics
+    (apriori_raw.java:196-297): antecedent size >= 2, at most one of the
+    last two positions, consequent = whole itemset, reference rule string.
+    """
+    counts = frequent.frequent_itemsets(
+        _transactions(spark, sf_dir), frequent.AprioriConfig(support=SUPPORT)
+    )
+    return rules.association_rules(counts, SUPPORT, faithful=True)
