@@ -1,0 +1,227 @@
+"""Iterative regression via partition-local SGD + snapshot averaging,
+plus closed-form OLS as the SQL-expressible sibling.
+
+Re-expresses ``/root/reference/logisticreg/logisticreg.java`` and
+``/root/reference/multilinereg/multilinereg.java`` (structurally identical;
+the single differing line is the sigmoid, ``logisticreg.java:79``).
+
+Faithful semantics (verified against the source):
+
+- Per record, in sequence within a task: ``h = link(x · θ)``; if
+  ``|h − y| > accuracy`` update ``θ_j += α·(y−h)·x_j`` in place and emit a
+  *snapshot* of θ with continue-flag true, else emit the unchanged θ with
+  flag false (``logisticreg.java:76-97``). One emission per record.
+- The single reducer element-wise sums ALL per-record snapshots, divides
+  by the number of records, and ANDs the flags (``logisticreg.java:104-139``)
+  — i.e. the next iterate is the **average of the per-record θ trajectory**
+  (Polyak-style trajectory averaging over Zinkevich-style parallel SGD).
+- The driver stops when the ANDed flag is false — i.e. when ANY record
+  fell within accuracy — or at ``max_iter`` (``logisticreg.java:203``).
+  Surprising, but it is what the reference computes; kept faithfully.
+
+Spark-first execution:
+
+- The mapper's per-JVM sequential sweep becomes an Arrow-batched
+  ``mapInPandas`` over each partition (partition ≈ map split).
+- The reference funnels one value PER RECORD to a single reducer
+  (constant key "1", ``logisticreg.java:95-97``) — a scalability cliff at
+  100 TB. Here each partition pre-aggregates locally (sum of snapshots,
+  AND of flags, count) and emits ONE row; the driver combines the
+  ~numPartitions tiny rows. Mathematically identical to the reference's
+  reduce, with shuffle volume O(partitions · d) instead of O(rows · d).
+- θ travels driver → executors via a broadcast variable per iteration
+  (replacing the per-JVM HDFS theta-file read, ``logisticreg.java:67-75``).
+
+Determinism: snapshot averaging depends on partition layout and
+in-partition order. ``sgd_fit`` therefore range-repartitions and sorts by
+``row_id`` so results are reproducible for a given ``n_partitions``
+(SURVEY §7.2); assertions are tolerance-based regardless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.03  # logisticreg.java:150
+ACCURACY = 0.01  # logisticreg.java:151
+MAX_ITER = 50  # logisticreg.java:147 (the conf "numIter"=2 at :152 is unused)
+
+_PARTIAL_SCHEMA = "all_continue boolean, n long, theta_sum array<double>"
+
+
+@dataclass
+class SGDResult:
+    theta: list[float]
+    iterations: int
+    converged: bool  # stopped via the reference's any-record-within-accuracy rule
+
+
+def _partition_kernel(theta0: np.ndarray, alpha: float, accuracy: float, link: str):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        theta = theta0.copy()
+        snap_sum = np.zeros_like(theta)
+        n = 0
+        all_continue = True
+        for pdf in batches:
+            ys = pdf["y"].to_numpy()
+            xs = np.stack(pdf["features"].to_numpy())
+            for y, x in zip(ys, xs):
+                h = float(x @ theta)
+                if link == "logistic":
+                    h = 1.0 / (1.0 + np.exp(-h))
+                if abs(h - y) > accuracy:
+                    theta = theta + alpha * (y - h) * x  # logisticreg.java:85
+                else:
+                    all_continue = False  # this record's flag is "false"
+                snap_sum += theta  # per-record snapshot, logisticreg.java:87,92
+                n += 1
+        yield pd.DataFrame(
+            {"all_continue": [all_continue], "n": [n], "theta_sum": [snap_sum.tolist()]}
+        )
+
+    return kernel
+
+
+def sgd_fit(
+    points: DataFrame,
+    link: str = "linear",
+    alpha: float = ALPHA,
+    accuracy: float = ACCURACY,
+    max_iter: int = MAX_ITER,
+    n_partitions: int | None = None,
+) -> SGDResult:
+    """Fit by the reference's iterate-average-until-stop loop.
+
+    ``points``: ``(row_id bigint, y double, features array<double>)`` with
+    bias pre-injected at ``features[0]``. ``link``: ``linear`` | ``logistic``.
+    """
+    if link not in ("linear", "logistic"):
+        raise ValueError(f"unknown link {link!r}")
+    sc = points.sparkSession.sparkContext
+    n_part = n_partitions or points.rdd.getNumPartitions()
+    # deterministic layout → reproducible trajectory averaging (SURVEY §7.2)
+    pts = (
+        points.repartitionByRange(n_part, "row_id")
+        .sortWithinPartitions("row_id")
+        .select("y", "features")
+    )
+    pts.persist()
+    try:
+        d = len(pts.select("features").first()["features"])
+        theta = np.zeros(d)  # logisticreg.java:161-164
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            theta_b = sc.broadcast(theta)
+            partials = pts.mapInPandas(
+                _partition_kernel(theta_b.value, alpha, accuracy, link),
+                schema=_PARTIAL_SCHEMA,
+            ).collect()
+            theta_b.destroy()
+            total = sum(r["n"] for r in partials)
+            snap = np.sum([np.asarray(r["theta_sum"]) for r in partials], axis=0)
+            theta = snap / total  # reducer average, logisticreg.java:136-138
+            if not all(r["all_continue"] for r in partials):
+                converged = True  # stop rule, logisticreg.java:203
+                break
+        return SGDResult(theta=theta.tolist(), iterations=it, converged=converged)
+    finally:
+        pts.unpersist()
+
+
+def sgd_fit_df(points: DataFrame, link: str = "linear", **kw) -> DataFrame:
+    """DataFrame wrapper for the driver contract: one row per coefficient
+    ``(coef_idx int, theta double, iterations int, converged boolean)``."""
+    res = sgd_fit(points, link=link, **kw)
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        [(i, t, res.iterations, res.converged) for i, t in enumerate(res.theta)],
+        "coef_idx int, theta double, iterations int, converged boolean",
+    )
+
+
+def ols_stats(points: DataFrame) -> DataFrame:
+    """Sufficient statistics for the normal equations X'Xθ = X'y as one
+    row of pure aggregations (SQL-expressible; the oracle-able sibling of
+    the non-SQL-expressible SGD loop). Features fixed at d=4
+    (bias + 3, FIXTURES.md §2.2)."""
+    f = [F.col("features").getItem(i) for i in range(4)]
+    aggs = []
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(F.sum(f[i] * f[j]).alias(f"xx_{i}{j}"))
+    for i in range(4):
+        aggs.append(F.sum(f[i] * F.col("y")).alias(f"xy_{i}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    return points.agg(*aggs)
+
+
+def ols_stats_exact(lineitem: DataFrame) -> DataFrame:
+    """Decimal-exact OLS sufficient statistics straight from ``lineitem``
+    (y = l_extendedprice; x = [1, l_quantity, l_discount, l_tax]).
+
+    Double sums are summation-order-dependent, so a Spark result and a
+    DuckDB oracle could differ in the last ulps. Casting every input to
+    DECIMAL(14,4) first makes the aggregation exact and order-independent
+    — bit-identical across engines — then the final cast back to double is
+    deterministic. The cost (decimal arithmetic vs double) is irrelevant
+    for a 14-value-per-row aggregate even at 100 TB; the pattern matters
+    more than the cycles.
+    """
+    cols = [
+        F.lit(1).cast("decimal(14,4)"),
+        F.col("l_quantity").cast("decimal(14,4)"),
+        F.col("l_discount").cast("decimal(14,4)"),
+        F.col("l_tax").cast("decimal(14,4)"),
+    ]
+    y = F.col("l_extendedprice").cast("decimal(14,4)")
+    aggs = []
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(cols[i] * cols[j]).cast("double").alias(f"xx_{i}{j}")
+            )
+    for i in range(4):
+        aggs.append(F.sum(cols[i] * y).cast("double").alias(f"xy_{i}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    return lineitem.agg(*aggs)
+
+
+def ols_stats_exact_sql() -> str:
+    """The DuckDB twin of :func:`ols_stats_exact` (identical casts)."""
+    cols = [
+        "CAST(1 AS DECIMAL(14,4))",
+        "CAST(l_quantity AS DECIMAL(14,4))",
+        "CAST(l_discount AS DECIMAL(14,4))",
+        "CAST(l_tax AS DECIMAL(14,4))",
+    ]
+    y = "CAST(l_extendedprice AS DECIMAL(14,4))"
+    parts = []
+    for i in range(4):
+        for j in range(i, 4):
+            parts.append(
+                f"CAST(sum({cols[i]} * {cols[j]}) AS DOUBLE) AS xx_{i}{j}"
+            )
+    for i in range(4):
+        parts.append(f"CAST(sum({cols[i]} * {y}) AS DOUBLE) AS xy_{i}")
+    parts.append("count(*) AS n")
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
+def ols_solve(points: DataFrame) -> np.ndarray:
+    """Closed-form OLS θ from the aggregated sufficient statistics."""
+    row = ols_stats(points).first()
+    d = 4
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{i}{j}"]
+        xty[i] = row[f"xy_{i}"]
+    return np.linalg.solve(xtx, xty)

@@ -37,6 +37,37 @@ def transactions(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def labeled_points_scaled(lineitem: DataFrame) -> DataFrame:
+    """Normalized regression input for SGD stability: y and features scaled
+    to O(1) so the reference's fixed alpha=0.03 doesn't diverge on
+    price-magnitude targets. ``(row_id, y, features)``; features[0]=bias."""
+    return lineitem.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("y"),
+        F.array(
+            F.lit(1.0),
+            F.col("l_quantity") / F.lit(50.0),
+            F.col("l_discount"),
+            F.col("l_tax"),
+        ).alias("features"),
+    )
+
+
+def labeled_points_binary(lineitem: DataFrame) -> DataFrame:
+    """Binary-label variant for logistic regression: y = 1.0 when the line
+    was returned (l_returnflag = 'R'), features as in the scaled view."""
+    return lineitem.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        F.array(
+            F.lit(1.0),
+            F.col("l_quantity") / F.lit(50.0),
+            F.col("l_discount"),
+            F.col("l_tax"),
+        ).alias("features"),
+    )
+
+
 def labeled_points(lineitem: DataFrame) -> DataFrame:
     """Regression input: ``(row_id, y, features array<double>)``.
 

@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_code_spark.operators import frequent, rules
+from mapreduce_code_spark.operators import frequent, regression, rules
 from mapreduce_code_spark.plans import prep
 from mapreduce_code_spark.sources.io import load_table
 
@@ -201,3 +201,26 @@ def q_association_rules_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         _transactions(spark, sf_dir), frequent.AprioriConfig(support=SUPPORT)
     )
     return rules.association_rules(counts, SUPPORT, faithful=True)
+
+
+@register("regression_ols_stats", oracle=regression.ols_stats_exact_sql())
+def q_ols_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS sufficient statistics (SURVEY §2: A3, F5, F6) —
+    decimal-exact so the DuckDB comparison is bit-stable."""
+    return regression.ols_stats_exact(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("regression_sgd_linear")  # iterative — rows-only check (SURVEY §5.1)
+def q_sgd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression via partition-SGD trajectory averaging
+    (multilinereg.java; SURVEY §2: I2, I3, A3, A4, F5)."""
+    pts = prep.labeled_points_scaled(load_table(spark, sf_dir, "lineitem"))
+    return regression.sgd_fit_df(pts, link="linear", max_iter=5, n_partitions=8)
+
+
+@register("regression_sgd_logistic")  # iterative — rows-only check
+def q_sgd_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression via partition-SGD (logisticreg.java; adds the
+    sigmoid link, logisticreg.java:79 — SURVEY §2: F4)."""
+    pts = prep.labeled_points_binary(load_table(spark, sf_dir, "lineitem"))
+    return regression.sgd_fit_df(pts, link="logistic", max_iter=5, n_partitions=8)
