@@ -1,0 +1,235 @@
+"""Text analysis for LLM training-data pipelines: token counting,
+language-ID heuristic, quality scoring, and winnowing fingerprints.
+
+Everything here is pure built-in-function column algebra (JVM-side, whole-
+stage-codegen'd — no Python in the hot path) and each operator has an
+exactly-equivalent DuckDB SQL twin: counts are integers, ratios are single
+divisions of integers, and hashes are md5-derived, so results are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker-vote heuristic.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "that"]
+MARKERS = {
+    "en": STOPWORDS_EN,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "los", "las", "una", "es", "y", "que"],
+}
+CJK_RE = r"[\x{4e00}-\x{9fff}]"  # same syntax in Java regex and RE2
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_in(words_col, vocab: list[str]):
+    return F.size(F.filter(words_col, lambda w: w.isin(vocab)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document counting stats: ``(doc_id, n_words, n_unique_words,
+    n_tokens, n_stopwords, chars_per_word, stopword_ratio)``."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = _count_in(words, STOPWORDS_EN)
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias(
+            "n_tokens"
+        ),
+        n_stop.alias("n_stopwords"),
+        (F.length("text") / n_words).alias("chars_per_word"),
+        (n_stop / n_words).alias("stopword_ratio"),
+    )
+
+
+def text_stats_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_words,
+       len(regexp_extract_all(text, '{TOKEN_RE.replace("'", "''")}')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stopwords,
+       strlen(text) / len(string_split(text, ' ')) AS chars_per_word,
+       len(list_filter(string_split(text, ' '), w -> w IN ({stop})))
+           / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic: count marker hits per language,
+    CJK characters decide 'zh', ties break en > de > fr > es. Returns
+    ``(doc_id, lang, pred_lang, c_en, c_de, c_fr, c_es, c_zh)`` so
+    accuracy vs the generator's ``lang`` label is measurable."""
+    words = F.split(F.col("text"), " ")
+    c = {ln: _count_in(words, ms) for ln, ms in MARKERS.items()}
+    c_zh = F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_RE), 0))
+    pred = (
+        F.when(c_zh > 0, "zh")
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        c["en"].alias("c_en"),
+        c["de"].alias("c_de"),
+        c["fr"].alias("c_fr"),
+        c["es"].alias("c_es"),
+        c_zh.alias("c_zh"),
+    )
+
+
+def lang_id_sql() -> str:
+    def cnt(ms):
+        lst = ", ".join(f"'{w}'" for w in ms)
+        return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+
+    c = {ln: cnt(ms) for ln, ms in MARKERS.items()}
+    c_zh = f"len(regexp_extract_all(text, '{CJK_RE}'))"
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {c_zh} > 0 THEN 'zh'
+            WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']}
+                 AND {c['en']} >= {c['es']} THEN 'en'
+            WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']} THEN 'de'
+            WHEN {c['fr']} >= {c['es']} THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       {c['en']} AS c_en, {c['de']} AS c_de, {c['fr']} AS c_fr,
+       {c['es']} AS c_es, {c_zh} AS c_zh
+FROM documents
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality gate from integer indicator functions (each 0/1,
+    summed and scaled — exact arithmetic): length in range, word shape
+    sane, stopword density plausible, vocabulary not degenerate.
+    Returns ``(doc_id, q_len, q_shape, q_stop, q_vocab, quality)``."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = _count_in(words, STOPWORDS_EN)
+    n_uniq = F.size(F.array_distinct(words))
+    q_len = ((n_words >= 20) & (n_words <= 2000)).cast("int")
+    cpw = F.length("text") / n_words
+    q_shape = ((cpw >= 3.0) & (cpw <= 12.0)).cast("int")
+    sr = n_stop / n_words
+    q_stop = ((sr >= 0.05) & (sr <= 0.6)).cast("int")
+    q_vocab = ((n_uniq * 2) >= n_words).cast("int")
+    quality = (q_len + q_shape + q_stop + q_vocab) / F.lit(4.0)
+    return documents.select(
+        "doc_id",
+        q_len.alias("q_len"),
+        q_shape.alias("q_shape"),
+        q_stop.alias("q_stop"),
+        q_vocab.alias("q_vocab"),
+        quality.alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stop,
+         strlen(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 1 ELSE 0 END AS q_len,
+       CASE WHEN n_chars / n_words >= 3.0 AND n_chars / n_words <= 12.0
+            THEN 1 ELSE 0 END AS q_shape,
+       CASE WHEN n_stop / n_words >= 0.05 AND n_stop / n_words <= 0.6
+            THEN 1 ELSE 0 END AS q_stop,
+       CASE WHEN n_uniq * 2 >= n_words THEN 1 ELSE 0 END AS q_vocab,
+       (CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars / n_words >= 3.0 AND n_chars / n_words <= 12.0
+               THEN 1 ELSE 0 END
+        + CASE WHEN n_stop / n_words >= 0.05 AND n_stop / n_words <= 0.6
+               THEN 1 ELSE 0 END
+        + CASE WHEN n_uniq * 2 >= n_words THEN 1 ELSE 0 END) / 4.0 AS quality
+FROM s
+"""
+
+
+WINNOW_WINDOW = 4  # k-grams per winnowing window
+
+
+def winnow_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    scheme, public): hash every word k-shingle, slide a window of
+    ``WINNOW_WINDOW`` consecutive hashes, keep each window's minimum —
+    the distinct kept hashes are the fingerprint set.
+
+    Pure window-function dataflow (SURVEY §2.5 coverage): positional
+    shingles → md5-derived BIGINT hash → ``min() OVER (ORDER BY pos ROWS
+    BETWEEN CURRENT AND N FOLLOWING)`` → distinct. Returns the summary
+    ``(doc_id, n_fingerprints, fp_min, fp_max)``.
+    """
+    words = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    pos_sh = documents.select(
+        "doc_id", F.posexplode(sh).alias("pos", "shingle")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_WINDOW - 1)
+    )
+    kept = (
+        pos_sh.withColumn("wmin", F.min("h").over(w))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("wmin").alias("fp_min"),
+        F.max("wmin").alias("fp_max"),
+    )
+
+
+def winnow_fingerprint_sql(k: int = 3) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(range(len(w) - {k - 1})) AS pos,
+         unnest(list_transform(range(len(w) - {k - 1}),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+  FROM sh
+),
+kept AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS wmin
+  FROM hashed
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       min(wmin) AS fp_min, max(wmin) AS fp_max
+FROM kept GROUP BY doc_id
+"""

@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star extensions beyond the reference surface (BASELINE.json:6):
+exact hash dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard —
+each expressed relationally so Catalyst can push down, partial-aggregate,
+and pick join strategies, and each with a DuckDB-expressible twin for the
+oracle gate.
+
+Cross-engine exactness: every hash is derived from ``md5`` hex strings
+(identical in Spark and DuckDB). MinHash components compare fixed-width
+hex strings (lexicographic min == numeric min); SimHash converts the
+first 15 hex chars (60 bits, < 2^63) to BIGINT, so no float or
+engine-specific hash is involved anywhere.
+
+Scale design (100 TB):
+- Shingling is a per-row flatMap — no shuffle. Signatures are one
+  ``groupBy(doc_id)`` with map-side partial ``min``/conditional-sum
+  aggregation; shuffle volume is O(docs × n_hashes), not O(shingles).
+- LSH pair-gen joins on (band, band_key) — the classic band-bucket join;
+  bucket skew is bounded because identical band keys imply near-identical
+  signatures.
+- Jaccard pair-gen is an inverted-index self-join on shingle, with a
+  document-frequency cap (``max_df``) that drops stop-shingles before the
+  join — the standard guard against quadratic hot-key blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact content dedup via sha2-256 hash groups.
+
+    Returns one row per document: ``(doc_id, content_hash, keeper_id,
+    is_dup)`` where ``keeper_id`` is the smallest doc_id with identical
+    text (the canonical survivor). A pure window function — one shuffle
+    keyed on the hash.
+    """
+    h = F.sha2(F.col("text"), 256)
+    w = Window.partitionBy("content_hash")
+    return (
+        documents.select("doc_id", h.alias("content_hash"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles: ``(doc_id, shingle)``.
+
+    Words split on single spaces (matching DuckDB ``string_split``);
+    docs shorter than k words produce no shingles.
+    """
+    words = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _mh(col, seed_col):
+    # fixed-width hex → lexicographic min == numeric min, engine-portable
+    return F.substring(F.md5(F.concat(col, F.lit("#"), seed_col.cast("string"))), 1, 15)
+
+
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """MinHash signatures: ``(doc_id, seed, mh)``, one row per doc per
+    hash function; ``mh`` = min over shingles of md5(shingle '#' seed)."""
+    sh = shingles(documents, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(_mh(F.col("shingle"), F.col("seed"))).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the MinHash
+    signature. Returns ``(doc_a, doc_b)``, doc_a < doc_b, distinct.
+
+    Bands = consecutive groups of ``band_size`` signature components;
+    the band key is the '|'-joined components in seed order. Pair-gen is
+    an equi-join on (band, band_key) — LSH's whole point is that this
+    join replaces the O(n^2) all-pairs comparison at scale.
+    """
+    sigs = minhash_signatures(documents, n_hashes, k)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Inverted-index self-join on shingle → count shared shingles per pair
+    → ``jaccard = shared / (|A| + |B| - shared)``. Shingles occurring in
+    more than ``max_df`` documents are dropped before pair-gen (scale
+    guard; they contribute near-zero discrimination and quadratic join
+    fan-out). Returns ``(doc_a, doc_b, shared, size_a, size_b, jaccard)``
+    with jaccard >= threshold.
+
+    Jaccard is a single division of exact integers — bit-identical in any
+    engine.
+    """
+    sh = shingles(documents, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    inv = sh.join(rare, "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60  # 15 hex chars → fits signed 64-bit in both engines
+
+
+def _token_hash(col):
+    """First 60 bits of md5 as BIGINT — portable to DuckDB as
+    ('0x' || substr(md5(w),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: bit b is set when the sum over word
+    occurrences of ±1 (sign = bit b of the word's hash) is positive.
+
+    One groupBy(doc_id) with 60 conditional-sum aggregates — a single
+    shuffle with map-side partial aggregation; no per-bit row blowup.
+    Returns ``(doc_id, simhash bigint)``.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).withColumn("h", _token_hash(F.col("w")))
+    aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias(f"bit_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.shiftleft(F.col(f"bit_{b}"), b)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    """DuckDB twin of :func:`simhash` (identical md5-derived hashes)."""
+    bit_terms = ",\n  ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN 1::BIGINT ELSE 0::BIGINT END AS bit_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(f"(bit_{b} << {b})" for b in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+  {bit_terms}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {sim_expr} AS simhash FROM bits
+"""

@@ -1,0 +1,267 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidate generation via random-hyperplane
+sign buckets, then exact re-rank inside buckets).
+
+Cross-engine exactness: float dot products are summation-order-dependent,
+so Spark and a DuckDB oracle would disagree in the last ulps — enough to
+flip a top-k rank between two near-ties. All dot products here therefore
+quantize each float32 element to int64 at 1e-7 resolution via
+``floor(x·1e7 + 0.5)`` — float→double widening, double multiply/add, and
+floor are all IEEE-defined and bit-identical across engines (float→DECIMAL
+casts are NOT: Spark and DuckDB round differently, verified empirically) —
+and sum in exact integer math. The cosine is then derived from the exact
+integer dots with a fixed double expression ``dot / (sqrt(na) * sqrt(nb))``
+(the quantization scale cancels), which is IEEE-deterministic.
+
+Scale design: the query side of top-k is tiny → ``broadcast``; candidate
+scoring is embarrassingly parallel with no shuffle; only the final top-k
+window shuffles, keyed on query_id with partial top-k possible via AQE.
+The near-dup pair scan joins inside blocks (``label``) rather than the
+full cross product; at 100 TB the block key becomes the LSH bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+SCALE = 10_000_000.0  # quantization: 1e-7 resolution
+
+
+def _q(c):
+    # float → double is exact; double multiply/add/floor are IEEE-defined
+    # and bit-identical in every engine (unlike float→DECIMAL casts, whose
+    # rounding path differs between Spark and DuckDB — verified
+    # empirically). floor(x·1e7 + 0.5) = round-half-up toward +inf.
+    # |x| ≤ 10 → |q| ≤ 1e8; 64-element dot ≤ 6.4e17 < int64 max.
+    return F.floor(c.cast("double") * F.lit(SCALE) + F.lit(0.5)).cast("long")
+
+
+def dot_exact(a, b):
+    """Order-independent exact quantized dot product of two float arrays:
+    elements round-half-up to 1e-7 resolution, then pure int64 math.
+    The 1e14 scale factor cancels in the cosine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _q(x) * _q(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    """Attach the L2 norm (double, derived from the exact self-dot)."""
+    return embeddings.withColumn(
+        "norm",
+        F.sqrt(dot_exact(F.col("embedding"), F.col("embedding")).cast("double")),
+    )
+
+
+def topk_cosine(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id <
+    n_queries), the k nearest other vectors.
+
+    Returns ``(query_id, vec_id, rank, cosine)``. The query side is
+    broadcast — the candidate scan never shuffles; the only shuffle is
+    the per-query top-k window.
+    """
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = e.select("vec_id", "embedding", "norm")
+    cos = dot_exact(F.col("qv"), F.col("embedding")).cast("double") / (
+        F.col("qnorm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def topk_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB twin of :func:`topk_cosine` (identical integer quantization
+    and double derivation; DuckDB's parallel ``unnest`` zips positionally)."""
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)) AS norm
+  FROM elems GROUP BY vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         unnest(q.embedding) AS xq, unnest(c.embedding) AS xc
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+dots AS (
+  SELECT query_id, vec_id,
+         CAST(sum(CAST(floor(CAST(xq AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) * CAST(floor(CAST(xc AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+  FROM pairs GROUP BY query_id, vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (nq.norm * nc.norm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs inside blocking groups.
+
+    Joins only within ``block_col`` (at 100 TB the block key is an LSH
+    bucket — see :func:`lsh_buckets`), computes the exact cosine, and
+    keeps pairs >= threshold. Returns ``(vec_a, vec_b, cosine)``.
+    """
+    e = with_norm(embeddings)
+    a = e.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = dot_exact(F.col("ea"), F.col("eb")).cast("double") / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.9, block_col: str = "label") -> str:
+    """DuckDB twin of :func:`cosine_dup_pairs`."""
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)) AS norm
+  FROM elems GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b
+    ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) * CAST(floor(CAST(xb AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+  FROM pairs GROUP BY vec_a, vec_b
+)
+SELECT d.vec_a, d.vec_b, d.dot / (na.norm * nb.norm) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / (na.norm * nb.norm) >= {threshold}
+"""
+
+
+LSH_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 8, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH buckets — the scale path for candidate
+    generation (SimHash-for-vectors): bucket = sign-bit pattern of
+    ``n_planes`` fixed random projections.
+
+    Vectorized per Arrow batch (one matmul per batch, no per-row Python);
+    planes derive from a fixed seed so buckets are reproducible. Not
+    SQL-expressible (matrix RNG) → rows-only oracle check; recall is
+    asserted against brute force in tests.
+    """
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy())
+            signs = (vecs @ planes) > 0
+            buckets = signs @ (1 << np.arange(n_planes))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "bucket": buckets.astype("int64")}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema=LSH_SCHEMA
+    )
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN top-k: exact cosine re-rank restricted to candidates
+    sharing the query's LSH bucket. Approximate — recall depends on
+    n_planes; tests measure it against :func:`topk_cosine`."""
+    buckets = lsh_buckets(embeddings, n_planes=n_planes, seed=seed)
+    e = with_norm(embeddings).join(buckets, "vec_id")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = dot_exact(F.col("qv"), F.col("embedding")).cast("double") / (
+        F.col("qnorm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )

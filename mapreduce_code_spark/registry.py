@@ -224,3 +224,182 @@ def q_sgd_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid link, logisticreg.java:79 — SURVEY §2: F4)."""
     pts = prep.labeled_points_binary(load_table(spark, sf_dir, "lineitem"))
     return regression.sgd_fit_df(pts, link="logistic", max_iter=5, n_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# North-star LLM-data-pipeline operators (BASELINE.json:6): dedup,
+# similarity search, text analysis, multimodal plumbing.
+# ---------------------------------------------------------------------------
+
+from mapreduce_code_spark.functions import text as TXT  # noqa: E402
+from mapreduce_code_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, sha256(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+FROM documents
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash dedup (window function over sha2 groups)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of operators.dedup.shingles (k=3, distinct)
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id, seed,
+         min(substr(md5(shingle || '#' || seed), 1, 15)) AS mh
+  FROM sh, range(12) s(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 3
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (12 hashes, 4 bands of 3)."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+inv AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+       shared / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / (sa.sz + sb.sz - shared) >= 0.2
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("dedup_simhash", oracle=dedup.simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (md5-derived, engine-portable)."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register("similarity_topk_cosine", oracle=similarity.topk_cosine_sql())
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (decimal-exact dot)."""
+    return similarity.topk_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_cosine_dups",
+    oracle=similarity.cosine_dup_pairs_sql(threshold=0.5),
+)
+def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks."""
+    return similarity.cosine_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+@register("similarity_topk_lsh")  # approximate ANN — rows-only check
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (random-hyperplane candidates + exact
+    re-rank); recall vs brute force asserted in tests."""
+    return similarity.topk_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_stats", oracle=TXT.text_stats_sql())
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/word/stopword counting stats per document."""
+    return TXT.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", oracle=TXT.lang_id_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic."""
+    return TXT.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", oracle=TXT.quality_score_sql())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from integer indicators."""
+    return TXT.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_winnow_fingerprint", oracle=TXT.winnow_fingerprint_sql())
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (window functions)."""
+    return TXT.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_meta", oracle=multimodal.media_meta_sql())
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata scan (no decode): sizes, hashes, plans."""
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.media_meta(media)
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         n_chars * 40 AS duration_ms
+  FROM documents
+)
+SELECT media_id, ts_ms // 2000 AS frame_idx, ts_ms
+FROM (SELECT media_id, unnest(range(0, duration_ms, 2000)) AS ts_ms
+      FROM media WHERE kind = 'video')
+""",
+)
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode, no decode)."""
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+@register("multimodal_features")  # decode stub — rows-only check
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction through the real mapInPandas
+    plumbing (byte-histogram stand-in; real codecs stubbed)."""
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, fake=True)

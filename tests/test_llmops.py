@@ -1,0 +1,153 @@
+"""LLM-pipeline operator tests: planted near-duplicate micro-fixtures for
+every dedup flavor, LSH recall vs brute force, multimodal plumbing, and
+DuckDB oracle parity for every oracled query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_code_spark.operators import dedup, multimodal, similarity
+from mapreduce_code_spark.registry import oracle_sql, queries
+from tests.helpers import assert_parity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit → near-dup
+OTHER = (
+    "completely different content about spark query engines and shuffle "
+    "partitioning strategies for large scale distributed aggregation jobs"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_micro(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),        # exact dup of 0
+        (2, NEAR, "en", "s", len(NEAR)),        # near dup of 0
+        (3, OTHER, "en", "s", len(OTHER)),      # unrelated
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_micro(docs_micro):
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup(docs_micro).collect()}
+    assert rows[1]["is_dup"] and rows[1]["keeper_id"] == 0
+    assert not rows[0]["is_dup"] and not rows[2]["is_dup"] and not rows[3]["is_dup"]
+
+
+def test_minhash_lsh_micro(docs_micro):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs_micro).collect()
+    }
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should collide
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_micro(docs_micro):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_micro, threshold=0.3).collect()
+    }
+    assert rows[(0, 1)] == 1.0      # identical shingle sets
+    assert 0.5 < rows[(0, 2)] < 1.0  # one-word edit knocks out k shingles
+    assert (0, 3) not in rows
+
+
+def test_simhash_micro(docs_micro):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_micro).collect()}
+    assert rows[0] == rows[1]  # identical text → identical simhash
+    ham_near = bin(rows[0] ^ rows[2]).count("1")
+    ham_far = bin(rows[0] ^ rows[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+@pytest.fixture(scope="module")
+def emb_micro(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype("float32")
+    near = base + rng.standard_normal(64).astype("float32") * 0.01
+    rows = [(0, [float(v) for v in base], 0), (1, [float(v) for v in near], 0)]
+    for i in range(2, 30):
+        v = rng.standard_normal(64).astype("float32")
+        rows.append((i, [float(x) for x in v], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_topk_cosine_micro(emb_micro):
+    rows = similarity.topk_cosine(emb_micro, n_queries=1, k=3).collect()
+    assert rows[0]["vec_id"] == 1 and rows[0]["rank"] == 1  # planted neighbor
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_lsh_recall(emb_micro):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_cosine(emb_micro, n_queries=5, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_cosine_lsh(
+            emb_micro, n_queries=5, k=3, n_planes=2
+        ).collect()
+    }
+    # coarse buckets (2 planes → 4 buckets) must still find the planted
+    # near-identical neighbor, and overall recall should be non-trivial
+    assert (0, 1) in approx
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_multimodal_decode_stub_raises(docs_micro):
+    media = multimodal.media_from_documents(docs_micro)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, fake=False)
+
+
+def test_multimodal_fake_decode(docs_micro):
+    media = multimodal.media_from_documents(docs_micro)
+    rows = {r["media_id"]: r for r in multimodal.decode_media(media, fake=True).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized
+    assert rows[0]["features"] == rows[1]["features"]  # same payload
+
+
+def test_frame_plan(docs_micro):
+    media = multimodal.media_from_documents(docs_micro)
+    rows = multimodal.sample_frames(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    # only kind == video (doc_id % 3 == 2)
+    assert set(by_media) == {2}
+    assert by_media[2][0] == (0, 0)
+    assert all(ts == i * 2000 for i, ts in by_media[2])
+
+
+ORACLED = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_cosine_dups",
+    "text_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_winnow_fingerprint",
+    "multimodal_meta",
+    "multimodal_frame_plan",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_parity(queries()[name](spark, sf_dir), sf_dir, oracle_sql()[name], rtol=0)

@@ -44,10 +44,10 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        got = normalize(sdf.toPandas())
         if name not in oracles:
-            print(f"  {name}: rows-only check, rows={len(got)}")
+            print(f"  {name}: rows-only check, rows={sdf.count()}")
             continue
+        got = normalize(sdf.toPandas())
         con = duckdb.connect()
         for t in SCHEMAS:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
