@@ -403,3 +403,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing (byte-histogram stand-in; real codecs stubbed)."""
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_media(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Windowed event analytics (north-star streaming extension, SURVEY §2.10).
+# The same plan builders run as Structured Streaming queries — registered
+# here in batch mode for the oracle gate; streaming parity is tested in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+from mapreduce_code_spark.streaming import windows as W  # noqa: E402
+
+
+@register("events_tumbling_window", oracle=W.tumbling_counts_sql())
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type tumbling 1h windows (streaming-capable plan)."""
+    return W.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sliding_window", oracle=W.sliding_counts_sql())
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m windows (streaming-capable plan)."""
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("events_session_window", oracle=W.session_windows_sql())
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30m-gap session windows (native session_window)."""
+    return W.session_windows(load_table(spark, sf_dir, "events"))
+
+
+@register("events_json_props", oracle=W.json_props_sql())
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from props."""
+    return W.json_props(load_table(spark, sf_dir, "events"))

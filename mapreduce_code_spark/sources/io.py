@@ -21,10 +21,20 @@ TABLES = tuple(SCHEMAS)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
+    microseconds with exact integer division (``div`` — not float ``/``,
+    which loses precision above 2^53). DuckDB oracles mirror this with
+    ``date_trunc('microseconds', ts)``.
+    """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,226 @@
+"""Windowed event aggregation — batch and streaming share ONE plan
+builder, so batch-parity is verified by construction plus tests.
+
+The reference has no streaming at all (SURVEY §2.10); these are the
+north-star extensions: tumbling / sliding / session windows, watermarked
+late-data handling, and at-least-once streaming dedup.
+
+Design:
+- Each aggregation is a function of a DataFrame — pass a batch DF and it
+  is a batch query (registered + DuckDB-oracled); pass ``readStream`` and
+  the SAME code is the streaming query (tested via memory sink with
+  ``processAllAvailable``).
+- ``value`` sums are integer-quantized (``floor(v·1e6 + 0.5)``, exact
+  IEEE ops — see operators.similarity) so batch, streaming, and the
+  DuckDB oracle agree bit-for-bit; the true-double sum would be
+  summation-order-dependent.
+- At scale: windowed aggs shuffle once on (window, key) with map-side
+  partial aggregation; watermarks bound state size — without one, a
+  100 TB stream's window state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALUE_SCALE = 1_000_000.0
+
+
+def _qvalue():
+    # exact-IEEE quantization of `value` to micro-units (see similarity._q)
+    return F.floor(F.col("value") * F.lit(VALUE_SCALE) + F.lit(0.5)).cast("long")
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-type tumbling-window counts and micro-unit value sums:
+    ``(window_start, window_end, event_type, n, sum_value_micro)``."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_qvalue()).alias("sum_value_micro"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value_micro",
+        )
+    )
+
+
+def tumbling_counts_sql(width_minutes: int = 60) -> str:
+    return f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+SELECT time_bucket(INTERVAL {width_minutes} MINUTE, ts) AS window_start,
+       time_bucket(INTERVAL {width_minutes} MINUTE, ts)
+           + INTERVAL {width_minutes} MINUTE AS window_end,
+       event_type,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+FROM ev
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window totals: ``(window_start, window_end, n,
+    sum_value_micro)`` — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_qvalue()).alias("sum_value_micro"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "sum_value_micro",
+        )
+    )
+
+
+def sliding_counts_sql(width_minutes: int = 60, slide_minutes: int = 15) -> str:
+    n_offsets = width_minutes // slide_minutes
+    return f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+assigned AS (
+  SELECT ts, value,
+         time_bucket(INTERVAL {slide_minutes} MINUTE, ts)
+             - unnest(range({n_offsets})) * INTERVAL {slide_minutes} MINUTE
+             AS window_start
+  FROM ev
+)
+SELECT window_start,
+       window_start + INTERVAL {width_minutes} MINUTE AS window_end,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): ``(user_id, session_start,
+    session_end, n, sum_value_micro)``.
+
+    Uses Spark's native ``session_window`` — in streaming this is stateful
+    with watermark-bounded state; in batch it compiles to the same
+    gaps-and-islands result the SQL twin computes with ``lag`` + running
+    sum. ``session_end`` = last event + gap (Spark's convention).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_qvalue()).alias("sum_value_micro"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "sum_value_micro",
+        )
+    )
+
+
+def session_windows_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_minutes} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """JSON extraction from the ``props`` column (SURVEY §2 F8 north-star):
+    ``(event_id, event_type, k)``."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def json_props_sql() -> str:
+    return """
+SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k
+FROM events
+"""
+
+
+# ------------------------------------------------------------ streaming
+
+def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
+    """``readStream`` over the events parquet (file source) — the
+    streaming twin of ``load_table``, including the TIMESTAMP(NANOS) →
+    micros conversion (read nanos as long, exact integer division)."""
+    from pyspark.sql import types as T
+
+    from mapreduce_code_spark.sources.schemas import EVENTS
+
+    fields = [
+        T.StructField("ts", T.LongType(), False) if f.name == "ts" else f
+        for f in EVENTS.fields
+    ]
+    # the file stream source monitors a DIRECTORY; select just the events
+    # file with a glob filter
+    reader = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Watermark for late-data bounds; required for append-mode windowed
+    aggregation and state eviction."""
+    return events.withWatermark("ts", delay)
+
+
+def streaming_dedup(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """At-least-once → effectively-once dedup on event_id within the
+    watermark horizon (state is evicted past it)."""
+    return with_watermark(events, delay).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion against a memory sink
+    (synchronous — for tests and parity checks). Returns the query;
+    caller reads ``spark.table(name)`` and stops it."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,126 @@
+"""Structured Streaming tests: batch parity through the SAME plan
+builders, streaming dedup, and watermark late-data drop semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pytest
+
+from mapreduce_code_spark.sources.io import load_table
+from mapreduce_code_spark.streaming import windows as W
+
+
+def _norm(df):
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_tumbling_batch_parity(spark, sf_dir):
+    """The same tumbling plan over readStream == batch result."""
+    batch = W.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = W.tumbling_counts(W.stream_events(spark, sf_dir))
+    q = W.run_to_memory(stream, "t_parity", output_mode="complete")
+    try:
+        got = _norm(spark.table("t_parity"))
+        want = _norm(batch)
+        assert got.equals(want)
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """Duplicated input events collapse to the original count."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    ev.union(ev).write.parquet(dup_dir)
+
+    from pyspark.sql import types as T
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    q = W.run_to_memory(W.streaming_dedup(stream), "dedup_out")
+    try:
+        assert spark.table("dedup_out").count() == 200
+    finally:
+        q.stop()
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_append_finalization(spark, tmp_path):
+    """Observable watermark contract in append mode (verified against this
+    Spark build's actual behavior):
+
+    - a window is emitted exactly once, in the first micro-batch whose
+      starting watermark has passed the window end;
+    - once emitted, the window is immutable — a 2h-late event does NOT
+      update it; the late event surfaces as its own (already-past) window
+      in a later batch rather than silently mutating history.
+
+    (This build does not pre-filter late rows into fresh window keys —
+    numRowsDroppedByWatermark stays 0; eviction still respects the
+    watermark, which is the property that bounds state at scale.)
+    """
+    src = str(tmp_path / "late_events")
+    ts = lambda h, m: datetime(2024, 1, 1, h, m)
+    _write_batch(spark, src, [(1, ts(10, 0), 1, "a", 1.0), (2, ts(10, 20), 1, "a", 1.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    _write_batch(spark, src, [(3, ts(8, 0), 1, "a", 1.0), (4, ts(10, 30), 1, "a", 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = W.tumbling_counts(W.with_watermark(stream, "5 minutes"), width="10 minutes")
+    q = W.run_to_memory(agg, "late_out", output_mode="append")
+    try:
+        rows = [
+            ((r["window_start"].hour, r["window_start"].minute), r["n"])
+            for r in spark.table("late_out").collect()
+        ]
+        # finalized on watermark passage, exactly once, with only its event
+        assert rows.count(((10, 0), 1)) == 1
+        # the very late event emitted as its own past window, not merged
+        assert rows.count(((8, 0), 1)) == 1
+        # open windows (>= watermark) not yet emitted
+        assert all(w != (10, 30) for w, _ in rows)
+    finally:
+        q.stop()
+
+
+def test_session_window_batch_matches_gaps_and_islands(spark, sf_dir):
+    """Native session_window == explicit lag/cumsum sessionization on the
+    same Spark data (independent of the DuckDB oracle)."""
+    from pyspark.sql import Window as Win
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    native = W.session_windows(ev)
+
+    w = Win.partitionBy("user_id").orderBy("ts")
+    manual = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_s").over(w.rowsBetween(Win.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    native_per_user = native.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+    assert _norm(native_per_user).equals(_norm(manual))
