@@ -186,11 +186,14 @@ def winnow_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
         F.sequence(F.lit(0), F.size(words) - k),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
-    pos_sh = documents.select(
-        "doc_id", F.posexplode(sh).alias("pos", "shingle")
-    ).withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pos_sh = (
+        documents.repartition(n_part)
+        .select("doc_id", F.posexplode(sh).alias("pos", "shingle"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint"),
+        )
     )
     w = (
         Window.partitionBy("doc_id")

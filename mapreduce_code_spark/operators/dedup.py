@@ -61,8 +61,12 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
         F.sequence(F.lit(0), F.size(words) - k),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
+    # documents arrive as one partition per parquet file; spread the rows
+    # BEFORE the explode/md5-heavy downstream stages so they use all cores
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        documents.repartition(n_part)
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -76,13 +80,27 @@ def minhash_signatures(
     documents: DataFrame, n_hashes: int = 12, k: int = 3
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, seed, mh)``, one row per doc per
-    hash function; ``mh`` = min over shingles of md5(shingle '#' seed)."""
+    hash function; ``mh`` = min over shingles of md5(shingle '#' seed).
+
+    Computed as ``n_hashes`` parallel ``min`` aggregates in ONE
+    groupBy(doc_id) — shuffle volume O(docs · n_hashes) with map-side
+    partial mins, instead of exploding every shingle ``n_hashes``×
+    (which would multiply the shuffled data by the signature width).
+    """
     sh = shingles(documents, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(_mh(F.col("shingle"), F.col("seed"))).alias("mh"))
+    aggs = [
+        F.min(_mh(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.col(f"mh_{i}").alias("mh"))
+            for i in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.mh").alias("mh")
     )
 
 
@@ -146,23 +164,30 @@ def ngram_jaccard_pairs(
     with jaccard >= threshold.
 
     Jaccard is a single division of exact integers — bit-identical in any
-    engine.
+    engine. Shingles are reduced to 60-bit md5-derived ids before the
+    shuffle-heavy steps: the inverted-index join then moves 8-byte keys
+    instead of ~35-byte strings (collision odds at 100 TB vocab sizes are
+    ~|shingles|²/2^61 — negligible, and acceptable for a near-dup metric).
     """
-    sh = shingles(documents, k).persist()
+    sh = (
+        shingles(documents, k)
+        .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .select("sid")
     )
-    inv = sh.join(rare, "shingle")
+    inv = sh.join(rare, "sid")
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -203,9 +228,12 @@ def simhash(documents: DataFrame) -> DataFrame:
     shuffle with map-side partial aggregation; no per-bit row blowup.
     Returns ``(doc_id, simhash bigint)``.
     """
-    toks = documents.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).withColumn("h", _token_hash(F.col("w")))
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        documents.repartition(n_part)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .withColumn("h", _token_hash(F.col("w")))
+    )
     aggs = [
         F.when(
             F.sum(

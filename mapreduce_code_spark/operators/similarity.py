@@ -76,7 +76,10 @@ def topk_cosine(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
         F.col("embedding").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    cand = e.select("vec_id", "embedding", "norm")
+    # single-file parquet arrives as one partition; spread the candidate
+    # scan so the per-pair dot evaluation parallelizes across cores
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = e.select("vec_id", "embedding", "norm").repartition(n_part)
     cos = dot_exact(F.col("qv"), F.col("embedding")).cast("double") / (
         F.col("qnorm") * F.col("norm")
     )
@@ -142,12 +145,17 @@ def cosine_dup_pairs(
     keeps pairs >= threshold. Returns ``(vec_a, vec_b, cosine)``.
     """
     e = with_norm(embeddings)
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # round-robin the left side across cores and broadcast the right:
+    # pair generation + per-pair dot evaluation run on all cores with no
+    # shuffle of the pair stream (single-file parquet would otherwise be
+    # one task)
     a = e.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
-    )
+    ).repartition(n_part)
     b = e.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("vec_b"),
@@ -158,7 +166,7 @@ def cosine_dup_pairs(
         F.col("na") * F.col("nb")
     )
     return (
-        a.join(b, ["blk"])
+        a.join(F.broadcast(b), ["blk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -46,10 +46,19 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+_TX_CACHE: dict[str, DataFrame] = {}
+
+
 def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prep.transactions(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
+    """Transactions view, persisted per sf_dir — the 4 Apriori queries
+    share one materialization instead of re-running the lineitem⋈part
+    prep (the reference's own cross-job HBase cache, done Spark-style
+    with ``persist()``)."""
+    if sf_dir not in _TX_CACHE:
+        _TX_CACHE[sf_dir] = prep.transactions(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+        ).persist()
+    return _TX_CACHE[sf_dir]
 
 
 # DuckDB twin of plans.prep.transactions: distinct (basket, item) tokens.
