@@ -1,0 +1,383 @@
+"""General relational analytics surface: windows, rollup, set ops, rich
+predicates, distinct counts, and an as-of join.
+
+The reference has none of these (SURVEY §2.5-2.8, §2.3 J4 — all marked
+absent); they are the "engine exposes the full Spark surface" half of the
+inventory, each demonstrated as a registered query with a DuckDB oracle.
+
+Numeric discipline (same as operators.regression.ols_stats_exact): every
+aggregated measure is cast to DECIMAL before the sum so the aggregation is
+exact and summation-order-independent — bit-identical between Spark and
+the DuckDB oracle — then cast to DOUBLE once at the end. Raw (unaggregated)
+doubles pass through untouched; they compare exactly by construction.
+
+Scale notes (100 TB):
+
+- ``pricing_summary`` / ``rollup_pricing``: single shuffle on a handful of
+  group keys with map-side partial aggregation; the shipdate predicate and
+  7-column projection push into the parquet scan.
+- ``topk_parts_per_brand``: pre-aggregates revenue per (brand, partkey)
+  BEFORE the window — the window then ranks ~|parts| rows, not |lineitem|.
+- ``events_orders_asof``: the classic merge as-of — union both sides, one
+  shuffle+sort on (user, time), carry the latest order forward with a
+  running window. No range-join row explosion; cost is one sort-shuffle of
+  |events|+|orders| regardless of time-overlap density.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRICING_CUTOFF = "1998-09-02"
+
+_QTY = "decimal(14,2)"
+_PRICE = "decimal(16,2)"
+_RATE = "decimal(6,4)"  # l_discount / l_tax: small 4-decimal rates
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (group agg + arithmetic + HAVING-free)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = PRICING_CUTOFF) -> DataFrame:
+    """Per (returnflag, linestatus): qty/price/discounted/charged sums,
+    averages, and row count, over shipments up to ``cutoff``."""
+    qty = F.col("l_quantity").cast(_QTY)
+    price = F.col("l_extendedprice").cast(_PRICE)
+    disc = F.col("l_discount").cast(_RATE)
+    tax = F.col("l_tax").cast(_RATE)
+    disc_factor = F.lit(1).cast(_RATE) - disc
+    charge_factor = disc_factor * (F.lit(1).cast(_RATE) + tax)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_factor).cast("double").alias("sum_disc_price"),
+            F.sum(price * charge_factor).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql(cutoff: str = PRICING_CUTOFF) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS {_QTY})) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS {_PRICE})) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS {_PRICE})
+                * (CAST(1 AS {_RATE}) - CAST(l_discount AS {_RATE})))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS {_PRICE})
+                * (CAST(1 AS {_RATE}) - CAST(l_discount AS {_RATE}))
+                * (CAST(1 AS {_RATE}) + CAST(l_tax AS {_RATE})))
+            AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS {_QTY})) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS {_PRICE})) AS DOUBLE) / count(*)
+           AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window ranking over a pre-aggregate)
+# ---------------------------------------------------------------------------
+
+
+def topk_parts_per_brand(lineitem: DataFrame, part: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` parts by discounted revenue within each brand.
+
+    Aggregate-then-rank: revenue per (brand, partkey) first (decimal-exact,
+    so the ordering is unambiguous), then ``row_number`` per brand with a
+    partkey tie-break. ``part`` is broadcast — it is the small dimension.
+    """
+    rev = F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    )
+    per_part = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        per_part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("partkey"),
+            F.col("revenue").cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+def topk_parts_per_brand_sql(k: int = 3) -> str:
+    return f"""
+WITH per_part AS (
+  SELECT p_brand, l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS {_PRICE})
+             * (CAST(1 AS {_RATE}) - CAST(l_discount AS {_RATE}))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand, partkey, CAST(rev AS DOUBLE) AS revenue, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY rev DESC, partkey) AS rnk
+      FROM per_part)
+WHERE rnk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup (multi-level aggregate)
+# ---------------------------------------------------------------------------
+
+
+def rollup_pricing(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-pair, per-flag, and grand
+    totals in one pass. Subtotal rows' null keys are coalesced to 'ALL' so
+    the result is oracle-comparable without null-ordering pitfalls."""
+    qty = F.col("l_quantity").cast(_QTY)
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def rollup_pricing_sql() -> str:
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_quantity AS {_QTY})) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+def priority_customer_setops(orders: DataFrame) -> DataFrame:
+    """Customers who placed BOTH an urgent and a low-priority order, minus
+    anyone with an open ('P') order: INTERSECT then EXCEPT (distinct set
+    semantics, matching SQL)."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low).exceptAll(open_.distinct())
+
+
+def priority_customer_setops_sql() -> str:
+    return """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rich predicates + CASE projection
+# ---------------------------------------------------------------------------
+
+
+def filter_case_orders(orders: DataFrame) -> DataFrame:
+    """IN / BETWEEN / LIKE / date-range predicates with a CASE bucket —
+    the P7/F8 "general predicates and scalar functions" surface. All
+    predicates are plain Column expressions, so Catalyst pushes them into
+    the parquet scan."""
+    return orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(1000.0, 200000.0)
+        & F.col("o_orderpriority").like("%-%")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") >= 100000.0, F.lit("big"))
+        .when(F.col("o_totalprice") >= 10000.0, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("bucket"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+
+
+def filter_case_orders_sql() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_totalprice >= 100000.0 THEN 'big'
+            WHEN o_totalprice >= 10000.0 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       CAST(year(o_orderdate) AS INT) AS order_year
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+  AND o_orderpriority LIKE '%-%'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct counts per group
+# ---------------------------------------------------------------------------
+
+
+def distinct_part_stats(part: DataFrame) -> DataFrame:
+    """Exact distinct counts per p_type. (The approximate sibling,
+    ``approx_count_distinct``, is asserted within-error in tests — an
+    approximate result can't hash-match an exact oracle.)"""
+    return part.groupBy("p_type").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def distinct_part_stats_sql() -> str:
+    return """
+SELECT p_type, count(DISTINCT p_brand) AS n_brands,
+       count(DISTINCT p_size) AS n_sizes, count(*) AS n_parts
+FROM part GROUP BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window frames + lag (running totals, gaps, ranks per customer)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_history(orders: DataFrame) -> DataFrame:
+    """Per customer order timeline: cumulative spend (decimal-exact running
+    sum), days since previous order (lag), and order sequence number."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = F.col("o_totalprice").cast(_PRICE)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(price).over(run).cast("double").alias("running_spend"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def customer_order_history_sql() -> str:
+    return f"""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(sum(CAST(o_totalprice AS {_PRICE}))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(date_diff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS INT) AS days_since_prev,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INT)
+           AS order_seq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (merge formulation)
+# ---------------------------------------------------------------------------
+
+
+def events_orders_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """For each event, the latest order of the same user at or before the
+    event timestamp (ties on o_orderdate broken by max o_orderkey).
+
+    Merge as-of: tag and union both sides, sort each user's timeline once,
+    and carry the most recent order forward with ``last(..., ignorenulls)``
+    over a running frame. One shuffle+sort of |events|+|orders| total —
+    no per-pair range join, so time-range density never explodes the row
+    count. Left semantics: events before any order keep null order columns.
+    """
+    ev = events.select(
+        F.col("user_id"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # at equal t: orders (is_event=0) sort first so "<= ts" is inclusive;
+    # equal-date orders sort by o_orderkey so last() picks the max key
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).select(
+        "user_id",
+        "is_event",
+        "event_id",
+        "ts",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", "user_id", "ts", "last_orderkey", "last_orderdate"
+    )
+
+
+def events_orders_asof_sql() -> str:
+    # oracle = brute-force candidates + rank (correct at oracle scale;
+    # the engine path above is the scalable formulation)
+    return """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+             AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.o_orderkey AS last_orderkey, c.o_orderdate AS last_orderdate
+FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  USING (event_id, user_id, ts)
+"""

@@ -415,6 +415,67 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# General relational surface (SURVEY §2.5-2.8 + J4: windows, rollup, set
+# ops, rich predicates, distinct counts, as-of join — all absent in the
+# reference, exposed as first-class engine queries).
+# ---------------------------------------------------------------------------
+
+from mapreduce_code_spark.operators import relational as R  # noqa: E402
+
+
+@register("relational_pricing_summary", oracle=R.pricing_summary_sql())
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (decimal-exact aggregate)."""
+    return R.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("relational_topk_parts_per_brand", oracle=R.topk_parts_per_brand_sql())
+def q_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand (aggregate-then-rank window)."""
+    return R.topk_parts_per_brand(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("relational_rollup_pricing", oracle=R.rollup_pricing_sql())
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus)."""
+    return R.rollup_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("relational_setops_customers", oracle=R.priority_customer_setops_sql())
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over priority-filtered customer sets."""
+    return R.priority_customer_setops(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_filter_case_orders", oracle=R.filter_case_orders_sql())
+def q_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN/BETWEEN/LIKE/date predicates + CASE bucket projection."""
+    return R.filter_case_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_distinct_part_stats", oracle=R.distinct_part_stats_sql())
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per p_type."""
+    return R.distinct_part_stats(load_table(spark, sf_dir, "part"))
+
+
+@register("relational_customer_order_history", oracle=R.customer_order_history_sql())
+def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend, lag gaps, and sequence numbers per customer."""
+    return R.customer_order_history(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_events_orders_asof", oracle=R.events_orders_asof_sql())
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge as-of join: latest order at-or-before each event."""
+    return R.events_orders_asof(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Windowed event analytics (north-star streaming extension, SURVEY §2.10).
 # The same plan builders run as Structured Streaming queries — registered
 # here in batch mode for the oracle gate; streaming parity is tested in

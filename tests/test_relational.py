@@ -1,0 +1,108 @@
+"""Oracle-parity + property tests for the general relational surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.operators import relational as R
+from mapreduce_code_spark.sources.io import load_table
+from tests.helpers import assert_parity, duckdb_run
+
+
+def test_pricing_summary_parity(spark, sf_dir):
+    assert_parity(
+        R.pricing_summary(load_table(spark, sf_dir, "lineitem")),
+        sf_dir,
+        R.pricing_summary_sql(),
+    )
+
+
+def test_topk_parts_per_brand_parity(spark, sf_dir):
+    df = R.topk_parts_per_brand(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    assert_parity(df, sf_dir, R.topk_parts_per_brand_sql())
+    # property: at most k rows per brand, ranks are 1..n
+    pdf = df.toPandas()
+    per_brand = pdf.groupby("p_brand")["rnk"].agg(["max", "count"])
+    assert (per_brand["max"] == per_brand["count"]).all()
+    assert (per_brand["count"] <= 3).all()
+
+
+def test_rollup_pricing_parity(spark, sf_dir):
+    df = R.rollup_pricing(load_table(spark, sf_dir, "lineitem"))
+    assert_parity(df, sf_dir, R.rollup_pricing_sql())
+    # property: grand total equals the sum of the leaf rows
+    pdf = df.toPandas()
+    leaves = pdf[(pdf.returnflag != "ALL") & (pdf.linestatus != "ALL")]
+    grand = pdf[(pdf.returnflag == "ALL") & (pdf.linestatus == "ALL")]
+    assert len(grand) == 1
+    assert int(leaves.n_rows.sum()) == int(grand.n_rows.iloc[0])
+
+
+def test_setops_parity(spark, sf_dir):
+    assert_parity(
+        R.priority_customer_setops(load_table(spark, sf_dir, "orders")),
+        sf_dir,
+        R.priority_customer_setops_sql(),
+    )
+
+
+def test_filter_case_orders_parity(spark, sf_dir):
+    assert_parity(
+        R.filter_case_orders(load_table(spark, sf_dir, "orders")),
+        sf_dir,
+        R.filter_case_orders_sql(),
+    )
+
+
+def test_distinct_part_stats_parity_and_approx(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    assert_parity(R.distinct_part_stats(part), sf_dir, R.distinct_part_stats_sql())
+    # approx_count_distinct within its default ~5% rsd of the exact count
+    exact = {
+        r["p_type"]: r["n_brands"]
+        for r in R.distinct_part_stats(part).collect()
+    }
+    approx = {
+        r["p_type"]: r["a"]
+        for r in part.groupBy("p_type")
+        .agg(F.approx_count_distinct("p_brand").alias("a"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.15 * n)
+
+
+def test_customer_order_history_parity(spark, sf_dir):
+    assert_parity(
+        R.customer_order_history(load_table(spark, sf_dir, "orders")),
+        sf_dir,
+        R.customer_order_history_sql(),
+    )
+
+
+def test_events_orders_asof_parity(spark, sf_dir):
+    df = R.events_orders_asof(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+    assert_parity(df, sf_dir, R.events_orders_asof_sql())
+    # property: every matched order predates its event
+    pdf = df.toPandas().dropna(subset=["last_orderdate"])
+    assert (pdf.last_orderdate <= pdf.ts).all()
+
+
+def test_asof_left_semantics(spark, sf_dir):
+    """Events keep exactly one output row each, matched or not."""
+    events = load_table(spark, sf_dir, "events")
+    df = R.events_orders_asof(events, load_table(spark, sf_dir, "orders"))
+    assert df.count() == events.count()
+    n_users_with_orders = duckdb_run(
+        sf_dir,
+        """SELECT count(*) AS n FROM (SELECT DISTINCT user_id FROM events
+           WHERE user_id IN (SELECT o_custkey FROM orders))""",
+    )["n"].iloc[0]
+    matched_users = df.filter(F.col("last_orderkey").isNotNull()).select(
+        "user_id"
+    ).distinct().count()
+    assert matched_users == n_users_with_orders
