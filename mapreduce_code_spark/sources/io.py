@@ -61,6 +61,56 @@ def read_transactions_text(spark: SparkSession, path: str) -> DataFrame:
     ).filter(F.size("items") > 0)
 
 
+def write_transactions_text(transactions: DataFrame, path: str) -> None:
+    """Write baskets back to the reference's native apriori input format:
+    one basket per line, items space-joined (``apriori_final.java:6``).
+    Distributed text sink — one file per partition, like TextOutputFormat.
+    """
+    transactions.select(
+        F.concat_ws(" ", F.col("items")).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def write_labeled_points_text(points: DataFrame, path: str) -> None:
+    """Write ``(row_id, y, features)`` to the regressions' native format:
+    ``y x1 x2 ...`` per line, dropping the injected bias features[0]
+    (the reference re-adds it at read, ``logisticreg.java:59-62``)."""
+    points.select(
+        F.concat_ws(
+            " ",
+            F.col("y").cast("string"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.slice(F.col("features"), 2, 1_000_000),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def write_tsv(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """The reference's output sink: ``key \\t value`` text lines
+    (``TextOutputFormat``, ``apriori_final.java:260``)."""
+    df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    ).write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def read_tsv_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Re-ingest ``itemset \\t count`` TSV (job-2 output) the way the
+    reference's job 3 re-parses it (``apriori_raw.java:317-333``) — except
+    the schema-aware read makes the last-token-skip predicate (SURVEY P5)
+    vanish: key and count arrive as real typed columns."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema("itemset string, cnt long")
+        .csv(path)
+    )
+
+
 def read_labeled_points_text(spark: SparkSession, path: str) -> DataFrame:
     """Ingest the regressions' input: ``y x1 x2 ...`` per line with an
     implicit bias x0=1.0 prepended (``logisticreg.java:58-66``).

@@ -1,0 +1,71 @@
+"""Round-trip tests for the reference's native text formats (SURVEY S1/S2):
+parquet-derived views → text → re-ingest → identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.operators import frequent
+from mapreduce_code_spark.plans import prep
+from mapreduce_code_spark.sources import io
+
+
+@pytest.fixture(scope="module")
+def tx(spark, sf_dir):
+    return prep.transactions(
+        io.load_table(spark, sf_dir, "lineitem"), io.load_table(spark, sf_dir, "part")
+    ).persist()
+
+
+def test_transactions_text_round_trip(spark, tx, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("txio") / "baskets")
+    io.write_transactions_text(tx, path)
+    back = io.read_transactions_text(spark, path)
+    # basket_ids are regenerated, but the multiset of item-arrays survives
+    a = sorted(r["items"] for r in tx.select("items").collect())
+    b = sorted(r["items"] for r in back.select("items").collect())
+    assert a == b
+    # and the apriori job-1 result over the text ingest matches parquet's
+    fa = {
+        (r["item"], r["cnt"])
+        for r in frequent.frequent_items(tx, frequent.DEFAULT_SUPPORT).collect()
+    }
+    fb = {
+        (r["item"], r["cnt"])
+        for r in frequent.frequent_items(back, frequent.DEFAULT_SUPPORT).collect()
+    }
+    assert fa == fb
+
+
+def test_labeled_points_text_round_trip(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("txio") / "points")
+    pts = prep.labeled_points_scaled(io.load_table(spark, sf_dir, "lineitem"))
+    io.write_labeled_points_text(pts, path)
+    back = io.read_labeled_points_text(spark, path)
+    assert back.count() == pts.count()
+    # bias is re-injected at features[0]; values survive the string trip
+    # (double -> string -> double is exact for round-trippable reprs)
+    a = sorted((r["y"], tuple(r["features"])) for r in pts.collect())
+    b = sorted((r["y"], tuple(r["features"])) for r in back.collect())
+    assert a == b
+
+
+def test_tsv_sink_and_reingest(spark, tx, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("txio") / "freq_tsv")
+    freq = frequent.frequent_items(tx, frequent.DEFAULT_SUPPORT)
+    io.write_tsv(freq, path, "item", "cnt")
+    back = io.read_tsv_counts(spark, path)
+    a = {(r["item"], r["cnt"]) for r in freq.collect()}
+    b = {(r["itemset"], r["cnt"]) for r in back.collect()}
+    assert a == b
+
+
+def test_tsv_sink_is_tab_separated(spark, tx, tmp_path_factory):
+    path = tmp_path_factory.mktemp("txio") / "fmt"
+    freq = frequent.frequent_items(tx, frequent.DEFAULT_SUPPORT).limit(5)
+    io.write_tsv(freq, str(path), "item", "cnt")
+    lines = []
+    for f in path.glob("part-*.csv"):
+        lines += f.read_text().splitlines()
+    assert lines and all("\t" in ln for ln in lines)
