@@ -503,6 +503,16 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_windows(load_table(spark, sf_dir, "events"))
 
 
+from mapreduce_code_spark.streaming import stateful as ST  # noqa: E402
+
+
+@register("events_user_running_totals", oracle=ST.user_running_totals_sql())
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals — batch twin of the applyInPandasWithState
+    stateful streaming operator (multi-batch parity in tests)."""
+    return ST.user_running_totals_batch(load_table(spark, sf_dir, "events"))
+
+
 @register("events_json_props", oracle=W.json_props_sql())
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from props."""

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.10/§2.11 north-star: the engine's arbitrary-state surface,
+beyond built-in windowed aggregation).
+
+Operator: per-user running totals — event count, micro-unit value sum,
+and last-seen timestamp — maintained as explicit group state across
+micro-batches and emitted (update semantics) on every batch where the
+user appears. The batch twin is a plain groupBy aggregate; the parity
+test splits the same input into multiple files and replays them one
+micro-batch at a time, asserting that the final stateful emission per
+user equals the batch aggregate.
+
+Scale notes:
+- State is keyed by ``user_id``: Spark hash-partitions groups across
+  executors; per-group state is O(1) (three longs), so total state is
+  O(distinct users) regardless of event volume.
+- Arrow-batched: each group's rows cross to Python as pandas chunks,
+  vectorized aggregation inside; no per-row Python loop.
+- A production deployment adds a state TTL (``GroupStateTimeout``) to
+  bound distinct-key growth on unbounded key domains; kept NoTimeout
+  here because the test tables' user domain is finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+VALUE_SCALE = 1_000_000.0
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value_micro long, last_ts_micros long"
+)
+STATE_SCHEMA = "n long, s long, last long"
+
+
+def _qvalue_np(v: np.ndarray) -> np.ndarray:
+    # same exact-IEEE quantization as streaming.windows._qvalue
+    return np.floor(v * VALUE_SCALE + 0.5).astype("int64")
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s, last = state.get if state.exists else (0, 0, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += int(_qvalue_np(pdf["value"].to_numpy()).sum())
+        # normalize to µs first — Arrow may hand over ns- or µs-unit stamps
+        ts_micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+        last = max(last, int(ts_micros.max()))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value_micro": [s],
+            "last_ts_micros": [last],
+        }
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user running totals over a streaming events frame.
+    Emits the updated totals for every user seen in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stateful operator: one aggregate pass."""
+    qv = F.floor(F.col("value") * F.lit(VALUE_SCALE) + F.lit(0.5)).cast("long")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(qv).alias("sum_value_micro"),
+        F.max(F.unix_micros("ts")).alias("last_ts_micros"),
+    )
+
+
+def user_running_totals_sql() -> str:
+    """DuckDB twin of the batch aggregate (micro-unit exact)."""
+    return """
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro,
+       max(epoch_us(ts)) AS last_ts_micros
+FROM ev GROUP BY user_id
+"""
