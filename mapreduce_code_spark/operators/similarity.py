@@ -240,6 +240,140 @@ def lsh_buckets(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means, Spark-distributed.
+
+    - init: the ``n_clusters`` lowest vec_ids (deterministic, seed-free);
+    - assignment: one vectorized matmul per Arrow batch (``mapInPandas``
+      with the centroid matrix broadcast) — no per-row Python;
+    - update: ``posexplode`` → groupBy (cluster, pos) → avg, one shuffle
+      of O(rows·dim) scalars with map-side partial aggregation; the
+      (n_clusters × dim) result collects to the driver each iteration.
+
+    At 100 TB the assignment scan dominates and is embarrassingly
+    parallel; n_iters is small because IVF needs a coarse partition of
+    space, not a converged clustering. Returns the centroid matrix.
+    """
+    init = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r["embedding"], dtype="float64") for r in init])
+    sc = embeddings.sparkSession.sparkContext
+    for _ in range(n_iters):
+        cent_b = sc.broadcast(centroids)
+
+        def assign(batches):
+            c = cent_b.value
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                vecs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                d2 = c_sq[None, :] - 2.0 * (vecs @ c.T)  # ||v||² constant per row
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.argmin(d2, axis=1).astype("int32"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        assigned = embeddings.select("embedding").mapInPandas(
+            assign, schema="cluster int, embedding array<float>"
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their old centroid
+        for r in means:
+            new[r["cluster"], r["pos"]] = r["m"]
+        centroids = new
+        cent_b.destroy()
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN top-k: train a coarse quantizer, assign every vector to its
+    nearest centroid (the inverted file), probe each query's ``nprobe``
+    nearest cells, and exact-re-rank only those candidates.
+
+    Scan cost drops to ~nprobe/n_clusters of brute force; recall is
+    tunable via nprobe (asserted against :func:`topk_cosine` in tests).
+    Not SQL-expressible (iterative training) → rows-only oracle check.
+    """
+    centroids = ivf_centroids(embeddings, n_clusters, n_iters, dim)
+    sc = embeddings.sparkSession.sparkContext
+    cent_b = sc.broadcast(centroids)
+
+    def assign_cells(batches):
+        c = cent_b.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d2 = c_sq[None, :] - 2.0 * (vecs @ c.T)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": np.argmin(d2, axis=1).astype("int32")}
+            )
+
+    def probe_cells(batches):
+        c = cent_b.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            d2 = c_sq[None, :] - 2.0 * (vecs @ c.T)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    cells = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_cells, schema="vec_id long, cell int"
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        probe_cells, schema="query_id long, cell int"
+    )
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # (query, probed cell, query vector) — tiny: n_queries × nprobe rows
+    probe_q = probes.join(q, "query_id").withColumnRenamed("cell", "probe_cell")
+    cand = with_norm(embeddings).join(cells, "vec_id")
+    cos = dot_exact(F.col("qv"), F.col("embedding")).cast("double") / (
+        F.col("qnorm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(probe_q), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     n_queries: int = 5,

@@ -347,6 +347,13 @@ def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_topk_ivf")  # approximate ANN — rows-only check
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (k-means coarse quantizer + nprobe cell search +
+    exact re-rank); recall vs brute force asserted in tests."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("similarity_topk_lsh")  # approximate ANN — rows-only check
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (random-hyperplane candidates + exact

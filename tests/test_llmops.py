@@ -151,3 +151,27 @@ ORACLED = [
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, sf_dir, name):
     assert_parity(queries()[name](spark, sf_dir), sf_dir, oracle_sql()[name], rtol=0)
+
+
+def test_ivf_recall(emb_micro):
+    """IVF with nprobe=all clusters degrades to exact brute force; with a
+    partial probe it must still find the planted near-identical neighbor."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_cosine(emb_micro, n_queries=5, k=3).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb_micro, n_queries=5, k=3, n_clusters=4, nprobe=4, n_iters=1
+        ).collect()
+    }
+    assert full_probe == exact  # probing every cell == brute force
+    partial = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb_micro, n_queries=5, k=3, n_clusters=4, nprobe=2, n_iters=1
+        ).collect()
+    }
+    assert (0, 1) in partial  # planted neighbor shares the query's cell
+    assert len(exact & partial) / len(exact) >= 0.3
