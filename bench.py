@@ -27,6 +27,17 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    # Warm up the JVM (codegen, shuffle machinery) and the Python worker
+    # pool once, on a tiny table, so the first timed query measures the
+    # engine rather than process startup.
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.groupBy("n_regionkey").count().write.mode("overwrite").format(
+        "noop"
+    ).save()
+    nation.mapInPandas(lambda it: it, schema=nation.schema).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     only = set(sys.argv[1:])
     timings: dict[str, float] = {}
     for name, fn in queries().items():
