@@ -236,3 +236,62 @@ SELECT doc_id, count(*) AS n_fingerprints,
        min(wmin) AS fp_min, max(wmin) AS fp_max
 FROM kept GROUP BY doc_id
 """
+
+
+def tfidf_stats(documents: DataFrame, min_tf: int = 2) -> DataFrame:
+    """TF-IDF sufficient statistics per (doc, word): term frequency,
+    document frequency, and corpus size — ``(doc_id, word, tf, df,
+    n_docs)``, all exact integers.
+
+    The idf transform itself (``log(N/df)``) is deliberately left to the
+    consumer: ``log`` is not correctly-rounded-identical across engines,
+    so emitting the integer sufficient statistics keeps the operator
+    bit-stable cross-engine while losing nothing (the transform is a
+    driver-side one-liner).
+
+    Scale: one explode + two hash aggregations; df is a second aggregate
+    over the (word, doc) pairs with map-side partials. ``min_tf`` prunes
+    the long hapax tail before the df join — at web scale that tail is
+    most of the vocabulary.
+    """
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    words = (
+        documents.repartition(n_part)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    df = (
+        words.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    return tf.join(df, "word").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "word", "tf", "df", "n_docs"
+    )
+
+
+def tfidf_stats_sql(min_tf: int = 2) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+w AS (SELECT * FROM words WHERE word <> ''),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+  HAVING count(*) >= {min_tf}
+),
+df AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word
+)
+SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       (SELECT count(*) FROM documents) AS n_docs
+FROM tf JOIN df USING (word)
+"""

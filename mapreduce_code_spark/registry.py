@@ -379,6 +379,13 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+@register("text_tfidf", oracle=TXT.tfidf_stats_sql())
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF sufficient statistics (exact integers; idf transform is a
+    consumer-side one-liner — log isn't bit-stable across engines)."""
+    return TXT.tfidf_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_winnow_fingerprint", oracle=TXT.winnow_fingerprint_sql())
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (window functions)."""

@@ -69,3 +69,22 @@ def test_tsv_sink_is_tab_separated(spark, tx, tmp_path_factory):
     for f in path.glob("part-*.csv"):
         lines += f.read_text().splitlines()
     assert lines and all("\t" in ln for ln in lines)
+
+
+def test_json_csv_format_round_trip(spark, sf_dir, tmp_path):
+    """S7 engine surface: JSON and CSV sources/sinks round-trip with
+    explicit schemas (inferSchema never used — it costs a full extra
+    scan at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    orders = io.load_table(spark, sf_dir, "orders").limit(100)
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    orders.write.json(jdir)
+    orders.write.option("header", True).csv(cdir)
+    back_j = spark.read.schema(orders.schema).json(jdir)
+    back_c = (
+        spark.read.schema(orders.schema).option("header", True).csv(cdir)
+    )
+    want = sorted(map(tuple, orders.collect()))
+    assert sorted(map(tuple, back_j.collect())) == want
+    assert sorted(map(tuple, back_c.collect())) == want
