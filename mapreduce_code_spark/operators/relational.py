@@ -312,56 +312,155 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
-# As-of join (merge formulation)
+# As-of join (merge formulation) and range join (bucket formulation)
 # ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Generic as-of join: for each left row, the right row with the
+    greatest ``(right_ts, tie_col)`` such that ``right_ts <= left_ts``
+    within the same ``key``. Left rows keep nulls when nothing precedes.
+
+    Merge formulation: tag and union both sides, sort each key's timeline
+    once, carry the latest right payload forward with
+    ``last(..., ignorenulls)`` over a running frame. One shuffle+sort of
+    |left|+|right| total, independent of time-overlap density — the
+    scalable alternative to a range join that explodes candidate pairs.
+    ``tie_col`` makes equal-timestamp picks deterministic.
+    """
+    lcols = [c for c in left.columns if c != key]
+    l2 = left.select(
+        key,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r2 = right.select(
+        key,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *payload_cols,
+    )
+    # at equal _t: right rows (0) sort first → "<=" inclusive; equal-ts
+    # right rows ordered by tie_col so last() picks the max
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_is_left", F.col(tie_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l2.unionByName(r2).select(
+        key,
+        "_is_left",
+        *lcols,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"last_{c}")
+            for c in payload_cols
+        ],
+    )
+    return merged.filter(F.col("_is_left") == 1).drop("_is_left")
 
 
 def events_orders_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     """For each event, the latest order of the same user at or before the
     event timestamp (ties on o_orderdate broken by max o_orderkey).
-
-    Merge as-of: tag and union both sides, sort each user's timeline once,
-    and carry the most recent order forward with ``last(..., ignorenulls)``
-    over a running frame. One shuffle+sort of |events|+|orders| total —
-    no per-pair range join, so time-range density never explodes the row
-    count. Left semantics: events before any order keep null order columns.
-    """
-    ev = events.select(
-        F.col("user_id"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
+    Left semantics: events before any order keep null order columns."""
+    return asof_join(
+        events.select("user_id", "ts", "event_id"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tie_col="o_orderkey",
+    ).select(
         "event_id",
-        F.col("ts"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
-    )
-    od = orders.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        "o_orderkey",
-        "o_orderdate",
-    )
-    # at equal t: orders (is_event=0) sort first so "<= ts" is inclusive;
-    # equal-date orders sort by o_orderkey so last() picks the max key
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = ev.unionByName(od).select(
         "user_id",
-        "is_event",
-        "event_id",
         "ts",
-        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
-        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+        F.col("last_o_orderkey").alias("last_orderkey"),
+        F.col("last_o_orderdate").alias("last_orderdate"),
     )
-    return merged.filter(F.col("is_event") == 1).select(
-        "event_id", "user_id", "ts", "last_orderkey", "last_orderdate"
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_s: int,
+) -> DataFrame:
+    """Range join ``left ⋈ right`` on ``key`` AND ``right_ts ∈ (left_ts,
+    left_ts + max_gap_s]``, bucket-formulated for scale.
+
+    A naive inequality join degenerates to a per-key cross product.
+    Bucketing by ``max_gap`` windows makes it an equi-join: a right row
+    at time t can only match left rows in time buckets ``floor(t/w)`` and
+    ``floor(t/w) - 1``, so the right side is exploded exactly 2× and
+    joined on (key, bucket), then the exact predicate filters in-task.
+    Shuffle volume is 3·|input| regardless of time density; the residual
+    comparison never crosses tasks. Caller must pre-alias columns so the
+    two sides don't collide (required for self-joins).
+    """
+    w_us = int(max_gap_s) * 1_000_000
+    lt = F.unix_micros(F.col(left_ts))
+    rt = F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn("_lt", lt).withColumn(
+        "_bucket", F.expr(f"_lt div {w_us}")
     )
+    r2 = (
+        right.withColumn("_rt", rt)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(F.expr(f"_rt div {w_us}"), F.expr(f"_rt div {w_us} - 1"))
+            ),
+        )
+    )
+    return (
+        l2.join(r2, [key, "_bucket"])
+        .filter((F.col("_rt") > F.col("_lt")) & (F.col("_rt") <= F.col("_lt") + w_us))
+        .drop("_bucket", "_lt", "_rt")
+    )
+
+
+def events_close_pairs(events: DataFrame, max_gap_s: int = 600) -> DataFrame:
+    """Pairs of same-user events within ``max_gap_s`` of each other
+    (strictly ordered): ``(user_id, event_a, event_b, gap_us)`` — the
+    bucketed range join demonstrated as a self-join."""
+    a = events.select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+    b = events.select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+    return bucketed_range_join(
+        a, b, key="user_id", left_ts="ts_a", right_ts="ts_b", max_gap_s=max_gap_s
+    ).select(
+        "user_id",
+        "event_a",
+        "event_b",
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+
+
+def events_close_pairs_sql(max_gap_s: int = 600) -> str:
+    # oracle = plain inequality self-join (fine at oracle scale)
+    return f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {max_gap_s} SECOND
+"""
 
 
 def events_orders_asof_sql() -> str:

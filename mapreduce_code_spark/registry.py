@@ -481,6 +481,12 @@ def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_order_history(load_table(spark, sf_dir, "orders"))
 
 
+@register("relational_events_close_pairs", oracle=R.events_close_pairs_sql())
+def q_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: same-user event pairs within 10 minutes."""
+    return R.events_close_pairs(load_table(spark, sf_dir, "events"))
+
+
 @register("relational_events_orders_asof", oracle=R.events_orders_asof_sql())
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge as-of join: latest order at-or-before each event."""

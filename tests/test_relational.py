@@ -106,3 +106,27 @@ def test_asof_left_semantics(spark, sf_dir):
         "user_id"
     ).distinct().count()
     assert matched_users == n_users_with_orders
+
+
+def test_events_close_pairs_parity(spark, sf_dir):
+    df = R.events_close_pairs(load_table(spark, sf_dir, "events"))
+    assert_parity(df, sf_dir, R.events_close_pairs_sql())
+    pdf = df.toPandas()
+    # property: strictly ordered pairs inside the gap
+    assert (pdf.gap_us > 0).all() and (pdf.gap_us <= 600 * 1_000_000).all()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned-directory source (S7): a filter on the partition column
+    prunes at planning time — the scan lists only matching directories."""
+    src = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("order_year", F.year("o_orderdate")).write.partitionBy(
+        "order_year"
+    ).parquet(src)
+    pruned = spark.read.parquet(src).filter(F.col("order_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters", 1)[1][:200]
+    want = orders.filter(F.year("o_orderdate") == 1997).count()
+    assert pruned.count() == want
