@@ -175,6 +175,92 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): every subtotal combination
+    in one pass (rollup's superset — 2^k grouping sets)."""
+    price = F.col("o_totalprice").cast(_PRICE)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def cube_order_stats_sql() -> str:
+    return f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_PRICE})) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+RETURNFLAGS = ("A", "N", "R")
+
+
+def pivot_returnflag_counts(lineitem: DataFrame) -> DataFrame:
+    """Pivot: per linestatus, one count column per returnflag value.
+    The pivot values are listed explicitly — letting Spark discover them
+    costs an extra distinct scan of the fact table at 100 TB."""
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", list(RETURNFLAGS))
+        .count()
+        .na.fill(0, list(RETURNFLAGS))
+    )
+
+
+def pivot_returnflag_counts_sql() -> str:
+    cols = ", ".join(
+        f"count(*) FILTER (WHERE l_returnflag = '{v}') AS \"{v}\""
+        for v in RETURNFLAGS
+    )
+    return f"SELECT l_linestatus, {cols} FROM lineitem GROUP BY l_linestatus"
+
+
+def kv_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Last-writer-wins upsert — the dataflow replacement for the
+    reference's HBase ``Put`` sink (SURVEY §2 S3, ``apriori_final.java:
+    168-190``): rows in ``updates`` replace same-key rows in ``current``;
+    new keys append.
+
+    One shuffle on ``key`` (the anti-join and union share it); no
+    read-modify-write races because the result is a new immutable
+    snapshot — at scale this is a partition-pruned overwrite, not a
+    per-row RPC storm.
+    """
+    survivors = current.join(updates, key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def orders_with_price_updates(orders: DataFrame) -> DataFrame:
+    """kv_upsert demonstration: repriced updates for every 10th order."""
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    return kv_upsert(orders, updates, "o_orderkey")
+
+
+def orders_with_price_updates_sql() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

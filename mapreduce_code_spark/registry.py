@@ -457,6 +457,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rollup_pricing(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("relational_cube_order_stats", oracle=R.cube_order_stats_sql())
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals over (orderstatus, orderpriority)."""
+    return R.cube_order_stats(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_pivot_returnflag", oracle=R.pivot_returnflag_counts_sql())
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot per-linestatus counts into one column per returnflag."""
+    return R.pivot_returnflag_counts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("relational_kv_upsert", oracle=R.orders_with_price_updates_sql())
+def q_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins upsert (the reference's HBase Put, dataflow-style)."""
+    return R.orders_with_price_updates(load_table(spark, sf_dir, "orders"))
+
+
 @register("relational_setops_customers", oracle=R.priority_customer_setops_sql())
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT over priority-filtered customer sets."""

@@ -130,3 +130,36 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "order_year" in plan.split("PartitionFilters", 1)[1][:200]
     want = orders.filter(F.year("o_orderdate") == 1997).count()
     assert pruned.count() == want
+
+
+def test_cube_parity(spark, sf_dir):
+    df = R.cube_order_stats(load_table(spark, sf_dir, "orders"))
+    assert_parity(df, sf_dir, R.cube_order_stats_sql())
+    # property: cube has all 4 grouping-set levels
+    pdf = df.toPandas()
+    assert ((pdf.status == "ALL") & (pdf.priority == "ALL")).sum() == 1
+    assert ((pdf.status != "ALL") & (pdf.priority == "ALL")).any()
+    assert ((pdf.status == "ALL") & (pdf.priority != "ALL")).any()
+
+
+def test_pivot_parity(spark, sf_dir):
+    assert_parity(
+        R.pivot_returnflag_counts(load_table(spark, sf_dir, "lineitem")),
+        sf_dir,
+        R.pivot_returnflag_counts_sql(),
+    )
+
+
+def test_kv_upsert_semantics(spark):
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    got = sorted(map(tuple, R.kv_upsert(cur, upd, "k").collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_kv_upsert_parity(spark, sf_dir):
+    assert_parity(
+        R.orders_with_price_updates(load_table(spark, sf_dir, "orders")),
+        sf_dir,
+        R.orders_with_price_updates_sql(),
+    )
