@@ -68,3 +68,23 @@ def test_downward_closure(tx_micro):
 @pytest.mark.parametrize("name", ["apriori_frequent_items", "apriori_frequent_itemsets"])
 def test_oracle_parity(spark, sf_dir, name):
     assert_parity(queries()[name](spark, sf_dir), sf_dir, oracle_sql()[name])
+
+
+def test_udtf_variant_matches_udf(tx_micro):
+    """The Python-UDTF lateral-join formulation produces exactly the
+    UDF+explode result (both _final and _raw modes)."""
+    from mapreduce_code_spark.operators.frequent import frequent_itemsets_udtf
+
+    for cfg in (
+        AprioriConfig(),
+        AprioriConfig(emit_singletons=False, reduce_side_having=False),
+    ):
+        a = {
+            (r["itemset"], r["cnt"])
+            for r in frequent_itemsets(tx_micro, cfg).collect()
+        }
+        b = {
+            (r["itemset"], r["cnt"])
+            for r in frequent_itemsets_udtf(tx_micro, cfg).collect()
+        }
+        assert a == b
