@@ -1,0 +1,66 @@
+"""End-to-end training-data curation pipeline — the operators composed
+the way a real corpus build uses them: exact-dedup → quality gate →
+language ID → stats, in ONE lazy plan.
+
+This is the "switch to this repo" story: every stage is an existing
+operator (`operators/dedup.py`, `functions/text.py`) joined on doc_id,
+and because everything is declarative Catalyst fuses the pipeline —
+the document scan happens once per aggregation branch, filters push
+down, and no intermediate corpus is materialized unless the caller
+persists it. The whole composition stays SQL-expressible, so the
+pipeline has a full DuckDB oracle (not just its stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.functions import text as TXT
+from mapreduce_code_spark.operators import dedup
+
+MIN_QUALITY = 0.75
+
+
+def curated_corpus(documents: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
+    """Surviving docs with their curation metadata:
+    ``(doc_id, pred_lang, quality, n_words)`` — exact-dup losers removed,
+    low-quality docs gated out."""
+    keepers = (
+        dedup.exact_dedup(documents)
+        .filter(~F.col("is_dup"))
+        .select("doc_id")
+    )
+    quality = (
+        TXT.quality_score(documents)
+        .filter(F.col("quality") >= min_quality)
+        .select("doc_id", "quality")
+    )
+    lang = TXT.lang_id(documents).select("doc_id", "pred_lang")
+    stats = TXT.text_stats(documents).select("doc_id", "n_words")
+    return (
+        documents.select("doc_id")
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(stats, "doc_id")
+    )
+
+
+def curated_corpus_sql(min_quality: float = MIN_QUALITY) -> str:
+    return f"""
+WITH keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_keeper
+    FROM documents) WHERE is_keeper
+),
+q AS (
+  SELECT doc_id, quality FROM ({TXT.quality_score_sql()})
+  WHERE quality >= {min_quality}
+),
+l AS (SELECT doc_id, pred_lang FROM ({TXT.lang_id_sql()})),
+s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
+SELECT doc_id, q.quality, l.pred_lang, s.n_words
+FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN s USING (doc_id)
+"""

@@ -392,6 +392,16 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+from mapreduce_code_spark.plans import pipeline as PIPE  # noqa: E402
+
+
+@register("pipeline_curated_corpus", oracle=PIPE.curated_corpus_sql())
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: dedup → quality gate → lang ID → stats
+    in one Catalyst plan (the end-to-end corpus-build story)."""
+    return PIPE.curated_corpus(load_table(spark, sf_dir, "documents"))
+
+
 @register("multimodal_meta", oracle=multimodal.media_meta_sql())
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata scan (no decode): sizes, hashes, plans."""

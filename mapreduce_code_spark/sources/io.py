@@ -120,11 +120,21 @@ def read_labeled_points_text(spark: SparkSession, path: str) -> DataFrame:
     """
     lines = spark.read.text(path)
     toks = F.split(F.trim(F.col("value")), r"\s+")
-    return lines.select(
+    parsed = lines.select(
         F.monotonically_increasing_id().alias("row_id"),
-        toks.getItem(0).cast("double").alias("y"),
+        toks.getItem(0).try_cast("double").alias("y"),
         F.concat(
             F.array(F.lit(1.0)),
-            F.transform(F.slice(toks, 2, 1_000_000), lambda t: t.cast("double")),
+            F.transform(
+                F.slice(toks, 2, 1_000_000), lambda t: t.try_cast("double")
+            ),
         ).alias("features"),
+    )
+    # Permissive-by-default (a deliberate upgrade over the reference,
+    # where one malformed line throws NumberFormatException and kills the
+    # whole task, logisticreg.java:60): non-numeric tokens try_cast to
+    # null (ANSI-safe); drop rows with a null y or any null feature.
+    return parsed.filter(
+        F.col("y").isNotNull()
+        & ~F.exists(F.col("features"), lambda x: x.isNull())
     )

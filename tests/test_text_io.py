@@ -88,3 +88,16 @@ def test_json_csv_format_round_trip(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, orders.collect()))
     assert sorted(map(tuple, back_j.collect())) == want
     assert sorted(map(tuple, back_c.collect())) == want
+
+
+def test_labeled_points_permissive_ingest(spark, tmp_path):
+    """Malformed lines drop instead of killing the job (the reference
+    throws NumberFormatException and fails the task on one bad line)."""
+    p = tmp_path / "pts.txt"
+    p.write_text("1.0 2.0 3.0\nnot a number\n0.5 oops 1.5\n2.0 4.0 6.0\n")
+    got = io.read_labeled_points_text(spark, str(p))
+    rows = sorted((r["y"], tuple(r["features"])) for r in got.collect())
+    assert rows == [
+        (1.0, (1.0, 2.0, 3.0)),
+        (2.0, (1.0, 4.0, 6.0)),
+    ]
