@@ -276,3 +276,55 @@ bits AS (
 )
 SELECT doc_id, {sim_expr} AS simhash FROM bits
 """
+
+
+def near_dup_pairs_scalable(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """The 100 TB near-dup path (SURVEY §9): MinHash-LSH candidate
+    generation + exact Jaccard rerank restricted to the candidates.
+
+    ``ngram_jaccard_pairs`` compares all shingle-sharing pairs — correct
+    but quadratic in per-shingle document frequency. Here the candidate
+    set comes from the LSH band join (sub-quadratic by construction), and
+    the exact Jaccard is computed only for candidate pairs, so the rerank
+    join's left side is |candidates|, not |corpus|². Returns
+    ``(doc_a, doc_b, shared, size_a, size_b, jaccard)``; precision is
+    exact (every emitted pair's jaccard is true and >= threshold), recall
+    is the LSH band recall.
+    """
+    cand = minhash_lsh_pairs(documents, n_hashes, band_size, k)
+    sh = (
+        shingles(documents, k)
+        .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sid") == F.col("sb.sid")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    )

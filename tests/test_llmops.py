@@ -9,6 +9,7 @@ import pytest
 
 from mapreduce_code_spark.operators import dedup, multimodal, similarity
 from mapreduce_code_spark.registry import oracle_sql, queries
+from mapreduce_code_spark.sources.io import load_table
 from tests.helpers import assert_parity
 
 BASE = (
@@ -175,3 +176,22 @@ def test_ivf_recall(emb_micro):
     }
     assert (0, 1) in partial  # planted neighbor shares the query's cell
     assert len(exact & partial) / len(exact) >= 0.3
+
+
+def test_near_dup_scalable_vs_exhaustive(spark, sf_dir):
+    """The LSH+rerank path is a subset of the exhaustive Jaccard pairs
+    (exact precision) and catches most of them (band recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exhaustive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    scalable = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs_scalable(docs, threshold=0.2).collect()
+    }
+    assert set(scalable) <= set(exhaustive)  # no false positives
+    for pair, j in scalable.items():
+        assert abs(j - exhaustive[pair]) < 1e-12  # same exact jaccard
+    if exhaustive:
+        assert len(scalable) / len(exhaustive) >= 0.5  # band recall
