@@ -593,7 +593,31 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_windows(load_table(spark, sf_dir, "events"))
 
 
+from mapreduce_code_spark.streaming import joins as SJ  # noqa: E402
 from mapreduce_code_spark.streaming import stateful as ST  # noqa: E402
+
+
+@register(
+    "events_view_purchase_correlation",
+    oracle="""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM ev v JOIN ev p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 600 SECOND
+""",
+)
+def q_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase correlation — batch twin of the watermarked
+    stream-stream join (parity in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return SJ.view_then_purchase(
+        ev.filter(ev.event_type == "view"),
+        ev.filter(ev.event_type == "purchase"),
+        watermark=None,
+    )
 
 
 @register("events_user_running_totals", oracle=ST.user_running_totals_sql())

@@ -174,3 +174,40 @@ def test_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()  # nothing lost, nothing duplicated
     assert got.distinct().count() == ev.count()
     ev.unpersist()
+
+
+def test_stream_stream_join_batch_parity(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join == the batch inequality join on the
+    same finite input (views → purchases within 10 minutes)."""
+    from mapreduce_code_spark.streaming.joins import view_then_purchase
+
+    ev = load_table(spark, sf_dir, "events")
+    views_b = ev.filter(ev.event_type == "view")
+    purch_b = ev.filter(ev.event_type == "purchase")
+    want = sorted(
+        map(
+            tuple,
+            view_then_purchase(views_b, purch_b, watermark=None)
+            .select("user_id", "view_id", "purchase_id", "gap_us")
+            .collect(),
+        )
+    )
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    views_b.write.parquet(vdir)
+    purch_b.write.parquet(pdir)
+    vs = spark.readStream.schema(views_b.schema).parquet(vdir)
+    ps = spark.readStream.schema(purch_b.schema).parquet(pdir)
+    q = W.run_to_memory(view_then_purchase(vs, ps), "ssj_out")
+    try:
+        got = sorted(
+            map(
+                tuple,
+                spark.table("ssj_out")
+                .select("user_id", "view_id", "purchase_id", "gap_us")
+                .collect(),
+            )
+        )
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
