@@ -358,6 +358,36 @@ FROM part GROUP BY p_type
 """
 
 
+def quantity_quartiles(lineitem: DataFrame) -> DataFrame:
+    """Exact quartiles of l_quantity per returnflag (A6 percentile
+    surface). Cross-engine exact because l_quantity is integer-valued, so
+    the linear interpolation ``a + (b-a)·f`` is exact IEEE in both
+    engines. Exact percentile is a sort-based aggregate holding each
+    group's values — fine for bounded groups; at 100 TB on unbounded
+    groups use ``approx_percentile`` (asserted within-error in tests).
+    """
+    q = lambda p: F.percentile("l_quantity", F.lit(p))
+    return lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("q0"),
+        q(0.25).alias("q1"),
+        q(0.5).alias("median"),
+        q(0.75).alias("q3"),
+        F.max("l_quantity").alias("q4"),
+    )
+
+
+def quantity_quartiles_sql() -> str:
+    return """
+SELECT l_returnflag,
+       min(l_quantity) AS q0,
+       quantile_cont(l_quantity, 0.25) AS q1,
+       quantile_cont(l_quantity, 0.5) AS median,
+       quantile_cont(l_quantity, 0.75) AS q3,
+       max(l_quantity) AS q4
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window frames + lag (running totals, gaps, ranks per customer)
 # ---------------------------------------------------------------------------

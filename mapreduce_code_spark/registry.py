@@ -545,6 +545,12 @@ def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.distinct_part_stats(load_table(spark, sf_dir, "part"))
 
 
+@register("relational_quantity_quartiles", oracle=R.quantity_quartiles_sql())
+def q_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per returnflag (integer-valued → cross-engine exact)."""
+    return R.quantity_quartiles(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("relational_customer_order_history", oracle=R.customer_order_history_sql())
 def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running spend, lag gaps, and sequence numbers per customer."""

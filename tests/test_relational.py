@@ -163,3 +163,18 @@ def test_kv_upsert_parity(spark, sf_dir):
         sf_dir,
         R.orders_with_price_updates_sql(),
     )
+
+
+def test_quantity_quartiles_parity_and_approx(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    assert_parity(R.quantity_quartiles(li), sf_dir, R.quantity_quartiles_sql())
+    # approx_percentile lands within its accuracy bound of the exact median
+    exact = {r["l_returnflag"]: r["median"] for r in R.quantity_quartiles(li).collect()}
+    approx = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_quantity, 0.5, 100)").alias("m"))
+        .collect()
+    }
+    for k, m in exact.items():
+        assert abs(approx[k] - m) <= 3
