@@ -228,6 +228,39 @@ def pivot_returnflag_counts_sql() -> str:
     return f"SELECT l_linestatus, {cols} FROM lineitem GROUP BY l_linestatus"
 
 
+MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_measure_stats(lineitem: DataFrame) -> DataFrame:
+    """Unpivot (melt) the four lineitem measures into (measure, value)
+    rows, then aggregate per measure — long-form stats in one pass.
+    ``unpivot`` is a zero-shuffle narrow transform; only the final
+    aggregate shuffles (4 groups)."""
+    long = lineitem.unpivot(
+        ids=[], values=list(MEASURES), variableColumnName="measure",
+        valueColumnName="value",
+    )
+    v = F.col("value").cast("decimal(18,4)")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def unpivot_measure_stats_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{m}' AS measure, {m} AS value FROM lineitem" for m in MEASURES
+    )
+    return f"""
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       min(value) AS vmin, max(value) AS vmax
+FROM ({selects}) GROUP BY measure
+"""
+
+
 def kv_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """Last-writer-wins upsert — the dataflow replacement for the
     reference's HBase ``Put`` sink (SURVEY §2 S3, ``apriori_final.java:

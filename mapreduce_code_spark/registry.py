@@ -527,6 +527,12 @@ def q_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_with_price_updates(load_table(spark, sf_dir, "orders"))
 
 
+@register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the lineitem measures to long form + aggregate."""
+    return R.unpivot_measure_stats(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("relational_setops_customers", oracle=R.priority_customer_setops_sql())
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT over priority-filtered customer sets."""

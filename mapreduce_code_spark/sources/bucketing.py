@@ -38,3 +38,30 @@ def bucketed_join(
     """Join two same-bucketed catalog tables on ``key``; with matching
     bucket specs the physical plan contains no Exchange."""
     return spark.table(left).join(spark.table(right), key, how)
+
+
+def compact(spark: SparkSession, path: str, target_bytes: int = 256 << 20) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_bytes`` files.
+
+    At 100 TB, streaming sinks and fine-grained partitions leave millions
+    of KB-sized files; every downstream scan then pays per-file open/
+    footer costs and the driver pays listing. Rewriting to ~256 MB files
+    restores scan efficiency. Returns the new file count. (Sizing uses
+    the current on-disk bytes from the file index — no data scan.)
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(jpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs.delete(jpath, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    return n_files

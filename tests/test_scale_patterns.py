@@ -115,3 +115,17 @@ def test_sql_veneer_derived_views(spark, sf_dir):
         spark, "SELECT y, features FROM labeled_points LIMIT 1"
     ).first()
     assert row["features"][0] == 1.0  # injected bias
+
+
+def test_compaction_reduces_files(spark, sf_dir, tmp_path):
+    """Many small files → few target-size files, data intact."""
+    src = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    n = bucketing.compact(spark, src, target_bytes=1 << 40)  # everything → 1
+    assert n == 1
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 1
+    assert spark.read.parquet(src).count() == orders.count()
