@@ -58,7 +58,7 @@ SELECT doc_id,
        len(list_distinct(string_split(text, ' '))) AS n_unique_words,
        len(regexp_extract_all(text, '{TOKEN_RE.replace("'", "''")}')) AS n_tokens,
        len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stopwords,
-       strlen(text) / len(string_split(text, ' ')) AS chars_per_word,
+       length(text) / len(string_split(text, ' ')) AS chars_per_word,
        len(list_filter(string_split(text, ' '), w -> w IN ({stop})))
            / len(string_split(text, ' ')) AS stopword_ratio
 FROM documents
@@ -147,7 +147,7 @@ WITH s AS (
          len(string_split(text, ' ')) AS n_words,
          len(list_distinct(string_split(text, ' '))) AS n_uniq,
          len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stop,
-         strlen(text) AS n_chars
+         length(text) AS n_chars
   FROM documents
 )
 SELECT doc_id,
@@ -182,10 +182,15 @@ def winnow_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
     ``(doc_id, n_fingerprints, fp_min, fp_max)``.
     """
     words = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
+    # short-doc guard: sequence(0, negative) descends and slice(…, 0, k)
+    # throws — emit no shingles instead (the oracle's range() yields none)
+    sh = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pos_sh = (
         documents.repartition(n_part)
@@ -218,7 +223,7 @@ WITH sh AS (
   SELECT doc_id,
          unnest(range(len(w) - {k - 1})) AS pos,
          unnest(list_transform(range(len(w) - {k - 1}),
-                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+                i -> {" || ' ' || ".join(f"w[i+{j + 1}]" for j in range(k))})) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
 hashed AS (

@@ -57,10 +57,16 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     docs shorter than k words produce no shingles.
     """
     words = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
+    # guard short docs: sequence(0, negative) is DESCENDING in Spark and
+    # the i=-1 slice throws — emit an empty array instead (matching the
+    # oracle's range(), which yields nothing)
+    sh = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # documents arrive as one partition per parquet file; spread the rows
     # BEFORE the explode/md5-heavy downstream stages so they use all cores
     n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -77,7 +83,10 @@ def _mh(col, seed_col):
 
 
 def minhash_signatures(
-    documents: DataFrame, n_hashes: int = 12, k: int = 3
+    documents: DataFrame,
+    n_hashes: int = 12,
+    k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, seed, mh)``, one row per doc per
     hash function; ``mh`` = min over shingles of md5(shingle '#' seed).
@@ -87,7 +96,8 @@ def minhash_signatures(
     partial mins, instead of exploding every shingle ``n_hashes``×
     (which would multiply the shuffled data by the signature width).
     """
-    sh = shingles(documents, k)
+    if sh is None:
+        sh = shingles(documents, k)
     aggs = [
         F.min(_mh(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -109,6 +119,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Returns ``(doc_a, doc_b)``, doc_a < doc_b, distinct.
@@ -118,7 +129,7 @@ def minhash_lsh_pairs(
     an equi-join on (band, band_key) — LSH's whole point is that this
     join replaces the O(n^2) all-pairs comparison at scale.
     """
-    sigs = minhash_signatures(documents, n_hashes, k)
+    sigs = minhash_signatures(documents, n_hashes, k, sh=sh)
     bands = (
         sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -297,12 +308,11 @@ def near_dup_pairs_scalable(
     exact (every emitted pair's jaccard is true and >= threshold), recall
     is the LSH band recall.
     """
-    cand = minhash_lsh_pairs(documents, n_hashes, band_size, k)
-    sh = (
-        shingles(documents, k)
-        .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
-        .persist()
-    )
+    # one shingle pass feeds BOTH the LSH signatures and the rerank —
+    # the explode+md5-heaviest stage runs once, persisted for its 3 uses
+    sh_raw = shingles(documents, k).persist()
+    cand = minhash_lsh_pairs(documents, n_hashes, band_size, k, sh=sh_raw)
+    sh = sh_raw.select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

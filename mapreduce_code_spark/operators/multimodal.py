@@ -144,9 +144,12 @@ def sample_frames(media: DataFrame, every_ms: int = 2000) -> DataFrame:
     """Frame-sampling plan for video rows: one row per planned frame
     timestamp (pure ``sequence``+``explode`` — no decode). Returns
     ``(media_id, frame_idx, ts_ms)``."""
-    frames = F.sequence(
-        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
-    )
+    # zero-length media plans zero frames (sequence(0,0) would emit one
+    # phantom ts=0 row, disagreeing with ceil(0/every_ms)=0 and the oracle)
+    frames = F.when(
+        F.col("duration_ms") > 0,
+        F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)),
+    ).otherwise(F.array().cast("array<long>"))
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", F.posexplode(frames).alias("frame_idx", "ts_ms"))

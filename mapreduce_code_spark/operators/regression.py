@@ -62,9 +62,12 @@ class SGDResult:
     converged: bool  # stopped via the reference's any-record-within-accuracy rule
 
 
-def _partition_kernel(theta0: np.ndarray, alpha: float, accuracy: float, link: str):
+def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
+    # theta_b is the Broadcast handle — resolving .value INSIDE the kernel
+    # keeps theta out of the per-task closure (one torrent copy per
+    # executor instead of one serialized copy per task)
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        theta = theta0.copy()
+        theta = theta_b.value.copy()
         snap_sum = np.zeros_like(theta)
         n = 0
         all_continue = True
@@ -120,7 +123,7 @@ def sgd_fit(
         for it in range(1, max_iter + 1):
             theta_b = sc.broadcast(theta)
             partials = pts.mapInPandas(
-                _partition_kernel(theta_b.value, alpha, accuracy, link),
+                _partition_kernel(theta_b, alpha, accuracy, link),
                 schema=_PARTIAL_SCHEMA,
             ).collect()
             theta_b.destroy()

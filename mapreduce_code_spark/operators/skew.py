@@ -38,9 +38,16 @@ DEFAULT_SALTS = 16
 
 
 def _row_salt(df: DataFrame, n_salts: int) -> Column:
-    # deterministic per-row salt: hash every column (stable across
-    # retries, unlike rand()); pmod keeps it in [0, n_salts)
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # deterministic per-row salt: hash every column PLUS the row's
+    # partition-relative position (monotonically_increasing_id), so
+    # byte-identical duplicate rows of a hot key — the canonical skew
+    # case — still spread over n_salts reducers. Stable across task
+    # retries for a fixed partition layout (the same guarantee Spark's
+    # own recompute relies on), unlike rand().
+    return F.pmod(
+        F.hash(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    )
 
 
 def salted_agg_counts(

@@ -46,19 +46,22 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
-_TX_CACHE: dict[str, DataFrame] = {}
+_TX_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transactions view, persisted per sf_dir — the 4 Apriori queries
-    share one materialization instead of re-running the lineitem⋈part
-    prep (the reference's own cross-job HBase cache, done Spark-style
-    with ``persist()``)."""
-    if sf_dir not in _TX_CACHE:
-        _TX_CACHE[sf_dir] = prep.transactions(
+    """Transactions view, persisted per (session, sf_dir) — the Apriori
+    queries share one materialization instead of re-running the
+    lineitem⋈part prep (the reference's own cross-job HBase cache, done
+    Spark-style with ``persist()``). Keyed by the live session too: a
+    cached DataFrame is bound to the session that built it, and handing
+    it to a restarted session would fail."""
+    key = (id(spark), sf_dir)
+    if key not in _TX_CACHE:
+        _TX_CACHE[key] = prep.transactions(
             load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
         ).persist()
-    return _TX_CACHE[sf_dir]
+    return _TX_CACHE[key]
 
 
 # DuckDB twin of plans.prep.transactions: distinct (basket, item) tokens.

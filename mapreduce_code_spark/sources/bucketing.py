@@ -59,9 +59,16 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 256 << 20) -> in
     )
     n_files = max(1, -(-total // target_bytes))
     tmp = path.rstrip("/") + ".compact_tmp"
+    bak = path.rstrip("/") + ".compact_bak"
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    fs.delete(jpath, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    # rename-aside, never delete-then-rename: the original stays intact
+    # (as .compact_bak) until the rewritten copy is in place, so a crash
+    # at any step leaves a complete dataset on disk
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
+    fs.rename(jpath, jbak)
+    fs.rename(jtmp, jpath)
+    fs.delete(jbak, True)
     return n_files

@@ -52,13 +52,15 @@ def read_transactions_text(spark: SparkSession, path: str) -> DataFrame:
     (documented deviation from the reference's order-sensitive strings,
     SURVEY.md §7.2).
     """
-    lines = spark.read.text(path)
+    # blank lines must be dropped BEFORE split — split('') yields ['']
+    # (size 1), which would smuggle an empty-string item into the counts
+    lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
     return lines.select(
         F.monotonically_increasing_id().alias("basket_id"),
         F.array_sort(
             F.array_distinct(F.split(F.trim(F.col("value")), r"\s+"))
         ).alias("items"),
-    ).filter(F.size("items") > 0)
+    )
 
 
 def write_transactions_text(transactions: DataFrame, path: str) -> None:

@@ -195,3 +195,32 @@ def test_near_dup_scalable_vs_exhaustive(spark, sf_dir):
         assert abs(j - exhaustive[pair]) < 1e-12  # same exact jaccard
     if exhaustive:
         assert len(scalable) / len(exhaustive) >= 0.5  # band recall
+
+
+def test_short_and_empty_docs_dont_crash(spark):
+    """Docs shorter than k words produce zero shingles/fingerprints (the
+    sequence(0, negative) slice crash regression)."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(1, "one two", "en", "s", 7), (2, "", "en", "s", 0),
+         (3, "a b c d e f g h", "en", "s", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert dedup.shingles(docs).filter("doc_id < 3").count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
+    fp = {r["doc_id"] for r in TXT.winnow_fingerprint(docs).collect()}
+    assert fp == {3}
+
+
+def test_zero_duration_media_plans_zero_frames(spark):
+    from mapreduce_code_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0)],  # doc_id % 3 == 2 → video, n_chars 0
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = MM.media_from_documents(docs)
+    assert media.filter("kind = 'video'").count() == 1
+    assert MM.sample_frames(media).count() == 0

@@ -101,3 +101,15 @@ def test_labeled_points_permissive_ingest(spark, tmp_path):
         (1.0, (1.0, 2.0, 3.0)),
         (2.0, (1.0, 4.0, 6.0)),
     ]
+
+
+def test_blank_lines_dropped(spark, tmp_path):
+    """Blank lines must not become empty-string items (split('') == ['']
+    regression)."""
+    p = tmp_path / "baskets.txt"
+    p.write_text("a b c\n\n  \nd e\n")
+    back = io.read_transactions_text(spark, str(p))
+    assert sorted(r["items"] for r in back.collect()) == [
+        ["a", "b", "c"],
+        ["d", "e"],
+    ]
