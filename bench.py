@@ -38,9 +38,14 @@ def main() -> int:
         "overwrite"
     ).format("noop").save()
 
+    qs = queries()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     timings: dict[str, float] = {}
-    for name, fn in queries().items():
+    for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()

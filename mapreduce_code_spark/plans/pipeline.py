@@ -38,13 +38,9 @@ def curated_corpus(documents: DataFrame, min_quality: float = MIN_QUALITY) -> Da
     )
     lang = TXT.lang_id(documents).select("doc_id", "pred_lang")
     stats = TXT.text_stats(documents).select("doc_id", "n_words")
-    return (
-        documents.select("doc_id")
-        .join(keepers, "doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(stats, "doc_id")
-    )
+    # keepers is already one unique doc_id per surviving document — start
+    # the join chain there (no redundant base-table join)
+    return keepers.join(quality, "doc_id").join(lang, "doc_id").join(stats, "doc_id")
 
 
 def curated_corpus_sql(min_quality: float = MIN_QUALITY) -> str:

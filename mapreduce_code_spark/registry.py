@@ -58,6 +58,11 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     it to a restarted session would fail."""
     key = (id(spark), sf_dir)
     if key not in _TX_CACHE:
+        # evict entries from other sessions: they are stale (their session
+        # is usually stopped), and dropping them both releases the cached
+        # plans and keeps this dict from growing across session restarts
+        for k in [k for k in _TX_CACHE if k[0] != id(spark)]:
+            del _TX_CACHE[k]
         _TX_CACHE[key] = prep.transactions(
             load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
         ).persist()

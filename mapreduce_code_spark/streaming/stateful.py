@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-VALUE_SCALE = 1_000_000.0
+from mapreduce_code_spark.streaming.windows import VALUE_SCALE, _qvalue
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, sum_value_micro long, last_ts_micros long"
@@ -82,7 +82,7 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
 
 def user_running_totals_batch(events: DataFrame) -> DataFrame:
     """Batch twin of the stateful operator: one aggregate pass."""
-    qv = F.floor(F.col("value") * F.lit(VALUE_SCALE) + F.lit(0.5)).cast("long")
+    qv = _qvalue()  # the ONE quantization definition (windows._qvalue)
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(qv).alias("sum_value_micro"),

@@ -208,8 +208,16 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
 
 def streaming_dedup(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """At-least-once → effectively-once dedup on event_id within the
-    watermark horizon (state is evicted past it)."""
-    return with_watermark(events, delay).dropDuplicates(["event_id"])
+    watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    what makes the watermark actually EVICT dedup state: with a plain
+    subset-based dropDuplicates that omits the event-time column, Spark
+    keeps every key seen forever and a long-running stream's state store
+    grows without bound."""
+    return with_watermark(events, delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

@@ -36,9 +36,13 @@ def main() -> int:
     edf = contract.entry(spark)
     n = edf.count()
     print(f"entry(): rows={n} schema={edf.schema.simpleString()}")
-    assert n >= 0
+    assert n > 0, "entry() returned an empty result"
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
