@@ -7,10 +7,11 @@ and pick join strategies, and each with a DuckDB-expressible twin for the
 oracle gate.
 
 Cross-engine exactness: every hash is derived from ``md5`` hex strings
-(identical in Spark and DuckDB). MinHash components compare fixed-width
-hex strings (lexicographic min == numeric min); SimHash converts the
-first 15 hex chars (60 bits, < 2^63) to BIGINT, so no float or
-engine-specific hash is involved anywhere.
+(identical in Spark and DuckDB). MinHash uses a universal-hash family
+``(a_i·x + b_i) mod P`` over a 28-bit md5-derived shingle id — pure
+64-bit integer math; SimHash converts the first 15 hex chars (60 bits,
+< 2^63) to BIGINT, so no float or engine-specific hash is involved
+anywhere.
 
 Scale design (100 TB):
 - Shingling is a per-row flatMap — no shuffle. Signatures are one
@@ -77,9 +78,30 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _mh(col, seed_col):
-    # fixed-width hex → lexicographic min == numeric min, engine-portable
-    return F.substring(F.md5(F.concat(col, F.lit("#"), seed_col.cast("string"))), 1, 15)
+# MinHash universal-hash family: h_i(x) = (a_i·x + b_i) mod P over a
+# 28-bit md5-derived shingle id. One md5 per shingle (instead of one per
+# shingle PER SEED — measured ~2× faster at sf0.1) and every operation is
+# exact 64-bit integer math, identical in Spark and DuckDB. P is the
+# 31-bit Mersenne prime; a_i·x < 2^59 so nothing overflows int64, and the
+# mod wraps many times, keeping the n_hashes permutations independent
+# (min of a monotone a·x+b WITHOUT wrapping would pick the same shingle
+# for every seed and collapse LSH).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+_MH_A = [
+    1_203_563_657, 1_768_251_529, 862_973_321, 2_039_841_003,
+    455_470_737, 1_651_073_037, 95_089_385, 1_336_577_077,
+    1_843_914_689, 609_337_523, 1_479_228_633, 257_620_385,
+]
+_MH_B = [
+    884_759_861, 1_469_941_465, 706_302_201, 222_396_103,
+    1_957_431_621, 1_131_261_079, 414_247_305, 1_563_614_029,
+    40_216_047, 988_761_691, 1_724_909_981, 1_338_052_281,
+]
+
+
+def _shingle_h28():
+    # 7 hex chars → 28-bit id: small enough that a·x stays < 2^59
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -89,20 +111,26 @@ def minhash_signatures(
     sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, seed, mh)``, one row per doc per
-    hash function; ``mh`` = min over shingles of md5(shingle '#' seed).
+    hash function; ``mh`` = min over shingles of the seed's universal
+    hash of the shingle id.
 
     Computed as ``n_hashes`` parallel ``min`` aggregates in ONE
     groupBy(doc_id) — shuffle volume O(docs · n_hashes) with map-side
     partial mins, instead of exploding every shingle ``n_hashes``×
     (which would multiply the shuffled data by the signature width).
     """
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes > {len(_MH_A)} needs more coefficients")
     if sh is None:
         sh = shingles(documents, k)
+    hashed = sh.withColumn("h", _shingle_h28())
     aggs = [
-        F.min(_mh(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.min(
+            (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % F.lit(MINHASH_P)
+        ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = hashed.groupBy("doc_id").agg(*aggs)
     pairs = F.array(
         *[
             F.struct(F.lit(i).alias("seed"), F.col(f"mh_{i}").alias("mh"))
@@ -137,7 +165,7 @@ def minhash_lsh_pairs(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"],
+                    lambda s: s["mh"].cast("string"),
                 ),
                 "|",
             ).alias("band_key")
@@ -338,3 +366,79 @@ def near_dup_pairs_scalable(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
     )
+
+
+# ------------------------------------------------- DuckDB oracle builders
+
+SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def _coef_values_sql(n_hashes: int) -> str:
+    return ", ".join(
+        f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(n_hashes)
+    )
+
+
+def _sigs_bands_cte_sql(n_hashes: int = 12, band_size: int = 3) -> str:
+    """CTE fragment (expects a prior ``sh(doc_id, shingle)`` CTE):
+    universal-hash MinHash signatures + band keys, mirroring
+    :func:`minhash_signatures` / :func:`minhash_lsh_pairs` exactly."""
+    return f"""
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+),
+sigs AS (
+  SELECT doc_id, seed, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed, (VALUES {_coef_values_sql(n_hashes)}) coef(seed, a, b)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {band_size} AS band,
+         string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // {band_size}
+)"""
+
+
+def minhash_lsh_sql(n_hashes: int = 12, band_size: int = 3) -> str:
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+{_sigs_bands_cte_sql(n_hashes, band_size)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+def near_dup_scalable_sql(
+    threshold: float = 0.2, n_hashes: int = 12, band_size: int = 3
+) -> str:
+    return f"""
+WITH sh AS ({SHINGLES_SQL}),
+{_sigs_bands_cte_sql(n_hashes, band_size)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+       shared / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / (sa.sz + sb.sz - shared) >= {threshold}
+"""

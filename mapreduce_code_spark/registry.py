@@ -271,35 +271,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of operators.dedup.shingles (k=3, distinct)
-_SQL_SHINGLES = """
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(len(w) - 2),
-                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-"""
+_SQL_SHINGLES = dedup.SHINGLES_SQL
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH sh AS ({_SQL_SHINGLES}),
-sigs AS (
-  SELECT doc_id, seed,
-         min(substr(md5(shingle || '#' || seed), 1, 15)) AS mh
-  FROM sh, range(12) s(seed)
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // 3 AS band,
-         string_agg(mh, '|' ORDER BY seed) AS band_key
-  FROM sigs GROUP BY doc_id, seed // 3
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-            AND a.doc_id < b.doc_id
-""",
-)
+@register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (12 hashes, 4 bands of 3)."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
@@ -332,43 +307,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_near_dup_scalable",
-    oracle=f"""
-WITH sh AS ({_SQL_SHINGLES}),
-sigs AS (
-  SELECT doc_id, seed,
-         min(substr(md5(shingle || '#' || seed), 1, 15)) AS mh
-  FROM sh, range(12) s(seed)
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // 3 AS band,
-         string_agg(mh, '|' ORDER BY seed) AS band_key
-  FROM sigs GROUP BY doc_id, seed // 3
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS shared
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b,
-       shared / (sa.sz + sb.sz - shared) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE shared / (sa.sz + sb.sz - shared) >= 0.2
-""",
-)
+@register("dedup_near_dup_scalable", oracle=dedup.near_dup_scalable_sql())
 def q_near_dup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: LSH candidates + exact Jaccard rerank."""
     return dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
