@@ -44,13 +44,21 @@ def main() -> int:
     if unknown:
         print(f"UNKNOWN query names: {sorted(unknown)}", file=sys.stderr)
         return 2
+    # SPARK_GRAFT_BENCH_REPEATS>1 records the fastest of N runs per query
+    # — the machine is noisy, and min-of-N isolates engine time from
+    # contention. Default 1 keeps the driver's per-round cost unchanged.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     print(

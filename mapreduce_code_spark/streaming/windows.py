@@ -232,3 +232,50 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    checkpoint_dir: str,
+):
+    """Streaming upsert sink via ``foreachBatch``: each micro-batch is
+    last-writer-wins-merged into a parquet snapshot (the streaming twin of
+    ``operators.relational.kv_upsert``).
+
+    foreachBatch + checkpoint gives exactly-once-per-batch semantics: a
+    replayed batch re-merges the same rows, and the upsert is idempotent,
+    so the snapshot converges even across restarts. The snapshot rewrite
+    is a full overwrite here; at 100 TB the same pattern targets a
+    partition-pruned overwrite or a Delta-style MERGE instead.
+    """
+    from mapreduce_code_spark.operators.relational import kv_upsert
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(snapshot_dir)
+            exists = True
+        except Exception:
+            exists = False
+        updates = batch_df.dropDuplicates([key])
+        merged = kv_upsert(current, updates, key) if exists else updates
+        # write-aside then swap would be the production move; overwrite is
+        # fine for the demo because foreachBatch serializes batches
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(snapshot_dir + ".next")
+        merged.unpersist()
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(fs_path, True)
+        fs.rename(spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir + ".next"), fs_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -211,3 +211,34 @@ def test_stream_stream_join_batch_parity(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming upsert: later batches overwrite same-key rows in the
+    parquet snapshot, new keys append (streaming twin of kv_upsert)."""
+    src = str(tmp_path / "upsert_src")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    ts = lambda m: datetime(2024, 1, 1, 10, m)
+    _write_batch(spark, src, [(1, ts(0), 1, "a", 1.0), (2, ts(1), 2, "a", 1.0)])
+    time.sleep(1.1)
+    _write_batch(spark, src, [(1, ts(2), 1, "b", 9.0), (3, ts(3), 3, "a", 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from mapreduce_code_spark.streaming.windows import run_upsert_sink
+
+    q = run_upsert_sink(stream, snap, "event_id", ckpt)
+    try:
+        rows = {
+            r["event_id"]: r["event_type"]
+            for r in spark.read.parquet(snap).collect()
+        }
+        assert rows == {1: "b", 2: "a", 3: "a"}  # key 1 upserted, 3 appended
+    finally:
+        q.stop()
