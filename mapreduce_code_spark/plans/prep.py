@@ -33,7 +33,16 @@ def transactions(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_brand")),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_orderkey").alias("basket_id"))
-        .agg(F.array_sort(F.array_distinct(F.collect_list("p_brand"))).alias("items"))
+        # slice caps adversarial basket widths so one giant basket can't
+        # blow a task's memory; the item domain here is 25 brands, so the
+        # cap never binds on real data (SURVEY §9 gap 3)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("p_brand"))),
+                1,
+                10_000,
+            ).alias("items")
+        )
     )
 
 

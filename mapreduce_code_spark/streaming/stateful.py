@@ -100,3 +100,60 @@ SELECT user_id,
        max(epoch_us(ts)) AS last_ts_micros
 FROM ev GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's successor API for arbitrary state
+# (same operator as above, new API): typed value state via a
+# StatefulProcessor, RocksDB-backed state store.
+# --------------------------------------------------------------------------
+
+try:  # the processor API import is 4.0+; its state protocol needs protobuf
+    import google.protobuf  # noqa: F401 — TWS driver worker hard-requires it
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, last = (
+                self._totals.get() if self._totals.exists() else (0, 0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += int(_qvalue_np(pdf["value"].to_numpy()).sum())
+                ts_micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+                last = max(last, int(ts_micros.max()))
+            self._totals.update((n, s, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_micro": [s],
+                    "last_ts_micros": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TWS = False
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same stateful running-totals operator on the
+    ``transformWithStateInPandas`` API (requires the RocksDB state store:
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``)."""
+    if not HAS_TWS:
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

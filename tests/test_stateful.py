@@ -63,3 +63,45 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
         ev.unpersist()
+
+
+def test_tws_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API) produces the
+    same final totals as the batch aggregate."""
+    import pytest as _pytest
+
+    if not S.HAS_TWS:
+        _pytest.skip("no transformWithStateInPandas on this Spark")
+    ev = load_table(spark, sf_dir, "events").limit(400).persist()
+    src = str(tmp_path / "tws_src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = W.run_to_memory(
+            S.user_running_totals_tws(stream), "tws_totals", "update"
+        )
+        try:
+            got = (
+                spark.table("tws_totals")
+                .toPandas()
+                .sort_values(["user_id", "n_events"])
+                .groupby("user_id", as_index=False)
+                .last()
+            )
+            want = (
+                S.user_running_totals_batch(ev)
+                .toPandas()
+                .sort_values("user_id", ignore_index=True)
+            )
+            got = got[want.columns].reset_index(drop=True)
+            assert got.equals(want)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        ev.unpersist()
