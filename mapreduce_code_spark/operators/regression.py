@@ -67,19 +67,33 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
     # keeps theta out of the per-task closure (one torrent copy per
     # executor instead of one serialized copy per task)
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # hot scalar loop: math.exp beats np.exp on scalars ~10×, and
+        # in-place updates avoid two allocations per record. Semantics
+        # are unchanged — the update rule and snapshot accumulation are
+        # exactly logisticreg.java:85,87,92.
+        from math import exp as _exp
+
         theta = theta_b.value.copy()
         snap_sum = np.zeros_like(theta)
         n = 0
         all_continue = True
+        logistic = link == "logistic"
         for pdf in batches:
             ys = pdf["y"].to_numpy()
             xs = np.stack(pdf["features"].to_numpy())
             for y, x in zip(ys, xs):
                 h = float(x @ theta)
-                if link == "logistic":
-                    h = 1.0 / (1.0 + np.exp(-h))
+                if logistic:
+                    # clamp: math.exp overflows past ~709 (np.exp → inf);
+                    # saturate h to 0/1 the same way inf would
+                    if h < -709.0:
+                        h = 0.0
+                    elif h > 709.0:
+                        h = 1.0
+                    else:
+                        h = 1.0 / (1.0 + _exp(-h))
                 if abs(h - y) > accuracy:
-                    theta = theta + alpha * (y - h) * x  # logisticreg.java:85
+                    theta += alpha * (y - h) * x  # logisticreg.java:85
                 else:
                     all_continue = False  # this record's flag is "false"
                 snap_sum += theta  # per-record snapshot, logisticreg.java:87,92
