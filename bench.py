@@ -49,15 +49,33 @@ def main() -> int:
     # contention. Default 1 keeps the driver's per-round cost unchanged.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
+    shuffles: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         best = None
         for _ in range(max(repeats, 1)):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        # shuffle count — the scale-relevant plan-shape metric (each net
+        # Exchange is a full network shuffle at cluster scale; broadcast
+        # and reused exchanges don't shuffle). Counted on a FRESH
+        # unexecuted plan: sparkPlan() predates the EnsureRequirements
+        # pass that inserts exchanges, and an already-executed AQE plan
+        # prints repeated subplan text, double-counting. Queries that
+        # persist() an intermediate (the Jaccard family) still over-count:
+        # each reference to the cached relation reprints its child plan.
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        shuffles[name] = (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        )
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -68,6 +86,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "shuffles": shuffles,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
