@@ -327,12 +327,14 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_cosine_dups",
-    oracle=similarity.cosine_dup_pairs_sql(threshold=0.5),
+    # threshold picked so the oracle compare has real rows at sf0.01
+    # (0.5 matched vacuously on an empty result)
+    oracle=similarity.cosine_dup_pairs_sql(threshold=0.35),
 )
 def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks."""
     return similarity.cosine_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.5
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 
