@@ -91,11 +91,10 @@ def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent.frequent_items(_transactions(spark, sf_dir), SUPPORT)
 
 
-@register(
-    "apriori_frequent_itemsets",
-    oracle=f"""
+def _itemsets_oracle(support: int) -> str:
+    return f"""
 WITH tok AS ({_SQL_TOKENS}),
-freq AS (SELECT item FROM tok GROUP BY item HAVING count(*) >= {SUPPORT}),
+freq AS (SELECT item FROM tok GROUP BY item HAVING count(*) >= {support}),
 ftok AS (SELECT basket_id, item FROM tok WHERE item IN (SELECT item FROM freq)),
 singles AS (SELECT item AS itemset, count(*) AS cnt FROM ftok GROUP BY item),
 pairs AS (
@@ -113,13 +112,28 @@ triples AS (
 SELECT itemset, cnt
 FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs
       UNION ALL SELECT * FROM triples)
-WHERE cnt >= {SUPPORT}
-""",
-)
+WHERE cnt >= {support}
+"""
+
+
+@register("apriori_frequent_itemsets", oracle=_itemsets_oracle(SUPPORT))
 def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori jobs 1+2, `_final` mode (SURVEY §2: T1, T2, P2, P3, J1, J2)."""
     return frequent.frequent_itemsets(
         _transactions(spark, sf_dir), frequent.AprioriConfig(support=SUPPORT)
+    )
+
+
+HIGH_SUPPORT = 300  # prunes ~half the pairs and most triples at sf0.01 —
+# exercises the support HAVING non-vacuously (at SUPPORT=5 nothing is cut)
+
+
+@register("apriori_frequent_itemsets_s300", oracle=_itemsets_oracle(HIGH_SUPPORT))
+def q_frequent_itemsets_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori with a support threshold that actually prunes (P2/P3)."""
+    return frequent.frequent_itemsets(
+        _transactions(spark, sf_dir),
+        frequent.AprioriConfig(support=HIGH_SUPPORT),
     )
 
 
