@@ -228,6 +228,46 @@ def pivot_returnflag_counts_sql() -> str:
     return f"SELECT l_linestatus, {cols} FROM lineitem GROUP BY l_linestatus"
 
 
+def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
+    """HLL-sketch distinct order counts per returnflag (Datasketches HLL,
+    Spark 3.5+): ``(l_returnflag, approx_orders, exact_orders)``.
+
+    The sketch is the 100 TB answer to COUNT(DISTINCT): fixed-size state
+    with map-side partial aggregation, and — unlike exact distinct —
+    MERGEABLE: per-partition/per-day sketches can be stored and
+    ``hll_union_agg``-combined later without rescanning (asserted in
+    tests). The exact count rides along here for the error-bound check;
+    at scale you'd drop it. Estimates aren't DuckDB-reproducible →
+    rows-only oracle + within-error tests.
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "approx_orders"
+        ),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+def hll_merge_distinct_orders(lineitem: DataFrame) -> DataFrame:
+    """Mergeability demonstration: sketch two disjoint halves separately,
+    then ``hll_union_agg`` them — the result must estimate the SAME
+    population as sketching everything at once."""
+    halves = [
+        lineitem.filter(F.col("l_linenumber") <= 3),
+        lineitem.filter(F.col("l_linenumber") > 3),
+    ]
+    partials = [
+        h.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_orderkey").alias("s"))
+        for h in halves
+    ]
+    return (
+        partials[0]
+        .union(partials[1])
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("merged_orders"))
+    )
+
+
 MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

@@ -490,6 +490,12 @@ def q_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_with_price_updates(load_table(spark, sf_dir, "orders"))
 
 
+@register("relational_hll_distinct")  # sketch estimate — rows-only check
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counts (mergeable; error bound in tests)."""
+    return R.hll_distinct_orders(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the lineitem measures to long form + aggregate."""

@@ -178,3 +178,19 @@ def test_quantity_quartiles_parity_and_approx(spark, sf_dir):
     }
     for k, m in exact.items():
         assert abs(approx[k] - m) <= 3
+
+
+def test_hll_sketch_error_and_mergeability(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["approx_orders"], r["exact_orders"])
+        for r in R.hll_distinct_orders(li).collect()
+    }
+    merged = {
+        r["l_returnflag"]: r["merged_orders"]
+        for r in R.hll_merge_distinct_orders(li).collect()
+    }
+    for flag, (approx, exact) in direct.items():
+        assert abs(approx - exact) <= max(5, 0.03 * exact)  # HLL error bound
+        # union of disjoint-half sketches estimates the same population
+        assert abs(merged[flag] - exact) <= max(5, 0.03 * exact)
