@@ -311,7 +311,13 @@ def kv_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     read-modify-write races because the result is a new immutable
     snapshot — at scale this is a partition-pruned overwrite, not a
     per-row RPC storm.
+
+    ``updates`` is deduplicated on ``key`` (arbitrary winner among
+    same-key rows) so the snapshot invariant — one row per key — holds
+    even for batches carrying duplicate updates; callers that care which
+    duplicate wins must pre-resolve with their own version column.
     """
+    updates = updates.dropDuplicates([key])
     survivors = current.join(updates, key, "left_anti")
     return survivors.unionByName(updates)
 

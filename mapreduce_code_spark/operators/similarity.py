@@ -135,8 +135,14 @@ SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+BROADCAST_VEC_LIMIT = 1_000_000  # ~260 MB of 64-float vectors, well under 8 GB
+
+
 def cosine_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, block_col: str = "label"
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    broadcast_right: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs inside blocking groups.
 
@@ -146,10 +152,15 @@ def cosine_dup_pairs(
     """
     e = with_norm(embeddings)
     n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # round-robin the left side across cores and broadcast the right:
-    # pair generation + per-pair dot evaluation run on all cores with no
-    # shuffle of the pair stream (single-file parquet would otherwise be
-    # one task)
+    # round-robin the left side across cores so pair generation + per-pair
+    # dot evaluation parallelize (single-file parquet would otherwise be
+    # one task). The right side is broadcast only when it provably fits
+    # (metadata-cheap count vs BROADCAST_VEC_LIMIT): an unconditional
+    # broadcast hint would hit Spark's 8 GB broadcast limit at corpus
+    # scale, while never broadcasting costs ~4× at bench scale. Above the
+    # limit the blocked equi-join shuffles (AQE may still convert it).
+    if broadcast_right is None:
+        broadcast_right = embeddings.count() <= BROADCAST_VEC_LIMIT
     a = e.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("vec_a"),
@@ -166,7 +177,7 @@ def cosine_dup_pairs(
         F.col("na") * F.col("nb")
     )
     return (
-        a.join(F.broadcast(b), ["blk"])
+        a.join(F.broadcast(b) if broadcast_right else b, ["blk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -244,7 +255,6 @@ def ivf_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,
     n_iters: int = 2,
-    dim: int = 64,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: Lloyd's k-means, Spark-distributed.
 
@@ -307,7 +317,6 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     n_iters: int = 2,
-    dim: int = 64,
 ) -> DataFrame:
     """IVF ANN top-k: train a coarse quantizer, assign every vector to its
     nearest centroid (the inverted file), probe each query's ``nprobe``
@@ -317,7 +326,7 @@ def ivf_topk(
     tunable via nprobe (asserted against :func:`topk_cosine` in tests).
     Not SQL-expressible (iterative training) → rows-only oracle check.
     """
-    centroids = ivf_centroids(embeddings, n_clusters, n_iters, dim)
+    centroids = ivf_centroids(embeddings, n_clusters, n_iters)
     sc = embeddings.sparkSession.sparkContext
     cent_b = sc.broadcast(centroids)
 

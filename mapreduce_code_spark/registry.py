@@ -57,15 +57,24 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached DataFrame is bound to the session that built it, and handing
     it to a restarted session would fail."""
     key = (id(spark), sf_dir)
-    if key not in _TX_CACHE:
-        # evict entries from other sessions: they are stale (their session
-        # is usually stopped), and dropping them both releases the cached
-        # plans and keeps this dict from growing across session restarts
-        for k in [k for k in _TX_CACHE if k[0] != id(spark)]:
+    # validate on HIT too: id() can be reused after a stopped session is
+    # garbage-collected, so the key alone can't prove the cached frame
+    # belongs to THIS session
+    hit = _TX_CACHE.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
+    # evict stale entries (other/dead sessions), releasing their cached
+    # blocks where the owning session is still alive
+    for k, df in list(_TX_CACHE.items()):
+        if k == key or k[0] != id(spark):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning session already stopped
             del _TX_CACHE[k]
-        _TX_CACHE[key] = prep.transactions(
-            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-        ).persist()
+    _TX_CACHE[key] = prep.transactions(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    ).persist()
     return _TX_CACHE[key]
 
 

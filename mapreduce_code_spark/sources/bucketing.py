@@ -60,15 +60,25 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 256 << 20) -> in
     n_files = max(1, -(-total // target_bytes))
     tmp = path.rstrip("/") + ".compact_tmp"
     bak = path.rstrip("/") + ".compact_bak"
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
+    # clear residue from a previously crashed run BEFORE renaming — with
+    # stale dirs present, Hadoop rename returns false (it does not raise)
+    # or nests the source inside the existing destination
+    fs.delete(jtmp, True)
+    fs.delete(jbak, True)
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
     # rename-aside, never delete-then-rename: the original stays intact
     # (as .compact_bak) until the rewritten copy is in place, so a crash
-    # at any step leaves a complete dataset on disk
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
-    fs.rename(jpath, jbak)
-    fs.rename(jtmp, jpath)
+    # at any step leaves a complete dataset on disk. Every rename's
+    # boolean result is checked — Hadoop signals failure by returning
+    # false, not raising.
+    if not fs.rename(jpath, jbak):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jbak, jpath)  # roll back; original untouched
+        raise IOError(f"compact: could not promote {tmp}")
     fs.delete(jbak, True)
     return n_files

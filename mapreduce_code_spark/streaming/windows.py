@@ -254,23 +254,37 @@ def run_upsert_sink(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            current = spark.read.parquet(snapshot_dir)
-            exists = True
-        except Exception:
-            exists = False
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        snap = jvm_path(snapshot_dir)
+        nxt = jvm_path(snapshot_dir + ".next")
+        bak = jvm_path(snapshot_dir + ".bak")
+        fs = snap.getFileSystem(spark._jsc.hadoopConfiguration())
+        # heal crash residue: an orphaned .bak means a prior swap died
+        # between the two renames — restore it rather than treating the
+        # accumulated state as missing (which would silently reset to
+        # just the replayed batch's rows)
+        if fs.exists(bak) and not fs.exists(snap):
+            if not fs.rename(bak, snap):
+                raise IOError(f"could not restore {snapshot_dir} from .bak")
+        exists = fs.exists(snap)  # explicit check, not a blanket except —
+        # a transient read error must fail the batch, not reset the state
+        current = spark.read.parquet(snapshot_dir) if exists else None
         updates = batch_df.dropDuplicates([key])
         merged = kv_upsert(current, updates, key) if exists else updates
-        # write-aside then swap would be the production move; overwrite is
-        # fine for the demo because foreachBatch serializes batches
         merged.persist()
         merged.count()
         merged.write.mode("overwrite").parquet(snapshot_dir + ".next")
         merged.unpersist()
-        fs_path = spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir)
-        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(fs_path, True)
-        fs.rename(spark._jvm.org.apache.hadoop.fs.Path(snapshot_dir + ".next"), fs_path)
+        # rename-aside swap (same discipline as bucketing.compact): the
+        # old snapshot survives as .bak until the new one is in place, and
+        # every rename's boolean result is checked — Hadoop signals
+        # failure by returning false, not raising
+        fs.delete(bak, True)
+        if exists and not fs.rename(snap, bak):
+            raise IOError(f"could not move {snapshot_dir} aside")
+        if not fs.rename(nxt, snap):
+            raise IOError(f"could not promote {snapshot_dir}.next")
+        fs.delete(bak, True)
 
     q = (
         stream_df.writeStream.foreachBatch(merge)
