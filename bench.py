@@ -18,6 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from mapreduce_code_spark.operators.dedup import release_persisted
 from mapreduce_code_spark.registry import queries
 from mapreduce_code_spark.session import get_spark
 
@@ -77,8 +78,20 @@ def main() -> int:
             - plan.count("ReusedExchange")
         )
         timings[name] = round(best, 3)
+        # release per-query persisted intermediates (shingle passes) so
+        # cached blocks don't accumulate across the 47-query sweep;
+        # deliberately outside the timed section, like the driver's own
+        # per-query process isolation
+        release_persisted()
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # Round 1 lesson: the driver captures only a bounded tail of stdout,
+    # and the full payload (timings + shuffles for 47 queries) overflowed
+    # it — BENCH_r01.json recorded "parsed": null. Keep stdout to ONE
+    # compact JSON line (timings only, no spaces) as the final line, and
+    # write the plan-shape detail (shuffle counts) to a sidecar file.
+    sidecar = Path(__file__).resolve().parent / "bench_shuffles.json"
+    sidecar.write_text(json.dumps(shuffles, indent=1, sort_keys=True))
     print(
         json.dumps(
             {
@@ -86,9 +99,9 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "shuffles": shuffles,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

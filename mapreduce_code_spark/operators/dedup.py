@@ -30,6 +30,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted intermediates (shingle passes) are tracked here so long-lived
+# sessions (bench repeats, notebooks) can release them: Spark's
+# CacheManager holds cached plans until explicit unpersist — they are NOT
+# garbage-collected with the DataFrame handle. Eager unpersist inside the
+# operators would defeat the multi-use persist (the plans are lazy), so
+# the contract is: consume the returned frame, then call
+# ``release_persisted()``. bench.py does this between queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate this module has cached; returns how
+    many were released. Safe to call at any time — consumers recompute."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED.clear()
+    return n
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -187,11 +216,20 @@ def minhash_lsh_pairs(
     )
 
 
+# ngram_jaccard_pairs is the EXACT/audit variant: per-shingle join
+# fan-out is O(df²) and becomes quadratic on large corpora even with the
+# max_df cap. Above this corpus size the operator refuses to run unless
+# explicitly forced — the designated big-corpus path is
+# ``near_dup_pairs_scalable`` (LSH candidates + exact rerank).
+QUADRATIC_GUARD_MAX_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
     max_df: int = 100,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -207,11 +245,26 @@ def ngram_jaccard_pairs(
     shuffle-heavy steps: the inverted-index join then moves 8-byte keys
     instead of ~35-byte strings (collision odds at 100 TB vocab sizes are
     ~|shingles|²/2^61 — negligible, and acceptable for a near-dup metric).
+
+    Guarded against accidental large-corpus use: raises ``ValueError``
+    above ``QUADRATIC_GUARD_MAX_DOCS`` documents unless
+    ``allow_quadratic=True`` (the guard count is one cheap metadata-only
+    scan, trivial next to the join it prevents). Use
+    :func:`near_dup_pairs_scalable` for big corpora.
     """
-    sh = (
+    if not allow_quadratic:
+        n_docs = documents.count()
+        if n_docs > QUADRATIC_GUARD_MAX_DOCS:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the exact/audit variant (per-"
+                f"shingle df² join fan-out) and the corpus has {n_docs} "
+                f"docs (> {QUADRATIC_GUARD_MAX_DOCS}). Use "
+                f"near_dup_pairs_scalable for large corpora, or pass "
+                f"allow_quadratic=True to force."
+            )
+    sh = _persist(
         shingles(documents, k)
         .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
-        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
@@ -338,7 +391,8 @@ def near_dup_pairs_scalable(
     """
     # one shingle pass feeds BOTH the LSH signatures and the rerank —
     # the explode+md5-heaviest stage runs once, persisted for its 3 uses
-    sh_raw = shingles(documents, k).persist()
+    # (released via release_persisted() once the result is consumed)
+    sh_raw = _persist(shingles(documents, k))
     cand = minhash_lsh_pairs(documents, n_hashes, band_size, k, sh=sh_raw)
     sh = sh_raw.select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

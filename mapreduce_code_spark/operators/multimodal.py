@@ -16,6 +16,8 @@ fixed up front — exactly what a real libvips/ffmpeg-backed UDF would do.
 
 from __future__ import annotations
 
+import importlib.util
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,6 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Real-decode escape hatch: if codec libraries exist in the environment,
+# ``decode_media(fake=False)`` runs them; otherwise it raises with a clear
+# pointer to the fake path. Detected once at import (cheap find_spec — no
+# module load until a worker actually decodes).
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+HAS_SOUNDFILE = importlib.util.find_spec("soundfile") is not None
 
 KINDS = ["image", "audio", "video"]
 MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
@@ -99,33 +108,73 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature: 16-bin high-nibble histogram of the
+    raw bytes, L1-normalized. Exact integer counts / one IEEE division —
+    reproducible bit-for-bit across engines (the DuckDB oracle mirrors
+    it via hex-string nibbles, ``features_long_sql``)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(float)
+    total = hist.sum()
+    return (hist / total if total else hist).tolist()
+
+
+def _real_decode(payload: bytes, kind: str) -> list[float]:
+    """Codec-backed feature extraction, used only when the libraries are
+    installed (``HAS_PIL``/``HAS_SOUNDFILE``). Falls back to the byte
+    histogram when the payload isn't decodable (or for video — no ffmpeg
+    python binding is assumed anywhere)."""
+    try:
+        if kind == "image" and HAS_PIL:
+            from PIL import Image  # noqa: PLC0415
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.uint8)
+            hist = np.bincount(px.reshape(-1) >> 4, minlength=FEATURE_DIM)
+            hist = hist.astype(float)
+            total = hist.sum()
+            return (hist / total if total else hist).tolist()
+        if kind == "audio" and HAS_SOUNDFILE:
+            import soundfile as sf  # noqa: PLC0415
+
+            data, _rate = sf.read(io.BytesIO(payload), dtype="float64")
+            mono = np.abs(np.atleast_2d(data)).mean(axis=0).reshape(-1)
+            bins = np.minimum(
+                (mono * FEATURE_DIM).astype(int), FEATURE_DIM - 1
+            )
+            hist = np.bincount(bins, minlength=FEATURE_DIM).astype(float)
+            total = hist.sum()
+            return (hist / total if total else hist).tolist()
+    except Exception:
+        pass  # undecodable payload → deterministic fallback below
+    return _byte_histogram(payload)
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads and extract a feature vector per media row.
 
-    Real decode (PIL/libsndfile/ffmpeg) is unavailable in this
-    environment → ``fake=False`` raises ``NotImplementedError`` at plan
-    time. ``fake=True`` runs the identical plumbing with a deterministic
-    stand-in feature: the 16-bin byte-value histogram of the payload,
-    L1-normalized — stable across runs/engines and shaped exactly like a
-    real embedding would be.
+    ``fake=True`` always runs the deterministic byte-histogram stand-in —
+    the path the oracled contract query uses, identical in every
+    environment. ``fake=False`` requires at least one real codec library
+    (PIL / soundfile): rows whose kind has a codec get a real decoded
+    feature, others fall back to the stand-in. With no codec libs at all
+    it raises ``NotImplementedError`` at plan time (this container ships
+    none — the stand-in is the only executable path here).
 
     Returns ``FEATURES_SCHEMA``; one Arrow batch in, one out — no
-    per-row Python calls.
+    per-row Python calls outside the decode kernel itself.
     """
-    if not fake:
+    if not fake and not (HAS_PIL or HAS_SOUNDFILE):
         raise NotImplementedError(
             "media codecs are not installed in this environment; "
             "pass fake=True for the deterministic byte-histogram stand-in"
         )
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(float)
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
+            feats = [
+                _byte_histogram(p) if fake else _real_decode(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -138,6 +187,56 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         extract, schema=FEATURES_SCHEMA
     )
+
+
+def features_long(features: DataFrame) -> DataFrame:
+    """Explode the feature vector to one ``(media_id, kind, n_bytes, pos,
+    value)`` row per bin. This is the contract-facing shape: flat scalar
+    columns canonicalize/sort/hash cleanly in any downstream harness
+    (an ``array<double>`` column does not — round-1 driver lesson), and
+    it is exactly SQL-oracle-able."""
+    return features.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "value"),
+    )
+
+
+def features_long_sql() -> str:
+    """DuckDB twin of media_from_documents |> decode_media(fake=True) |>
+    features_long. Byte high-nibbles are read from the hex string of the
+    payload (byte i's high nibble = hex char 2i-1); the normalized value
+    is one IEEE double division of exact integer counts, so it matches
+    numpy bit-for-bit."""
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(text) AS payload
+  FROM documents
+), sized AS (
+  SELECT media_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS hx
+  FROM media
+), bins AS (
+  SELECT media_id,
+         strpos('0123456789ABCDEF', substr(hx, 2 * t.i - 1, 1)) - 1 AS pos,
+         count(*) AS cnt
+  FROM sized, LATERAL (
+    SELECT unnest(generate_series(1, n_bytes)) AS i
+  ) t
+  GROUP BY 1, 2
+)
+SELECT s.media_id, s.kind, s.n_bytes,
+       CAST(p.pos AS INTEGER) AS pos,
+       CASE WHEN s.n_bytes = 0 THEN 0.0
+            ELSE COALESCE(b.cnt, 0) / CAST(s.n_bytes AS DOUBLE)
+       END AS value
+FROM sized s
+CROSS JOIN (SELECT unnest(range({FEATURE_DIM})) AS pos) p
+LEFT JOIN bins b ON b.media_id = s.media_id AND b.pos = p.pos
+"""
 
 
 def sample_frames(media: DataFrame, every_ms: int = 2000) -> DataFrame:

@@ -130,7 +130,13 @@ def sgd_fit(
     )
     pts.persist()
     try:
-        d = len(pts.select("features").first()["features"])
+        head = pts.select("features").first()
+        if head is None:
+            raise ValueError(
+                "sgd_fit: points frame is empty — nothing to fit "
+                "(an empty partition sweep would divide by zero)"
+            )
+        d = len(head["features"])
         theta = np.zeros(d)  # logisticreg.java:161-164
         converged = False
         it = 0

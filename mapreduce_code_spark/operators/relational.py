@@ -248,6 +248,103 @@ def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
     )
 
 
+# Portable HLL parameters: p=8 → m=256 buckets from the first 2 md5 hex
+# chars; a 40-bit register stream from the next 10. Raw-HLL estimate only
+# (no small-range linear-counting correction — that needs ln(), which is
+# not bit-reproducible across engines); with loads n/m ≳ 2.5 the raw
+# estimate is the standard ±1.04/√m ≈ 6.5% regime, and below that it
+# overestimates (documented; the exact count rides along regardless).
+_HLL_M = 256
+_HLL_TAIL_BITS = 40
+_HLL_RMAX = _HLL_TAIL_BITS + 1  # rho for an all-zero tail
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+# One shared double constant so both engines perform the IDENTICAL final
+# division: estimate = alpha·m²·2^41 / S  where S = Σ_buckets 2^(41 - r).
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**_HLL_RMAX)
+
+
+def hll_distinct_orders_portable(lineitem: DataFrame) -> DataFrame:
+    """Cross-engine-exact HLL distinct order counts per returnflag:
+    ``(l_returnflag, approx_orders, exact_orders)``.
+
+    Same two-level mergeable-sketch shape as ``hll_distinct_orders`` (the
+    Datasketches variant), but every step is deterministic SQL both Spark
+    and DuckDB evaluate bit-identically — md5-derived bucket/rho, exact
+    integer register sum (Σ 2^(41-r) as bigint, empty buckets folded in
+    arithmetically rather than via an explode+join), and ONE final IEEE
+    double division by the shared ``_HLL_C`` constant. That makes a
+    *sketch* hash-comparable against a DuckDB oracle
+    (``hll_distinct_portable_sql``) — the round-1 blocker for oracling
+    approximate distinct.
+
+    Scale shape: one shuffle to (flag, bucket) registers — map-side
+    partial ``max`` combines first — then a 256-rows-per-group fold.
+    Registers are storable/mergeable exactly like the native sketch.
+    """
+    h = F.md5(F.col("l_orderkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.conv(F.substring(h, 3, 10), 16, 10).cast("bigint")
+    rho = F.when(tail == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_RMAX) - F.length(F.bin(tail))
+    )
+    regs = (
+        lineitem.select(
+            "l_returnflag", bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    empty_term = F.lit(int(2**_HLL_RMAX))  # empty bucket ⇒ r=0 ⇒ 2^41
+    s = regs.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)"))
+            + (F.lit(_HLL_M) - F.count("*")) * empty_term
+        ).alias("s_int")
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return s.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.floor(F.lit(_HLL_C) / F.col("s_int"))
+        .cast("bigint")
+        .alias("approx_orders"),
+        "exact_orders",
+    )
+
+
+def hll_distinct_portable_sql() -> str:
+    """DuckDB twin of ``hll_distinct_orders_portable`` — byte-identical
+    md5/bucket/rho pipeline and the same ``_HLL_C`` division."""
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2))::BIGINT
+           AS bucket,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 10))::BIGINT
+           AS tail
+  FROM lineitem
+), regs AS (
+  SELECT l_returnflag, bucket,
+         max(CASE WHEN tail = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(tail)) END) AS r
+  FROM hashed GROUP BY 1, 2
+), s AS (
+  SELECT l_returnflag,
+         sum(1::BIGINT << ({_HLL_RMAX} - r))
+           + ({_HLL_M} - count(*)) * {int(2**_HLL_RMAX)} AS s_int
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT s.l_returnflag,
+       CAST(floor({_HLL_C!r} / s_int) AS BIGINT) AS approx_orders,
+       exact_orders
+FROM s JOIN exact USING (l_returnflag)
+"""
+
+
 def hll_merge_distinct_orders(lineitem: DataFrame) -> DataFrame:
     """Mergeability demonstration: sketch two disjoint halves separately,
     then ``hll_union_agg`` them — the result must estimate the SAME
@@ -611,15 +708,25 @@ def bucketed_range_join(
     w_us = int(max_gap_s) * 1_000_000
     lt = F.unix_micros(F.col(left_ts))
     rt = F.unix_micros(F.col(right_ts))
+    # FLOOR division, not `div` (which truncates toward zero and puts
+    # pre-1970 timestamps in the wrong bucket, silently dropping matches).
+    # (x - pmod(x, w)) div w is exact integer floor-div — no double
+    # round-trip, safe for the full micros range.
+    def _floor_bucket(col: str) -> str:
+        return f"({col} - pmod({col}, {w_us})) div {w_us}"
+
     l2 = left.withColumn("_lt", lt).withColumn(
-        "_bucket", F.expr(f"_lt div {w_us}")
+        "_bucket", F.expr(_floor_bucket("_lt"))
     )
     r2 = (
         right.withColumn("_rt", rt)
         .withColumn(
             "_bucket",
             F.explode(
-                F.array(F.expr(f"_rt div {w_us}"), F.expr(f"_rt div {w_us} - 1"))
+                F.array(
+                    F.expr(_floor_bucket("_rt")),
+                    F.expr(f"{_floor_bucket('_rt')} - 1"),
+                )
             ),
         )
     )

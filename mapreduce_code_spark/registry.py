@@ -63,10 +63,18 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TX_CACHE.get(key)
     if hit is not None and hit.sparkSession is spark:
         return hit
-    # evict stale entries (other/dead sessions), releasing their cached
-    # blocks where the owning session is still alive
+    # Evict only entries we can prove are stale: this session's own old
+    # sf_dir entries, and entries whose owning session has stopped. A
+    # CONCURRENTLY LIVE second session's cache must be left alone —
+    # unpersisting it here would silently degrade that session mid-use.
     for k, df in list(_TX_CACHE.items()):
-        if k == key or k[0] != id(spark):
+        owner = df.sparkSession
+        owner_stopped = True
+        try:
+            owner_stopped = owner._jsc.sc().isStopped()
+        except Exception:
+            pass  # JVM handle gone ⇒ stopped
+        if owner is spark or owner_stopped:
             try:
                 df.unpersist()
             except Exception:
@@ -444,12 +452,14 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
-@register("multimodal_features")  # decode stub — rows-only check
+@register("multimodal_features", oracle=multimodal.features_long_sql())
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decode feature extraction through the real mapInPandas
-    plumbing (byte-histogram stand-in; real codecs stubbed)."""
+    plumbing (byte-histogram stand-in; real codecs gated behind
+    HAS_PIL/HAS_SOUNDFILE), exploded to one row per feature bin so the
+    output is flat scalars — exactly DuckDB-oracle-able."""
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
-    return multimodal.decode_media(media, fake=True)
+    return multimodal.features_long(multimodal.decode_media(media, fake=True))
 
 
 # ---------------------------------------------------------------------------
@@ -499,10 +509,14 @@ def q_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_with_price_updates(load_table(spark, sf_dir, "orders"))
 
 
-@register("relational_hll_distinct")  # sketch estimate — rows-only check
+@register("relational_hll_distinct", oracle=R.hll_distinct_portable_sql())
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct counts (mergeable; error bound in tests)."""
-    return R.hll_distinct_orders(load_table(spark, sf_dir, "lineitem"))
+    """HLL distinct counts via the portable deterministic sketch — the
+    approximate estimate itself is hash-comparable against DuckDB (md5
+    registers + exact integer sum + one shared IEEE division). The native
+    Datasketches variant (hll_distinct_orders) stays test-proven for
+    mergeability/error bounds."""
+    return R.hll_distinct_orders_portable(load_table(spark, sf_dir, "lineitem"))
 
 
 @register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())

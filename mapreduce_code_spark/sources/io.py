@@ -31,6 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    # Must hold on ANY session, not just ones built by session.get_spark():
+    # external harnesses construct vanilla SparkSessions and call the
+    # registry directly, and without this conf every events.parquet read
+    # dies with PARQUET_TYPE_ILLEGAL (INT64 TIMESTAMP(NANOS)). The conf is
+    # runtime-settable, so set it at the read site.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

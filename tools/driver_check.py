@@ -19,7 +19,8 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as contract
-from mapreduce_code_spark.session import get_spark
+from pyspark.sql import SparkSession
+from mapreduce_code_spark.operators.dedup import release_persisted
 from mapreduce_code_spark.sources.schemas import SCHEMAS
 
 
@@ -31,7 +32,17 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="driver_check")
+    # Deliberately a BARE session — no engine configs. The round driver
+    # constructs its own vanilla SparkSession and calls the registry
+    # directly, so any conf the engine needs (e.g. nanosAsLong) must be
+    # applied by the engine at the point of use, not assumed from
+    # session.get_spark(). Round 1 shipped 9 red queries because this
+    # harness used get_spark() and masked exactly that class of bug.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_check")
+        .getOrCreate()
+    )
 
     edf = contract.entry(spark)
     n = edf.count()
@@ -77,6 +88,7 @@ def main() -> int:
                     status = f"VALUE MISMATCH in {c}"
                     break
         print(f"  {name}: rows={len(got)} {status}")
+        release_persisted()  # don't accumulate cached shingle passes
         if status != "OK":
             failures.append(name)
     if failures:
