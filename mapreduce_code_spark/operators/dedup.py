@@ -80,12 +80,16 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
-def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles: ``(doc_id, shingle)``.
+def _token_hash(col):
+    """First 60 bits of md5 as BIGINT — portable to DuckDB as
+    ('0x' || substr(md5(w),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
-    Words split on single spaces (matching DuckDB ``string_split``);
-    docs shorter than k words produce no shingles.
-    """
+
+def _exploded_shingles(documents: DataFrame, k: int) -> DataFrame:
+    """All word k-shingle occurrences ``(doc_id, shingle)`` — NOT yet
+    distinct. Words split on single spaces (matching DuckDB
+    ``string_split``); docs shorter than k words produce no shingles."""
     words = F.split(F.col("text"), " ")
     # guard short docs: sequence(0, negative) is DESCENDING in Spark and
     # the i=-1 slice throws — emit an empty array instead (matching the
@@ -100,9 +104,32 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     # documents arrive as one partition per parquet file; spread the rows
     # BEFORE the explode/md5-heavy downstream stages so they use all cores
     n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return documents.repartition(n_part).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles: ``(doc_id, shingle)`` — the
+    string-valued view, for callers that need the shingle text."""
+    return _exploded_shingles(documents, k).distinct()
+
+
+def shingle_ids(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct ``(doc_id, sid)`` where ``sid`` is the 60-bit md5-derived
+    shingle id. This is the scale path every dedup operator shares: the
+    id is computed BEFORE the distinct, so the dedup shuffle (and every
+    downstream join/aggregate) moves 8-byte integers instead of ~35-byte
+    shingle strings — ~4× less shuffle volume — and md5 runs exactly once
+    per shingle occurrence for ALL consumers (MinHash takes its 28-bit
+    hash as the id's top bits). 60-bit id collisions conflate two
+    shingles with odds ~|shingles|²/2^61 — negligible at 100 TB vocab
+    sizes, and acceptable for near-dup metrics (same trade the
+    inverted-index join already made in round 1).
+    """
     return (
-        documents.repartition(n_part)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        _exploded_shingles(documents, k)
+        .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
         .distinct()
     )
 
@@ -128,16 +155,11 @@ _MH_B = [
 ]
 
 
-def _shingle_h28():
-    # 7 hex chars → 28-bit id: small enough that a·x stays < 2^59
-    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-
-
 def minhash_signatures(
     documents: DataFrame,
     n_hashes: int = 12,
     k: int = 3,
-    sh: DataFrame | None = None,
+    sh_ids: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: ``(doc_id, seed, mh)``, one row per doc per
     hash function; ``mh`` = min over shingles of the seed's universal
@@ -147,12 +169,17 @@ def minhash_signatures(
     groupBy(doc_id) — shuffle volume O(docs · n_hashes) with map-side
     partial mins, instead of exploding every shingle ``n_hashes``×
     (which would multiply the shuffled data by the signature width).
+
+    The 28-bit universal-hash input is the top 28 bits of the shared
+    60-bit shingle id (first 7 md5 hex chars — numerically identical to
+    hashing the shingle directly, so the DuckDB oracles are unchanged);
+    small enough that ``a·x`` stays < 2^59.
     """
     if n_hashes > len(_MH_A):
         raise ValueError(f"n_hashes > {len(_MH_A)} needs more coefficients")
-    if sh is None:
-        sh = shingles(documents, k)
-    hashed = sh.withColumn("h", _shingle_h28())
+    if sh_ids is None:
+        sh_ids = shingle_ids(documents, k)
+    hashed = sh_ids.withColumn("h", F.shiftright(F.col("sid"), 32))
     aggs = [
         F.min(
             (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % F.lit(MINHASH_P)
@@ -176,7 +203,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     k: int = 3,
-    sh: DataFrame | None = None,
+    sh_ids: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the MinHash
     signature. Returns ``(doc_a, doc_b)``, doc_a < doc_b, distinct.
@@ -186,7 +213,7 @@ def minhash_lsh_pairs(
     an equi-join on (band, band_key) — LSH's whole point is that this
     join replaces the O(n^2) all-pairs comparison at scale.
     """
-    sigs = minhash_signatures(documents, n_hashes, k, sh=sh)
+    sigs = minhash_signatures(documents, n_hashes, k, sh_ids=sh_ids)
     bands = (
         sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -262,10 +289,7 @@ def ngram_jaccard_pairs(
                 f"near_dup_pairs_scalable for large corpora, or pass "
                 f"allow_quadratic=True to force."
             )
-    sh = _persist(
-        shingles(documents, k)
-        .select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
-    )
+    sh = _persist(shingle_ids(documents, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
         sh.groupBy("sid")
@@ -304,12 +328,6 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # 15 hex chars → fits signed 64-bit in both engines
-
-
-def _token_hash(col):
-    """First 60 bits of md5 as BIGINT — portable to DuckDB as
-    ('0x' || substr(md5(w),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def simhash(documents: DataFrame) -> DataFrame:
@@ -389,12 +407,11 @@ def near_dup_pairs_scalable(
     exact (every emitted pair's jaccard is true and >= threshold), recall
     is the LSH band recall.
     """
-    # one shingle pass feeds BOTH the LSH signatures and the rerank —
-    # the explode+md5-heaviest stage runs once, persisted for its 3 uses
-    # (released via release_persisted() once the result is consumed)
-    sh_raw = _persist(shingles(documents, k))
-    cand = minhash_lsh_pairs(documents, n_hashes, band_size, k, sh=sh_raw)
-    sh = sh_raw.select("doc_id", _token_hash(F.col("shingle")).alias("sid"))
+    # one shingle-ID pass feeds BOTH the LSH signatures and the rerank —
+    # the explode+md5-heaviest stage runs once over 8-byte ids, persisted
+    # for its 3 uses (released via release_persisted() once consumed)
+    sh = _persist(shingle_ids(documents, k))
+    cand = minhash_lsh_pairs(documents, n_hashes, band_size, k, sh_ids=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -16,9 +16,12 @@ Scale notes:
   O(distinct users) regardless of event volume.
 - Arrow-batched: each group's rows cross to Python as pandas chunks,
   vectorized aggregation inside; no per-row Python loop.
-- A production deployment adds a state TTL (``GroupStateTimeout``) to
-  bound distinct-key growth on unbounded key domains; kept NoTimeout
-  here because the test tables' user domain is finite.
+- State TTL: ``user_running_totals_stream(state_ttl_ms=...)`` arms a
+  ``ProcessingTimeTimeout`` timer per update and evicts idle users'
+  state — bounded state under an unbounded key domain (test-proven in
+  ``tests/test_stateful.py::test_state_ttl_evicts_idle_users``). The
+  contract query keeps NoTimeout because the test tables' user domain
+  is finite.
 """
 
 from __future__ import annotations
@@ -45,38 +48,71 @@ def _qvalue_np(v: np.ndarray) -> np.ndarray:
     return np.floor(v * VALUE_SCALE + 0.5).astype("int64")
 
 
-def _update_user_totals(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, s, last = state.get if state.exists else (0, 0, -1)
-    for pdf in pdfs:
-        n += len(pdf)
-        s += int(_qvalue_np(pdf["value"].to_numpy()).sum())
-        # normalize to µs first — Arrow may hand over ns- or µs-unit stamps
-        ts_micros = pdf["ts"].astype("datetime64[us]").astype("int64")
-        last = max(last, int(ts_micros.max()))
-    state.update((n, s, last))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_value_micro": [s],
-            "last_ts_micros": [last],
-        }
-    )
+def _make_update_user_totals(ttl_ms: int | None):
+    """Build the state-update kernel; with ``ttl_ms`` set, each update
+    arms a processing-time timer and the timed-out invocation drops the
+    group's state (the bounded-state path for unbounded key domains)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expiry: evict this user's state entirely; no emission.
+            # The next event for the user starts a fresh total.
+            state.remove()
+            return
+        n, s, last = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(_qvalue_np(pdf["value"].to_numpy()).sum())
+            # normalize to µs first — Arrow may hand over ns- or µs-unit
+            # stamps
+            ts_micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+            last = max(last, int(ts_micros.max()))
+        state.update((n, s, last))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_micro": [s],
+                "last_ts_micros": [last],
+            }
+        )
+
+    return update
 
 
-def user_running_totals_stream(events: DataFrame) -> DataFrame:
+_update_user_totals = _make_update_user_totals(None)
+
+
+def user_running_totals_stream(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Stateful per-user running totals over a streaming events frame.
-    Emits the updated totals for every user seen in each micro-batch."""
+    Emits the updated totals for every user seen in each micro-batch.
+
+    ``state_ttl_ms`` is the production knob for unbounded key domains
+    (SURVEY §9): when set, every state update arms a processing-time
+    timer; a user idle past the TTL has their state evicted in the next
+    executed micro-batch, so total state is O(keys active within one TTL
+    window) instead of O(all keys ever seen). Eviction resets the
+    running total — the semantics a TTL asks for.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_totals,
+        _make_update_user_totals(state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -194,3 +194,82 @@ def test_hll_sketch_error_and_mergeability(spark, sf_dir):
         assert abs(approx - exact) <= max(5, 0.03 * exact)  # HLL error bound
         # union of disjoint-half sketches estimates the same population
         assert abs(merged[flag] - exact) <= max(5, 0.03 * exact)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial time-density (VERDICT r1 #6): one key with ~10^3 rows inside
+# a single gap window. The merge/bucket formulations must stay linear in
+# input size — never a per-key cross product in the PLAN (the range join's
+# OUTPUT is allowed to be quadratic when the data genuinely is).
+# ---------------------------------------------------------------------------
+
+
+def _assert_no_product(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_dense_key(spark):
+    """10^3 left and 10^3 right rows on ONE key, interleaved 1s/0.5s
+    apart: the merge formulation emits exactly one row per left row and
+    picks the immediately-preceding right row — no candidate blowup."""
+    n = 1_000
+    base = 1_600_000_000_000_000  # 2020-09-13, micros
+    left = spark.range(n).select(
+        F.lit(7).alias("k"),
+        F.timestamp_micros(F.lit(base) + F.col("id") * 1_000_000).alias("lts"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(n).select(
+        F.lit(7).alias("k"),
+        F.timestamp_micros(
+            F.lit(base) + F.col("id") * 1_000_000 - 500_000
+        ).alias("rts"),
+        F.col("id").alias("order_id"),
+    )
+    out = R.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        payload_cols=["order_id"], tie_col="order_id",
+    )
+    _assert_no_product(out)
+    pdf = out.toPandas()
+    assert len(pdf) == n  # one row per left row, matched or not
+    # right row i sits 0.5s before left row i → as-of match is exactly i
+    assert (pdf.last_order_id == pdf.event_id).all()
+
+
+def test_close_pairs_dense_key(spark):
+    """10^3 events on ONE user, all inside one 600s gap window: the
+    bucket formulation's shuffle stays 3·|input| (left + 2× exploded
+    right) and the n·(n-1)/2 output comes from in-task filtering of
+    bucket-local candidates, not a cross product node."""
+    n = 1_000
+    base = 1_600_000_000_000_000
+    ev = spark.range(n).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(base) + F.col("id") * 500_000).alias("ts"),
+    )
+    out = R.events_close_pairs(ev, max_gap_s=600)
+    _assert_no_product(out)
+    # 0.5s spacing → every ordered pair is within 600s: n·(n-1)/2 pairs
+    assert out.count() == n * (n - 1) // 2
+
+
+def test_close_pairs_pre_epoch(spark):
+    """Pre-1970 timestamps (negative epoch micros) bucket correctly with
+    floor division; the pair spanning a negative bucket edge is found."""
+    ev = spark.createDataFrame(
+        [(1, 10, -550), (1, 11, -10), (1, 12, 200)],
+        "user_id long, event_id long, off_s long",
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("off_s") * 1_000_000).alias("ts"),
+    )
+    out = R.events_close_pairs(ev, max_gap_s=600)
+    got = {(r["event_a"], r["event_b"]) for r in out.collect()}
+    # gaps: 10→11 = 540s ✓, 11→12 = 210s ✓ (crosses the 0-epoch edge),
+    # 10→12 = 750s ✗
+    assert got == {(10, 11), (11, 12)}

@@ -105,3 +105,66 @@ def test_tws_matches_batch(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         ev.unpersist()
+
+
+def test_state_ttl_evicts_idle_users(spark, tmp_path):
+    """state_ttl_ms bounds state under an unbounded key domain: a user
+    idle past the TTL is evicted (their timed-out state removed), so
+    their next event starts a FRESH total instead of accumulating.
+
+    With ProcessingTimeTimeout the stream keeps scheduling timer-check
+    batches, so processAllAvailable() never reports idle — the test
+    drives a real processing-time trigger and polls the memory sink.
+    """
+    from datetime import datetime
+
+    src = str(tmp_path / "ttl_src")
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def wait_for(predicate, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            pdf = spark.table("ttl_totals").toPandas()
+            if predicate(pdf):
+                return pdf
+            time.sleep(0.5)
+        raise AssertionError("condition not reached within timeout")
+
+    t0 = datetime(2024, 1, 1)
+    # batch 1: user 1 (3 events) — state created, 2s TTL timer armed
+    write_chunk([(1, 1.0, t0), (1, 2.0, t0), (1, 3.0, t0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.user_running_totals_stream(stream, state_ttl_ms=2_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_totals")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(lambda p: (p.user_id == 1).any())
+        time.sleep(3.0)  # let user 1's TTL expire (no new events)
+        # later batches fire user 1's timed-out handler → state removed
+        write_chunk([(2, 5.0, t0)])
+        wait_for(lambda p: (p.user_id == 2).any())
+        # user 1 returns — must start from scratch (n_events=1), NOT 3+1
+        write_chunk([(1, 9.0, t0)])
+        emitted = wait_for(
+            lambda p: ((p.user_id == 1) & (p.n_events == 1)).any()
+        )
+        u1 = emitted[emitted.user_id == 1]
+        assert set(u1.n_events) == {1, 3}  # never 4: no accumulation
+        fresh = u1[u1.n_events == 1].iloc[0]
+        assert fresh.sum_value_micro == 9_000_000  # 9.0 only, not 15.0
+    finally:
+        q.stop()
