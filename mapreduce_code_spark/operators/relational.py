@@ -345,6 +345,116 @@ FROM s JOIN exact USING (l_returnflag)
 """
 
 
+# Portable count-min sketch: d=4 hash rows carved from ONE md5 (row i
+# reads hex chars [8i+1, 8i+8] — four independent 32-bit values), w=1024
+# buckets. Like the portable HLL above, every step is exact integer
+# arithmetic both engines reproduce bit-for-bit, so even the
+# *approximate* estimates are oracle-comparable.
+CM_D = 4
+CM_W = 1024
+
+
+def _cm_bucket_col(key_str_col, i: int):
+    """Row-i bucket for a key: 32-bit md5 slice mod CM_W."""
+    return (
+        F.conv(F.substring(F.md5(key_str_col), 8 * i + 1, 8), 16, 10)
+        .cast("bigint")
+        % CM_W
+    )
+
+
+def countmin_cells(lineitem: DataFrame) -> DataFrame:
+    """The sketch itself: ``(r, b, cnt)`` — d·w = 4096 bounded cells.
+
+    One narrow explode (×d) feeding a single groupBy with map-side
+    partial counts: shuffle volume is O(partitions · d · w) regardless of
+    input size. Cells are MERGEABLE by cell-wise addition (asserted in
+    tests) — per-day/per-partition sketches can be stored and summed
+    later, the same operational story as the HLL registers.
+    """
+    key = F.col("l_partkey").cast("string")
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"), _cm_bucket_col(key, i).alias("b")
+                )
+                for i in range(CM_D)
+            ]
+        )
+    ).alias("c")
+    return (
+        lineitem.select(cell)
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_heavy_hitters(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
+    """Count-min frequency estimates vs exact counts for the ``top_k``
+    most frequent part keys: ``(l_partkey, exact_cnt, cm_cnt)``.
+
+    The probe side joins the 4096-cell sketch (auto-broadcast) and takes
+    ``min`` over the d rows — the classic CM upper-bound estimate
+    (``cm_cnt >= exact_cnt`` always; equality when no bucket collision).
+    Deterministic top-k via (count desc, key asc) ordering. At 100 TB the
+    exact side here exists only to grade the sketch; the production read
+    path is sketch-only.
+    """
+    exact = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("l_partkey")).limit(top_k)
+    key = F.col("l_partkey").cast("string")
+    probes = top.select(
+        "l_partkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), _cm_bucket_col(key, i).alias("b")
+                    )
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("l_partkey", "exact_cnt", F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+    return (
+        probes.join(countmin_cells(lineitem), ["r", "b"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_cnt"))
+    )
+
+
+def countmin_heavy_hitters_sql(top_k: int = 20) -> str:
+    """DuckDB twin of ``countmin_heavy_hitters`` — identical md5 slices,
+    mod, and min-over-rows, so the estimates hash-match exactly."""
+    rows_values = ", ".join(f"({i})" for i in range(CM_D))
+    return f"""
+WITH cells AS (
+  SELECT r.r,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 8 * r.r + 1, 8))
+           ::BIGINT % {CM_W} AS b,
+         count(*) AS cnt
+  FROM lineitem, (VALUES {rows_values}) r(r)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY exact_cnt DESC, l_partkey LIMIT {top_k}
+), probes AS (
+  SELECT t.l_partkey, t.exact_cnt, r.r,
+         ('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)), 8 * r.r + 1, 8))
+           ::BIGINT % {CM_W} AS b
+  FROM top t, (VALUES {rows_values}) r(r)
+)
+SELECT p.l_partkey, p.exact_cnt, min(c.cnt) AS cm_cnt
+FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+GROUP BY 1, 2
+"""
+
+
 def hll_merge_distinct_orders(lineitem: DataFrame) -> DataFrame:
     """Mergeability demonstration: sketch two disjoint halves separately,
     then ``hll_union_agg`` them — the result must estimate the SAME

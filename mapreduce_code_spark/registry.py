@@ -519,6 +519,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.hll_distinct_orders_portable(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "relational_countmin_heavy_hitters", oracle=R.countmin_heavy_hitters_sql()
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for the top
+    part keys — the portable mergeable-sketch family's frequency member
+    (md5-slice hashes, bounded 4×1024 cells, min-over-rows probe), exact
+    enough to be hash-compared against DuckDB."""
+    return R.countmin_heavy_hitters(load_table(spark, sf_dir, "lineitem"))
+
+
 @register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the lineitem measures to long form + aggregate."""

@@ -27,3 +27,54 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in FORBIDDEN:
         assert marker not in plan, f"{name}: {marker} in physical plan"
+
+
+# Queries whose final operator is a per-group top-k: the rank filter must
+# compile to WindowGroupLimit (per-partition group-limit BEFORE the
+# window shuffle) — losing it means the full per-group rowset shuffles
+# and sorts, which is the difference between top-k and full-sort at scale.
+TOPK = (
+    "relational_topk_parts_per_brand",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+)
+
+
+@pytest.mark.parametrize("name", TOPK)
+def test_topk_uses_window_group_limit(spark, sf_dir, name):
+    plan = queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, f"{name}: rank filter lost WindowGroupLimit"
+
+
+# Scan-heavy queries with selective predicates: at least one parquet scan
+# must carry a non-empty PushedFilters list — an empty one means the
+# filter runs post-scan and the 100 TB read is unpruned. (The plan
+# printer elides long filter lists with "...", so match on the opening
+# bracket followed by content.)
+PUSHDOWN = (
+    "apriori_frequent_items",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_view_purchase_correlation",
+    "pipeline_curated_corpus",
+    "relational_events_close_pairs",
+    "relational_filter_case_orders",
+    "relational_hll_distinct",
+    "relational_kv_upsert",
+    "relational_pricing_summary",
+    "relational_setops_customers",
+    "relational_topk_parts_per_brand",
+    "similarity_topk_cosine",
+)
+
+
+@pytest.mark.parametrize("name", PUSHDOWN)
+def test_filters_reach_the_scan(spark, sf_dir, name):
+    import re
+
+    plan = queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]", plan), (
+        f"{name}: no non-empty PushedFilters on any scan"
+    )

@@ -273,3 +273,23 @@ def test_close_pairs_pre_epoch(spark):
     # gaps: 10→11 = 540s ✓, 11→12 = 210s ✓ (crosses the 0-epoch edge),
     # 10→12 = 750s ✗
     assert got == {(10, 11), (11, 12)}
+
+
+def test_countmin_bound_and_mergeability(spark, sf_dir):
+    """CM estimate is an upper bound on the exact count, and cell-wise
+    addition of disjoint-half sketches equals the whole-input sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pdf = R.countmin_heavy_hitters(li).toPandas()
+    assert (pdf.cm_cnt >= pdf.exact_cnt).all()
+    whole = {
+        (r["r"], r["b"]): r["cnt"] for r in R.countmin_cells(li).collect()
+    }
+    halves = [
+        li.filter(F.col("l_linenumber") <= 3),
+        li.filter(F.col("l_linenumber") > 3),
+    ]
+    merged: dict = {}
+    for h in halves:
+        for r in R.countmin_cells(h).collect():
+            merged[(r["r"], r["b"])] = merged.get((r["r"], r["b"]), 0) + r["cnt"]
+    assert merged == whole
