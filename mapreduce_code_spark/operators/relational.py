@@ -455,6 +455,109 @@ GROUP BY 1, 2
 """
 
 
+# Portable Bloom filter: k=3 hash bits carved from one md5 (32-bit
+# slices, like the count-min rows), m=8192 bits. The filter is
+# represented as the DataFrame of set bit-indices (≤ m rows, broadcast-
+# sized by construction); merging two filters is a union+distinct —
+# bitwise OR in relational form. Completes the portable mergeable-sketch
+# trio: HLL = distinct counts, count-min = frequencies, Bloom =
+# membership — every one cross-engine exact, estimates included.
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _bloom_bit_col(key_str_col, i: int):
+    return (
+        F.conv(F.substring(F.md5(key_str_col), 8 * i + 1, 8), 16, 10)
+        .cast("bigint")
+        % BLOOM_M
+    )
+
+
+def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter over a key column: the distinct set-bit indices
+    ``(bit)``. One narrow map (k bits per row) + a distinct over ≤ m
+    values — shuffle bounded by the filter size, never the data."""
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[_bloom_bit_col(key, i) for i in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Probe every customer key against a Bloom filter built over
+    ``orders.o_custkey``: ``(c_custkey, maybe_present, actually_present)``.
+
+    A key's DISTINCT probe bits are counted and compared to its matched
+    bits (two hash slices may map to the same bit — comparing against a
+    constant k would manufacture false negatives). Bloom guarantee:
+    ``actually_present ⇒ maybe_present`` (asserted in tests); false
+    positives happen at the designed rate and are *visible* here because
+    the exact answer rides along — at 100 TB the filter prunes the probe
+    side of a join before the shuffle, the exact check only runs on
+    surviving keys.
+    """
+    bits = F.broadcast(
+        bloom_bits(orders, "o_custkey").withColumn("hit", F.lit(1))
+    )
+    key = F.col("c_custkey").cast("string")
+    probe = customer.select(
+        "c_custkey",
+        F.explode(
+            F.array(*[_bloom_bit_col(key, i) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    ).distinct()
+    per = (
+        probe.join(bits, "bit", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("hit").alias("matched"),
+        )
+    )
+    present = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("ap", F.lit(True))
+    )
+    return per.join(present, "c_custkey", "left").select(
+        "c_custkey",
+        (F.col("matched") == F.col("total")).alias("maybe_present"),
+        F.coalesce(F.col("ap"), F.lit(False)).alias("actually_present"),
+    )
+
+
+def bloom_membership_sql() -> str:
+    """DuckDB twin of ``bloom_membership`` — identical md5 slices, mod,
+    and distinct-bit counting, so even the false positives match."""
+    ivals = ", ".join(f"({i})" for i in range(BLOOM_K))
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 8 * i.i + 1, 8))
+           ::BIGINT % {BLOOM_M} AS bit
+  FROM orders, (VALUES {ivals}) i(i)
+), probe AS (
+  SELECT DISTINCT c_custkey,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 8 * i.i + 1, 8))
+           ::BIGINT % {BLOOM_M} AS bit
+  FROM customer, (VALUES {ivals}) i(i)
+), per AS (
+  SELECT p.c_custkey, count(*) AS total, count(b.bit) AS matched
+  FROM probe p LEFT JOIN bits b USING (bit)
+  GROUP BY 1
+)
+SELECT c_custkey, matched = total AS maybe_present,
+       c_custkey IN (SELECT o_custkey FROM orders) AS actually_present
+FROM per
+"""
+
+
 def hll_merge_distinct_orders(lineitem: DataFrame) -> DataFrame:
     """Mergeability demonstration: sketch two disjoint halves separately,
     then ``hll_union_agg`` them — the result must estimate the SAME

@@ -1,0 +1,110 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+A training corpus needs splits and samples that are (a) reproducible
+across runs, engines, and cluster layouts, (b) stable under data growth
+— adding new documents must never reassign old ones — and (c) free of
+coordination (no global sort, no RNG state). All three fall out of
+hashing the KEY instead of rolling dice: ``bucket(key) = md5-derived
+60-bit integer mod 10_000`` is a pure function of the key, uniform
+across buckets, and identical in Spark and DuckDB (so every operator
+here is exactly SQL-oracle-able — no statistical "close enough").
+
+Contrast with ``DataFrame.sample``/``randomSplit``: those draw from a
+seeded RNG over the *partition layout*, so the same call on the same
+data can select different rows after a repartition — exactly the
+instability a training pipeline can't have.
+
+Scale shape: every operator is a narrow map (hash + compare) — no
+shuffle, no driver state; the split/sample predicate pushes into the
+scan pipeline and composes with any downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # permyriad resolution: thresholds are basis points
+
+
+def key_bucket(col) -> F.Column:
+    """Uniform bucket in [0, 10000) from a key column: first 15 md5 hex
+    chars (60 bits, fits BIGINT in both engines) mod 10_000. Portable to
+    DuckDB as ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+    % 10000``."""
+    h = F.md5(col.cast("string"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % BUCKETS
+
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+
+
+def train_val_split(documents: DataFrame, val_bp: int = 1000) -> DataFrame:
+    """Assign every document to 'train' or 'val' by key hash:
+    ``(doc_id, bucket, split)`` with ``val_bp`` basis points (default
+    10%) going to 'val'. The assignment is a pure function of doc_id —
+    rerunning, reshuffling, or appending data never moves a document
+    across the split (the leakage guarantee fine-tuning pipelines
+    need)."""
+    b = key_bucket(F.col("doc_id"))
+    return documents.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < val_bp, "val").otherwise("train").alias("split"),
+    )
+
+
+def train_val_split_sql(val_bp: int = 1000) -> str:
+    b = _BUCKET_SQL.format(key="doc_id")
+    return f"""
+SELECT doc_id, {b} AS bucket,
+       CASE WHEN {b} < {val_bp} THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# Per-language sampling rates in basis points: downsample the dominant
+# language, keep rarer ones at full rate — the standard rebalancing move
+# for multilingual training mixes. Languages not listed fall back to
+# DEFAULT_RATE_BP.
+STRATA_RATES_BP = {"en": 2000, "de": 5000, "fr": 5000, "es": 5000}
+DEFAULT_RATE_BP = 10_000  # keep everything for unlisted (rare) strata
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+) -> DataFrame:
+    """Deterministic per-stratum sample over the ``lang`` column:
+    ``(doc_id, lang, bucket)`` for the kept documents. Each stratum keeps
+    keys whose bucket falls below its rate, so a document's fate depends
+    only on (its key, its stratum's rate) — growing a stratum or adding
+    strata never resamples existing rows, and nested rates are monotone
+    (a 20% sample is a superset of a 10% sample of the same stratum)."""
+    rates = rates_bp if rates_bp is not None else STRATA_RATES_BP
+    b = key_bucket(F.col("doc_id"))
+    threshold = F.lit(default_bp)
+    for lang, bp in sorted(rates.items()):
+        threshold = F.when(F.col("lang") == lang, bp).otherwise(threshold)
+    return (
+        documents.select("doc_id", "lang", b.alias("bucket"))
+        .filter(F.col("bucket") < threshold)
+    )
+
+
+def stratified_sample_sql(
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+) -> str:
+    rates = rates_bp if rates_bp is not None else STRATA_RATES_BP
+    b = _BUCKET_SQL.format(key="doc_id")
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, {b} AS bucket
+FROM documents
+WHERE {b} < CASE lang {whens} ELSE {default_bp} END
+"""

@@ -255,6 +255,7 @@ def ivf_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,
     n_iters: int = 2,
+    train_sample_bp: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: Lloyd's k-means, Spark-distributed.
 
@@ -265,10 +266,24 @@ def ivf_centroids(
       of O(rows·dim) scalars with map-side partial aggregation; the
       (n_clusters × dim) result collects to the driver each iteration.
 
+    ``train_sample_bp`` (basis points) trains on a deterministic hash
+    sample of the corpus — the 100 TB knob: a coarse quantizer needs a
+    representative sample, not every vector, so the per-iteration
+    training scan drops from |corpus| to |sample| while the one
+    full-corpus assignment pass in :func:`ivf_topk` is unchanged. The
+    sample is keyed (``sampling.key_bucket``), so it is layout-stable
+    and reproducible like every sample in this engine.
+
     At 100 TB the assignment scan dominates and is embarrassingly
     parallel; n_iters is small because IVF needs a coarse partition of
     space, not a converged clustering. Returns the centroid matrix.
     """
+    if train_sample_bp is not None:
+        from mapreduce_code_spark.operators.sampling import key_bucket
+
+        embeddings = embeddings.filter(
+            key_bucket(F.col("vec_id")) < train_sample_bp
+        )
     init = (
         embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -317,6 +332,7 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     n_iters: int = 2,
+    train_sample_bp: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: train a coarse quantizer, assign every vector to its
     nearest centroid (the inverted file), probe each query's ``nprobe``
@@ -324,9 +340,11 @@ def ivf_topk(
 
     Scan cost drops to ~nprobe/n_clusters of brute force; recall is
     tunable via nprobe (asserted against :func:`topk_cosine` in tests).
-    Not SQL-expressible (iterative training) → rows-only oracle check.
+    ``train_sample_bp`` trains the quantizer on a hash sample (see
+    :func:`ivf_centroids`). Not SQL-expressible (iterative training) →
+    rows-only oracle check.
     """
-    centroids = ivf_centroids(embeddings, n_clusters, n_iters)
+    centroids = ivf_centroids(embeddings, n_clusters, n_iters, train_sample_bp)
     sc = embeddings.sparkSession.sparkContext
     cent_b = sc.broadcast(centroids)
 

@@ -424,6 +424,24 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PIPE.curated_corpus(load_table(spark, sf_dir, "documents"))
 
 
+from mapreduce_code_spark.operators import sampling as SMP  # noqa: E402
+
+
+@register("sampling_train_val_split", oracle=SMP.train_val_split_sql())
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val split: pure function of
+    doc_id — stable across runs, engines, layouts, and data growth
+    (randomSplit is none of those)."""
+    return SMP.train_val_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_stratified_lang", oracle=SMP.stratified_sample_sql())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (downsample dominant
+    strata, keep rare ones) — the multilingual-mix rebalancing op."""
+    return SMP.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
 @register("multimodal_meta", oracle=multimodal.media_meta_sql())
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata scan (no decode): sizes, hashes, plans."""
@@ -528,6 +546,16 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-slice hashes, bounded 4×1024 cells, min-over-rows probe), exact
     enough to be hash-compared against DuckDB."""
     return R.countmin_heavy_hitters(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("relational_bloom_customers", oracle=R.bloom_membership_sql())
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership probe (customers vs the set of
+    ordering customers) — the mergeable-sketch trio's membership member;
+    false positives are deterministic and hash-match the oracle."""
+    return R.bloom_membership(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
 
 
 @register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())

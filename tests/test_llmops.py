@@ -224,3 +224,23 @@ def test_zero_duration_media_plans_zero_frames(spark):
     media = MM.media_from_documents(docs)
     assert media.filter("kind = 'video'").count() == 1
     assert MM.sample_frames(media).count() == 0
+
+
+def test_ivf_sample_trained_full_probe_is_exact(spark, sf_dir):
+    """Sample-trained quantizer (the 100 TB training path) with
+    nprobe=all cells still degrades to exact brute force — clustering
+    quality affects recall only through partial probes, never
+    correctness of the probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_cosine(emb, n_queries=3, k=5).collect()
+    }
+    sampled = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb, n_queries=3, k=5, n_clusters=4, nprobe=4, n_iters=1,
+            train_sample_bp=2500,
+        ).collect()
+    }
+    assert sampled == exact

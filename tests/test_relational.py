@@ -293,3 +293,28 @@ def test_countmin_bound_and_mergeability(spark, sf_dir):
         for r in R.countmin_cells(h).collect():
             merged[(r["r"], r["b"])] = merged.get((r["r"], r["b"]), 0) + r["cnt"]
     assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark, sf_dir):
+    """Bloom guarantee: every actually-present key is maybe-present; and
+    the filter built on unioned inputs equals the union of the filters
+    (bitwise-OR mergeability in relational form)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pdf = R.bloom_membership(cust, orders).toPandas()
+    assert pdf[pdf.actually_present].maybe_present.all()
+    # some true negatives must be correctly rejected (filter isn't full)
+    neg = pdf[~pdf.actually_present]
+    if len(neg):
+        assert (~neg.maybe_present).any()
+    halves = [
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    ]
+    whole = {r["bit"] for r in R.bloom_bits(orders, "o_custkey").collect()}
+    merged = {
+        r["bit"]
+        for h in halves
+        for r in R.bloom_bits(h, "o_custkey").collect()
+    }
+    assert merged == whole

@@ -1,0 +1,74 @@
+"""Deterministic-sampling invariants: layout independence, growth
+stability, nested-rate monotonicity — the properties randomSplit/sample
+do NOT have and a training pipeline needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.operators import sampling as SMP
+from mapreduce_code_spark.sources.io import load_table
+from tests.helpers import assert_parity
+
+
+def test_split_oracle_parity(spark, sf_dir):
+    assert_parity(
+        SMP.train_val_split(load_table(spark, sf_dir, "documents")),
+        sf_dir,
+        SMP.train_val_split_sql(),
+    )
+
+
+def test_split_layout_invariant(spark, sf_dir):
+    """Same assignment regardless of partitioning — unlike randomSplit."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = SMP.train_val_split(docs).toPandas().set_index("doc_id")["split"]
+    b = (
+        SMP.train_val_split(docs.repartition(7, "lang"))
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+
+
+def test_split_stable_under_growth(spark, sf_dir):
+    """Assignments computed on a subset agree with the full corpus —
+    appending data never moves an existing document across the split."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = SMP.train_val_split(docs).toPandas().set_index("doc_id")["split"]
+    part = (
+        SMP.train_val_split(docs.filter(F.col("doc_id") % 3 == 0))
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert (full.loc[part.index] == part).all()
+
+
+def test_split_proportions(spark, sf_dir):
+    pdf = SMP.train_val_split(
+        load_table(spark, sf_dir, "documents"), val_bp=2500
+    ).toPandas()
+    frac = (pdf.split == "val").mean()
+    assert 0.15 < frac < 0.35  # 25% ± sampling noise at corpus size
+
+
+def test_stratified_nested_rates_monotone(spark, sf_dir):
+    """A higher-rate sample is a superset of a lower-rate one."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = set(
+        r["doc_id"]
+        for r in SMP.stratified_sample(docs, {"en": 1000}, 2000).collect()
+    )
+    big = set(
+        r["doc_id"]
+        for r in SMP.stratified_sample(docs, {"en": 3000}, 4000).collect()
+    )
+    assert small <= big
+
+
+def test_stratified_rates_apply_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SMP.stratified_sample(docs, {"en": 0}, 10_000).toPandas()
+    assert (kept.lang != "en").all()  # rate 0 drops the whole stratum
+    n_non_en = docs.filter(F.col("lang") != "en").count()
+    assert len(kept) == n_non_en  # rate 10000 keeps everything else

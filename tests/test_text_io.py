@@ -113,3 +113,23 @@ def test_blank_lines_dropped(spark, tmp_path):
         ["a", "b", "c"],
         ["d", "e"],
     ]
+
+
+def test_orc_format_round_trip(spark, sf_dir, tmp_path):
+    """S7 engine surface: ORC — Spark's second built-in columnar format
+    (predicate pushdown + column pruning like parquet) — round-trips
+    exactly, including the filter reaching the ORC scan."""
+    orders = io.load_table(spark, sf_dir, "orders").limit(100)
+    odir = str(tmp_path / "o")
+    orders.write.orc(odir)
+    back = spark.read.schema(orders.schema).orc(odir)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    plan = (
+        back.filter("o_totalprice > 1000.0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
