@@ -439,6 +439,74 @@ def near_dup_pairs_scalable(
     )
 
 
+def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs: the production dedup
+    step that pair lists alone can't do — near-duplication is transitive
+    in practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so the keeper must be
+    chosen per CLUSTER, not per pair. Returns ``(doc_id, component,
+    is_keeper)`` for every doc appearing in a pair; ``component`` is the
+    cluster's minimum doc_id and the keeper is that document.
+
+    Algorithm: min-label propagation — iterate ``label(v) ← min(label(v),
+    min over neighbors)`` to a fixpoint. Each iteration is one join + one
+    groupBy-min (map-side combined); labels are monotone non-increasing,
+    so convergence is detected by the label-sum plateauing (one scalar
+    per iteration to the driver, like the SGD loop — SURVEY §2.12 I2).
+    Iterations = eccentricity of each cluster's min node; near-dup
+    clusters are shallow, and a production petabyte deployment with
+    adversarially long chains would swap in the large-star/small-star
+    variant (same per-iteration plan shape, O(log n) rounds).
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # localCheckpoint each iteration: the labels frame would otherwise
+    # embed every previous iteration's plan (lineage grows exponentially
+    # and the analyzer itself OOMs past ~30 rounds — measured). Cutting
+    # lineage also makes each round's shuffle read a materialized input,
+    # the same discipline iterative graph libraries use.
+    labels = (
+        und.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und["doc_b"] == labels["node"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["doc_a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise ValueError(
+            f"dup_components did not converge in {max_iters} iterations "
+            "— pathological chain; use the star-contraction variant"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 # ------------------------------------------------- DuckDB oracle builders
 
 SHINGLES_SQL = """
@@ -512,4 +580,52 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE shared / (sa.sz + sb.sz - shared) >= {threshold}
+"""
+
+
+def dup_components_sql(
+    threshold: float = 0.2, n_hashes: int = 12, band_size: int = 3
+) -> str:
+    """DuckDB twin of ``near_dup_pairs_scalable |> dup_components``: the
+    same pair pipeline, then component labels via a recursive
+    reachability CTE (min reachable doc_id per node — identical to the
+    propagation fixpoint)."""
+    return f"""
+WITH RECURSIVE sh AS ({SHINGLES_SQL}),
+{_sigs_bands_cte_sql(n_hashes, band_size)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+ndpairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE shared / (sa.sz + sb.sz - shared) >= {threshold}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM ndpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM ndpairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.node = u.b
+)
+SELECT node AS doc_id, min(r) AS component,
+       min(r) = node AS is_keeper
+FROM reach
+GROUP BY node
 """

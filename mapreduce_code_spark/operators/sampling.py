@@ -22,7 +22,7 @@ scan pipeline and composes with any downstream plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # permyriad resolution: thresholds are basis points
@@ -92,6 +92,65 @@ def stratified_sample(
         documents.select("doc_id", "lang", b.alias("bucket"))
         .filter(F.col("bucket") < threshold)
     )
+
+
+def pack_documents(
+    documents: DataFrame, budget_tokens: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic sequence packing (concat-then-chunk): lay documents
+    end-to-end in doc_id order and cut packs every ``budget_tokens``
+    tokens — the batch-construction step of a pretraining pipeline.
+    Returns ``(doc_id, shard, n_tokens, start_offset, pack_id,
+    offset_in_pack)``.
+
+    Packing is inherently sequential, which is why it's SHARDED: the
+    running offset is a window sum partitioned by a hash shard of
+    doc_id, so each shard packs independently and in parallel — a global
+    ORDER BY would funnel 100 TB through one task. Shard count is the
+    parallelism knob; assignments are pure functions of (doc_id, text),
+    so the same corpus packs identically on any cluster layout.
+    """
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    shard = key_bucket(F.col("doc_id")) % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = documents.select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    off = base.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return off.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {budget_tokens}").alias("pack_id"),
+        (F.col("start_offset") % budget_tokens).alias("offset_in_pack"),
+    )
+
+
+def pack_documents_sql(budget_tokens: int = 2048, n_shards: int = 8) -> str:
+    b = _BUCKET_SQL.format(key="doc_id")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {b} % {n_shards} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), off AS (
+  SELECT *, COALESCE(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       start_offset // {budget_tokens} AS pack_id,
+       start_offset % {budget_tokens} AS offset_in_pack
+FROM off
+"""
 
 
 def stratified_sample_sql(

@@ -344,6 +344,16 @@ def q_near_dup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_components", oracle=dedup.dup_components_sql())
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the scalable near-dup pairs: one keeper
+    per transitive dup CLUSTER (min-label propagation; oracle = DuckDB
+    recursive reachability) — the step that turns pair lists into an
+    actionable dedup decision."""
+    pairs = dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
+    return dedup.dup_components(pairs)
+
+
 @register("dedup_simhash", oracle=dedup.simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (md5-derived, engine-portable)."""
@@ -440,6 +450,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sample (downsample dominant
     strata, keep rare ones) — the multilingual-mix rebalancing op."""
     return SMP.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_pack_documents", oracle=SMP.pack_documents_sql())
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded deterministic sequence packing (concat-then-chunk):
+    per-shard running offsets cut into fixed token-budget packs — the
+    pretraining batch-construction op, parallel by hash shard."""
+    return SMP.pack_documents(load_table(spark, sf_dir, "documents"))
 
 
 @register("multimodal_meta", oracle=multimodal.media_meta_sql())

@@ -244,3 +244,36 @@ def test_ivf_sample_trained_full_probe_is_exact(spark, sf_dir):
         ).collect()
     }
     assert sampled == exact
+
+
+def test_dup_components_transitivity(spark):
+    """A≈B and B≈C land in ONE component with A as the keeper, even
+    though (A,C) is not a pair; disjoint clusters keep separate labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in dedup.dup_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
+
+
+def test_dup_components_long_chain_guard(spark):
+    """An adversarial chain deeper than max_iters raises instead of
+    returning a half-propagated (wrong) labeling."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        dedup.dup_components(chain, max_iters=5)
+    # and with enough iterations the same chain is one component
+    labels = dedup.dup_components(chain, max_iters=25).collect()
+    assert {r["component"] for r in labels} == {0}

@@ -72,3 +72,23 @@ def test_stratified_rates_apply_per_stratum(spark, sf_dir):
     assert (kept.lang != "en").all()  # rate 0 drops the whole stratum
     n_non_en = docs.filter(F.col("lang") != "en").count()
     assert len(kept) == n_non_en  # rate 10000 keeps everything else
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    """Packing is gap-free within each shard (offsets tile exactly), the
+    pack boundary math is consistent, and assignments are layout-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = SMP.pack_documents(docs, budget_tokens=512).toPandas()
+    for _, grp in pdf.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        # offsets are the exclusive running sum: consecutive and gap-free
+        expected = g.n_tokens.cumsum().shift(fill_value=0)
+        assert (g.start_offset.values == expected.values).all()
+    assert (pdf.pack_id == pdf.start_offset // 512).all()
+    assert (pdf.offset_in_pack == pdf.start_offset % 512).all()
+    again = (
+        SMP.pack_documents(docs.repartition(13), budget_tokens=512)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert again.equals(pdf.sort_values("doc_id", ignore_index=True))
