@@ -950,6 +950,92 @@ def bucketed_range_join(
     )
 
 
+def hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Time-grid resample with gap fill: per event type, one row for
+    EVERY hour between the corpus's first and last event — zero-filled
+    counts/sums plus a forward-filled last-active-hour value. Returns
+    ``(event_type, hour_ts, n_events, value_sum_micro,
+    filled_sum_micro)``.
+
+    The grid is generated in-plan (1-row global bounds broadcast ×
+    distinct types × ``sequence`` explode — no driver collect, no
+    cartesian scan), the hourly aggregate joins onto it, and the forward
+    fill is ``last(..., ignorenulls)`` over an unbounded-preceding
+    frame. Grid size is |types| · |hours| — independent of event volume,
+    so the join's right side stays broadcast-small at any data scale.
+    Values are micro-quantized (streaming.windows.VALUE_SCALE) so sums
+    are exact integers cross-engine.
+    """
+    from mapreduce_code_spark.streaming.windows import _qvalue
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_qvalue()).alias("v"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0)).alias("value_sum_micro"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_sum_micro"),
+        )
+    )
+
+
+def hourly_gapfill_sql() -> str:
+    """DuckDB twin of :func:`hourly_gapfill` (micro-truncated timestamps
+    mirror the engine's nanos→micros read)."""
+    return """
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+         sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+  FROM ev GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM ev
+), grid AS (
+  SELECT t.event_type, g.hour_ts
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       bounds,
+       LATERAL (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                AS hour_ts) g
+)
+SELECT g.event_type, g.hour_ts,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.v, 0) AS value_sum_micro,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_sum_micro
+FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
+"""
+
+
 def events_close_pairs(events: DataFrame, max_gap_s: int = 600) -> DataFrame:
     """Pairs of same-user events within ``max_gap_s`` of each other
     (strictly ordered): ``(user_id, event_a, event_b, gap_us)`` — the

@@ -576,6 +576,13 @@ def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("relational_hourly_gapfill", oracle=R.hourly_gapfill_sql())
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resample + gap fill (zero-filled hourly rollup with
+    forward-filled last value) — the OLAP densification op."""
+    return R.hourly_gapfill(load_table(spark, sf_dir, "events"))
+
+
 @register("relational_unpivot_measures", oracle=R.unpivot_measure_stats_sql())
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the lineitem measures to long form + aggregate."""

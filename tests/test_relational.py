@@ -318,3 +318,30 @@ def test_bloom_no_false_negatives_and_mergeable(spark, sf_dir):
         for r in R.bloom_bits(h, "o_custkey").collect()
     }
     assert merged == whole
+
+
+def test_hourly_gapfill_semantics(spark):
+    """Constructed gap: hour 0 active, hours 1-2 silent, hour 3 active —
+    silent hours appear with zero counts and carry hour 0's value."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 7, "click", 1.5, "{}"),
+            (2, datetime(2024, 1, 1, 0, 50), 7, "click", 2.5, "{}"),
+            (3, datetime(2024, 1, 1, 3, 5), 8, "click", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {
+        r["hour_ts"].hour: r
+        for r in R.hourly_gapfill(ev).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["n_events"] == 2 and rows[0]["value_sum_micro"] == 4_000_000
+    for h in (1, 2):
+        assert rows[h]["n_events"] == 0
+        assert rows[h]["value_sum_micro"] == 0
+        assert rows[h]["filled_sum_micro"] == 4_000_000  # carried forward
+    assert rows[3]["filled_sum_micro"] == 4_000_000 + 0  # hour 3's own sum
+    assert rows[3]["filled_sum_micro"] == rows[3]["value_sum_micro"] == 4_000_000
