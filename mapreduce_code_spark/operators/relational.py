@@ -1036,6 +1036,118 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
 """
 
 
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    ``(user_id, first_view, first_click, first_purchase, reached)``.
+    Each stage's timestamp is the first qualifying event STRICTLY AFTER
+    the previous stage (ordering matters — a click before the first view
+    doesn't convert). ``reached`` ∈ {1,2,3}.
+
+    Three filtered min-aggregates chained by broadcast-friendly equi-
+    joins on user_id — each stage's frame is one-row-per-user (already
+    thresholded), so the cascade is join-light at any event volume; the
+    raw events table is scanned once per stage with the type filter
+    pushed to parquet.
+    """
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out: str):
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = first_after("click", v, "first_view", "first_click")
+    p = first_after("purchase", c, "first_click", "first_purchase")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            ).alias("reached"),
+        )
+    )
+
+
+def funnel_stages_sql() -> str:
+    return """
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+v AS (
+  SELECT user_id, min(ts) AS first_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, first_view, first_click, first_purchase,
+       1 + CAST(first_click IS NOT NULL AS INT)
+         + CAST(first_purchase IS NOT NULL AS INT) AS reached
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def rolling_24h_user_activity(events: DataFrame) -> DataFrame:
+    """Per event: same-user activity in the trailing 24 h — a RANGE
+    interval frame (value-based, unlike the ROWS frames elsewhere):
+    ``(event_id, user_id, ts, n_24h, value_sum_micro_24h)`` where the
+    frame is ``[ts - 24h, ts]`` inclusive.
+
+    One shuffle+sort per user partition; the frame is evaluated by the
+    running-window machinery, never by a self-join — the self-join
+    formulation of "events in my trailing day" is the quadratic trap
+    this operator exists to avoid.
+    """
+    from mapreduce_code_spark.streaming.windows import _qvalue
+
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(_qvalue()).over(w).alias("value_sum_micro_24h"),
+    )
+
+
+def rolling_24h_user_activity_sql() -> str:
+    return """
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_24h,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+         AS value_sum_micro_24h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_close_pairs(events: DataFrame, max_gap_s: int = 600) -> DataFrame:
     """Pairs of same-user events within ``max_gap_s`` of each other
     (strictly ordered): ``(user_id, event_a, event_b, gap_us)`` — the

@@ -576,6 +576,20 @@ def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("relational_funnel_stages", oracle=R.funnel_stages_sql())
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (stage timestamps strictly
+    increasing per user) — conversion analytics over events."""
+    return R.funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+@register("relational_rolling_24h", oracle=R.rolling_24h_user_activity_sql())
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user activity via a RANGE interval frame (no
+    self-join) — value-based window frames on event time."""
+    return R.rolling_24h_user_activity(load_table(spark, sf_dir, "events"))
+
+
 @register("relational_hourly_gapfill", oracle=R.hourly_gapfill_sql())
 def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-grid resample + gap fill (zero-filled hourly rollup with

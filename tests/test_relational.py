@@ -345,3 +345,49 @@ def test_hourly_gapfill_semantics(spark):
         assert rows[h]["filled_sum_micro"] == 4_000_000  # carried forward
     assert rows[3]["filled_sum_micro"] == 4_000_000 + 0  # hour 3's own sum
     assert rows[3]["filled_sum_micro"] == rows[3]["value_sum_micro"] == 4_000_000
+
+
+def test_funnel_ordering_semantics(spark):
+    """A click BEFORE the first view doesn't convert; stages must be
+    strictly ordered per user."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            # user 1: click(1) BEFORE view(2) → stuck at stage 1
+            (1, t(1), 1, "click", 0.0, "{}"),
+            (2, t(2), 1, "view", 0.0, "{}"),
+            # user 2: full ordered funnel
+            (3, t(1), 2, "view", 0.0, "{}"),
+            (4, t(2), 2, "click", 0.0, "{}"),
+            (5, t(3), 2, "purchase", 0.0, "{}"),
+            # user 3: view + purchase but no click → stage 1
+            (6, t(1), 3, "view", 0.0, "{}"),
+            (7, t(2), 3, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["user_id"]: r["reached"] for r in R.funnel_stages(ev).collect()}
+    assert got == {1: 1, 2: 3, 3: 1}
+
+
+def test_rolling_24h_frame(spark):
+    """Only same-user events within the trailing 24h count (inclusive)."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 12), 1, "click", 2.0, "{}"),
+            (3, datetime(2024, 1, 2, 6), 1, "click", 4.0, "{}"),  # ev1 aged out
+            (4, datetime(2024, 1, 1, 1), 2, "click", 8.0, "{}"),  # other user
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["event_id"]: (r["n_24h"], r["value_sum_micro_24h"])
+           for r in R.rolling_24h_user_activity(ev).collect()}
+    assert got[1] == (1, 1_000_000)
+    assert got[2] == (2, 3_000_000)
+    assert got[3] == (2, 6_000_000)  # ev2 + ev3; ev1 is 30h old
+    assert got[4] == (1, 8_000_000)
