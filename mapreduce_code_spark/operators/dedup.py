@@ -198,6 +198,26 @@ def minhash_signatures(
     )
 
 
+def band_keys(sigs: DataFrame, band_size: int = 3) -> DataFrame:
+    """LSH band keys from signatures: ``(doc_id, band, band_key)`` where
+    the key is the '|'-joined signature components in seed order —
+    shared by same-corpus pair-gen and the incremental cross-corpus
+    join."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 12,
@@ -214,19 +234,7 @@ def minhash_lsh_pairs(
     join replaces the O(n^2) all-pairs comparison at scale.
     """
     sigs = minhash_signatures(documents, n_hashes, k, sh_ids=sh_ids)
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                "|",
-            ).alias("band_key")
-        )
-    )
+    bands = band_keys(sigs, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -437,6 +445,149 @@ def near_dup_pairs_scalable(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
     )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.2,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental ingest dedup: near-dups of NEW documents against an
+    EXISTING corpus — the production shape, where each arriving shard is
+    checked against everything already accepted without ever re-running
+    corpus × corpus. Returns ``(new_doc, corpus_doc, shared, size_new,
+    size_corpus, jaccard)`` with jaccard >= threshold.
+
+    The LSH band join runs new-side bands × corpus-side bands only, so
+    per-shard cost is O(|shard| + matching buckets), independent of
+    corpus-internal duplication. In a deployed pipeline the corpus-side
+    signatures/bands and shingle ids are computed once at acceptance
+    time and stored (they are plain tables — the mergeable-sketch
+    storage story); here they are derived inline from the corpus frame
+    so the operator is self-contained and oracle-checkable.
+    """
+    new_sh = _persist(shingle_ids(new_docs, k))
+    corp_sh = _persist(shingle_ids(corpus_docs, k))
+    nb = band_keys(
+        minhash_signatures(new_docs, n_hashes, k, sh_ids=new_sh), band_size
+    )
+    cb = band_keys(
+        minhash_signatures(corpus_docs, n_hashes, k, sh_ids=corp_sh),
+        band_size,
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    n_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    c_sizes = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    shared = (
+        cand.join(new_sh.alias("xs"), F.col("new_doc") == F.col("xs.doc_id"))
+        .join(
+            corp_sh.alias("ys"),
+            (F.col("corpus_doc") == F.col("ys.doc_id"))
+            & (F.col("xs.sid") == F.col("ys.sid")),
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (
+        F.col("size_new") + F.col("size_corpus") - F.col("shared")
+    )
+    return (
+        shared.join(
+            n_sizes.select(
+                F.col("doc_id").alias("new_doc"), F.col("sz").alias("size_new")
+            ),
+            "new_doc",
+        )
+        .join(
+            c_sizes.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("sz").alias("size_corpus"),
+            ),
+            "corpus_doc",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_doc", "corpus_doc", "shared", "size_new", "size_corpus",
+            "jaccard",
+        )
+    )
+
+
+def incremental_near_dups_sql(
+    threshold: float = 0.2,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    new_pred: str = "doc_id % 2 = 1",
+    corpus_pred: str = "doc_id % 2 = 0",
+) -> str:
+    """DuckDB twin of ``incremental_near_dups`` over a parity split of
+    the documents table (new = odd ids, corpus = even ids)."""
+
+    def side(alias: str, pred: str) -> str:
+        return f"""
+{alias}_docs AS (SELECT * FROM documents WHERE {pred}),
+{alias}_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {alias}_docs)
+),
+{alias}_hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM {alias}_sh
+),
+{alias}_sigs AS (
+  SELECT doc_id, seed, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM {alias}_hashed, (VALUES {_coef_values_sql(n_hashes)}) coef(seed, a, b)
+  GROUP BY doc_id, seed
+),
+{alias}_bands AS (
+  SELECT doc_id, seed // {band_size} AS band,
+         string_agg(mh::VARCHAR, '|' ORDER BY seed) AS band_key
+  FROM {alias}_sigs GROUP BY doc_id, seed // {band_size}
+)"""
+
+    return f"""
+WITH {side("n", new_pred)},
+{side("c", corpus_pred)},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM n_bands n
+  JOIN c_bands c ON n.band = c.band AND n.band_key = c.band_key
+),
+n_sizes AS (SELECT doc_id, count(*) AS sz FROM n_sh GROUP BY doc_id),
+c_sizes AS (SELECT doc_id, count(*) AS sz FROM c_sh GROUP BY doc_id),
+shared AS (
+  SELECT cd.new_doc, cd.corpus_doc, count(*) AS shared
+  FROM cand cd
+  JOIN n_sh x ON x.doc_id = cd.new_doc
+  JOIN c_sh y ON y.doc_id = cd.corpus_doc AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT new_doc, corpus_doc, shared,
+       ns.sz AS size_new, cs.sz AS size_corpus,
+       shared / (ns.sz + cs.sz - shared) AS jaccard
+FROM shared
+JOIN n_sizes ns ON ns.doc_id = new_doc
+JOIN c_sizes cs ON cs.doc_id = corpus_doc
+WHERE shared / (ns.sz + cs.sz - shared) >= {threshold}
+"""
 
 
 def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_code_spark.operators import frequent, regression, rules
 from mapreduce_code_spark.plans import prep
@@ -342,6 +343,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: LSH candidates + exact Jaccard rerank."""
     return dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_incremental", oracle=dedup.incremental_near_dups_sql())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: new shard (odd doc_ids) near-dup-checked
+    against the accepted corpus (even doc_ids) — new×corpus band join
+    only, never corpus×corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_near_dups(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
 
 
 @register("dedup_components", oracle=dedup.dup_components_sql())

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_code_spark.operators import dedup, multimodal, similarity
 from mapreduce_code_spark.registry import oracle_sql, queries
@@ -277,3 +278,23 @@ def test_dup_components_long_chain_guard(spark):
     # and with enough iterations the same chain is one component
     labels = dedup.dup_components(chain, max_iters=25).collect()
     assert {r["component"] for r in labels} == {0}
+
+
+def test_incremental_matches_cross_parity_subset(spark, sf_dir):
+    """Signatures are per-document, so the incremental new×corpus pairs
+    must equal exactly the cross-parity subset of the full-corpus
+    near-dup pairs — no pairs invented, none lost at the shard boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    inc = {
+        tuple(sorted((r["new_doc"], r["corpus_doc"])))
+        for r in dedup.incremental_near_dups(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).collect()
+    }
+    full_cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs_scalable(docs).collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    }
+    assert inc == full_cross
