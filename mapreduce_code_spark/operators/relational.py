@@ -1036,6 +1036,40 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
 """
 
 
+def scd2_customer_prices(orders: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension materialization: each customer's
+    order history becomes validity intervals ``(custkey, orderkey,
+    price, valid_from, valid_to, is_current)`` where ``valid_to`` is the
+    next change's timestamp (null = open interval, ``is_current``).
+
+    One window ``lead`` per customer partition — the interval endpoints
+    come from ordering alone, no self-join against "the next row". This
+    is the complement of ``kv_upsert`` (type-1 overwrite): same change
+    stream, history preserved instead of collapsed.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lead_date = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        lead_date.alias("valid_to"),
+        lead_date.isNull().alias("is_current"),
+    )
+
+
+def scd2_customer_prices_sql() -> str:
+    return """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       o_totalprice AS price, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def funnel_stages(events: DataFrame) -> DataFrame:
     """Ordered conversion funnel view → click → purchase per user:
     ``(user_id, first_view, first_click, first_purchase, reached)``.

@@ -589,6 +589,13 @@ def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("relational_scd2_prices", oracle=R.scd2_customer_prices_sql())
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD materialization (validity intervals via window lead) —
+    history-preserving complement of the type-1 kv_upsert."""
+    return R.scd2_customer_prices(load_table(spark, sf_dir, "orders"))
+
+
 @register("relational_funnel_stages", oracle=R.funnel_stages_sql())
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel (stage timestamps strictly

@@ -391,3 +391,17 @@ def test_rolling_24h_frame(spark):
     assert got[2] == (2, 3_000_000)
     assert got[3] == (2, 6_000_000)  # ev2 + ev3; ev1 is 30h old
     assert got[4] == (1, 8_000_000)
+
+
+def test_scd2_intervals_tile(spark, sf_dir):
+    """SCD2 invariants: per customer exactly one open (current) interval,
+    and consecutive intervals tile (valid_to == next valid_from)."""
+    pdf = R.scd2_customer_prices(
+        load_table(spark, sf_dir, "orders")
+    ).toPandas()
+    cur = pdf.groupby("custkey").is_current.sum()
+    assert (cur == 1).all()
+    for _, g in pdf[pdf.custkey < pdf.custkey.min() + 50].groupby("custkey"):
+        g = g.sort_values(["valid_from", "orderkey"], ignore_index=True)
+        closed = g.iloc[:-1]
+        assert (closed.valid_to.values == g.valid_from.values[1:]).all()
