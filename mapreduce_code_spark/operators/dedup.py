@@ -283,17 +283,19 @@ def ngram_jaccard_pairs(
 
     Guarded against accidental large-corpus use: raises ``ValueError``
     above ``QUADRATIC_GUARD_MAX_DOCS`` documents unless
-    ``allow_quadratic=True`` (the guard count is one cheap metadata-only
-    scan, trivial next to the join it prevents). Use
+    ``allow_quadratic=True``. The guard probe is ``limit(cap+1).count()``
+    — a bounded scan that stops as soon as cap+1 rows are seen, so on a
+    100 TB corpus it reads a handful of row groups, not the table (a
+    plain ``count()`` would be a full job). Use
     :func:`near_dup_pairs_scalable` for big corpora.
     """
     if not allow_quadratic:
-        n_docs = documents.count()
-        if n_docs > QUADRATIC_GUARD_MAX_DOCS:
+        probe = documents.limit(QUADRATIC_GUARD_MAX_DOCS + 1).count()
+        if probe > QUADRATIC_GUARD_MAX_DOCS:
             raise ValueError(
                 f"ngram_jaccard_pairs is the exact/audit variant (per-"
-                f"shingle df² join fan-out) and the corpus has {n_docs} "
-                f"docs (> {QUADRATIC_GUARD_MAX_DOCS}). Use "
+                f"shingle df² join fan-out) and the corpus has more than "
+                f"{QUADRATIC_GUARD_MAX_DOCS} docs. Use "
                 f"near_dup_pairs_scalable for large corpora, or pass "
                 f"allow_quadratic=True to force."
             )

@@ -138,7 +138,12 @@ def _real_decode(payload: bytes, kind: str) -> list[float]:
             import soundfile as sf  # noqa: PLC0415
 
             data, _rate = sf.read(io.BytesIO(payload), dtype="float64")
-            mono = np.abs(np.atleast_2d(data)).mean(axis=0).reshape(-1)
+            # soundfile returns (frames,) for mono, (frames, channels)
+            # for multichannel — downmix across CHANNELS (axis=1), never
+            # across frames
+            mono = (
+                np.abs(data).mean(axis=1) if data.ndim == 2 else np.abs(data)
+            )
             bins = np.minimum(
                 (mono * FEATURE_DIM).astype(int), FEATURE_DIM - 1
             )

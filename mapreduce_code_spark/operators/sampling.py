@@ -28,16 +28,31 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000  # permyriad resolution: thresholds are basis points
 
 
-def key_bucket(col) -> F.Column:
+def key_bucket(col, salt: str = "") -> F.Column:
     """Uniform bucket in [0, 10000) from a key column: first 15 md5 hex
-    chars (60 bits, fits BIGINT in both engines) mod 10_000. Portable to
-    DuckDB as ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
-    % 10000``."""
-    h = F.md5(col.cast("string"))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % BUCKETS
+    chars (60 bits, fits BIGINT in both engines) mod 10_000.
+
+    ``salt`` makes buckets for different PURPOSES independent: without
+    it, composing two threshold-keep operators (sample then split) would
+    select by the SAME bucket, so e.g. a 20% sample split 90/10 would
+    put HALF the sample in 'val' instead of 10% — every distinct
+    decision must hash a distinct salted key. Portable to DuckDB as
+    ``('0x' || substr(md5('<salt>|' || CAST(k AS VARCHAR)), 1, 15))
+    ::BIGINT % 10000``."""
+    key = col.cast("string")
+    if salt:
+        key = F.concat(F.lit(salt + "|"), key)
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        % BUCKETS
+    )
 
 
-_BUCKET_SQL = "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 10000"
+def _bucket_sql(key: str, salt: str = "") -> str:
+    expr = f"CAST({key} AS VARCHAR)"
+    if salt:
+        expr = f"'{salt}|' || {expr}"
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT % 10000"
 
 
 def train_val_split(documents: DataFrame, val_bp: int = 1000) -> DataFrame:
@@ -47,7 +62,7 @@ def train_val_split(documents: DataFrame, val_bp: int = 1000) -> DataFrame:
     rerunning, reshuffling, or appending data never moves a document
     across the split (the leakage guarantee fine-tuning pipelines
     need)."""
-    b = key_bucket(F.col("doc_id"))
+    b = key_bucket(F.col("doc_id"), salt="split")
     return documents.select(
         "doc_id",
         b.alias("bucket"),
@@ -56,7 +71,7 @@ def train_val_split(documents: DataFrame, val_bp: int = 1000) -> DataFrame:
 
 
 def train_val_split_sql(val_bp: int = 1000) -> str:
-    b = _BUCKET_SQL.format(key="doc_id")
+    b = _bucket_sql("doc_id", salt="split")
     return f"""
 SELECT doc_id, {b} AS bucket,
        CASE WHEN {b} < {val_bp} THEN 'val' ELSE 'train' END AS split
@@ -84,7 +99,7 @@ def stratified_sample(
     strata never resamples existing rows, and nested rates are monotone
     (a 20% sample is a superset of a 10% sample of the same stratum)."""
     rates = rates_bp if rates_bp is not None else STRATA_RATES_BP
-    b = key_bucket(F.col("doc_id"))
+    b = key_bucket(F.col("doc_id"), salt="sample")
     threshold = F.lit(default_bp)
     for lang, bp in sorted(rates.items()):
         threshold = F.when(F.col("lang") == lang, bp).otherwise(threshold)
@@ -111,7 +126,7 @@ def pack_documents(
     so the same corpus packs identically on any cluster layout.
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
-    shard = key_bucket(F.col("doc_id")) % n_shards
+    shard = key_bucket(F.col("doc_id"), salt="shard") % n_shards
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -134,7 +149,7 @@ def pack_documents(
 
 
 def pack_documents_sql(budget_tokens: int = 2048, n_shards: int = 8) -> str:
-    b = _BUCKET_SQL.format(key="doc_id")
+    b = _bucket_sql("doc_id", salt="shard")
     return f"""
 WITH base AS (
   SELECT doc_id, {b} % {n_shards} AS shard,
@@ -158,7 +173,7 @@ def stratified_sample_sql(
     default_bp: int = DEFAULT_RATE_BP,
 ) -> str:
     rates = rates_bp if rates_bp is not None else STRATA_RATES_BP
-    b = _BUCKET_SQL.format(key="doc_id")
+    b = _bucket_sql("doc_id", salt="sample")
     whens = " ".join(
         f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(rates.items())
     )

@@ -64,10 +64,12 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TX_CACHE.get(key)
     if hit is not None and hit.sparkSession is spark:
         return hit
-    # Evict only entries we can prove are stale: this session's own old
-    # sf_dir entries, and entries whose owning session has stopped. A
-    # CONCURRENTLY LIVE second session's cache must be left alone —
-    # unpersisting it here would silently degrade that session mid-use.
+    # Evict only entries we can prove are stale: THIS key's invalid entry
+    # (id-reuse case) and entries whose owning session has stopped. A
+    # CONCURRENTLY LIVE second session's cache must be left alone
+    # (unpersisting it would silently degrade that session mid-use), and
+    # this session's OTHER sf_dir entries stay warm — a sweep alternating
+    # sf dirs must not thrash the transactions materialization.
     for k, df in list(_TX_CACHE.items()):
         owner = df.sparkSession
         owner_stopped = True
@@ -75,7 +77,7 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             owner_stopped = owner._jsc.sc().isStopped()
         except Exception:
             pass  # JVM handle gone ⇒ stopped
-        if owner is spark or owner_stopped:
+        if k == key or owner_stopped:
             try:
                 df.unpersist()
             except Exception:

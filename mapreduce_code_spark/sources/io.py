@@ -33,10 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # Must hold on ANY session, not just ones built by session.get_spark():
     # external harnesses construct vanilla SparkSessions and call the
-    # registry directly, and without this conf every events.parquet read
-    # dies with PARQUET_TYPE_ILLEGAL (INT64 TIMESTAMP(NANOS)). The conf is
-    # runtime-settable, so set it at the read site.
+    # registry directly, and without these confs (a) every events.parquet
+    # read dies with PARQUET_TYPE_ILLEGAL (INT64 TIMESTAMP(NANOS)), and
+    # (b) on a non-UTC host every timestamp column renders/truncates in
+    # local time while the DuckDB oracles are UTC-naive — the exact class
+    # of host-environment bug round 1 shipped. Both are runtime-settable,
+    # so set them at the read site.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -92,3 +92,20 @@ def test_pack_documents_invariants(spark, sf_dir):
         .sort_values("doc_id", ignore_index=True)
     )
     assert again.equals(pdf.sort_values("doc_id", ignore_index=True))
+
+
+def test_split_and_sample_are_independent(spark, sf_dir):
+    """Purpose salts: the val fraction INSIDE a stratified sample must
+    match the global val rate — without distinct salts, sample-then-split
+    selects by the same bucket and the sample's low buckets would land
+    ~100% in 'val'."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = SMP.stratified_sample(docs, {"en": 2000}, 2000).select("doc_id")
+    split = SMP.train_val_split(docs, val_bp=1000)
+    frac = (
+        split.join(sampled, "doc_id")
+        .toPandas()
+        .split.eq("val")
+        .mean()
+    )
+    assert 0.03 < frac < 0.25  # ~10%, NOT ~50-100%
