@@ -1036,6 +1036,59 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
 """
 
 
+def idle_high_value_customers(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance and
+    NO URGENT order — an explicit left-anti join (the NOT EXISTS
+    rewrite), aggregated per market segment: ``(c_mktsegment,
+    n_customers, total_acctbal)``. (The urgency filter keeps the anti
+    side selective — in this dataset every customer has SOME order.)
+
+    The anti join build side is the distinct order custkeys — typically
+    broadcast; the average-balance threshold is a 1-row aggregate
+    broadcast into the filter. The "above average" predicate is phrased
+    as ``bal·n > total`` in exact decimals — a float ``avg()`` in a
+    FILTER is a cross-engine cliff (order-dependent double summation
+    can flip borderline rows), the same exactness discipline the
+    compared outputs follow.
+    """
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    totals = customer.agg(
+        F.sum(bal).alias("total_bal"), F.count(F.lit(1)).alias("n_cust")
+    )
+    rich = (
+        customer.join(F.broadcast(totals))
+        .filter(bal * F.col("n_cust") > F.col("total_bal"))
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal).cast("double").alias("total_acctbal"),
+    )
+
+
+def idle_high_value_customers_sql() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        * (SELECT count(*) FROM customer)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 def scd2_customer_prices(orders: DataFrame) -> DataFrame:
     """Type-2 slowly-changing-dimension materialization: each customer's
     order history becomes validity intervals ``(custkey, orderkey,

@@ -591,6 +591,15 @@ def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("relational_idle_customers", oracle=R.idle_high_value_customers_sql())
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit left-anti join (NOT EXISTS): above-average-balance
+    customers with no orders, per segment — TPC-H Q22 shape."""
+    return R.idle_high_value_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 @register("relational_scd2_prices", oracle=R.scd2_customer_prices_sql())
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD materialization (validity intervals via window lead) —
