@@ -535,21 +535,18 @@ def incremental_near_dups_sql(
     threshold: float = 0.2,
     n_hashes: int = 12,
     band_size: int = 3,
+    k: int = 3,
     new_pred: str = "doc_id % 2 = 1",
     corpus_pred: str = "doc_id % 2 = 0",
 ) -> str:
     """DuckDB twin of ``incremental_near_dups`` over a parity split of
-    the documents table (new = odd ids, corpus = even ids)."""
+    the documents table (new = odd ids, corpus = even ids) —
+    parameterized over the same knobs as the Spark side."""
 
     def side(alias: str, pred: str) -> str:
         return f"""
 {alias}_docs AS (SELECT * FROM documents WHERE {pred}),
-{alias}_sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(len(w) - 2),
-                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {alias}_docs)
-),
+{alias}_sh AS ({shingles_sql(k, f"{alias}_docs")}),
 {alias}_hashed AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
   FROM {alias}_sh
@@ -674,12 +671,19 @@ def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
 
 # ------------------------------------------------- DuckDB oracle builders
 
-SHINGLES_SQL = """
+def shingles_sql(k: int = 3, source: str = "documents") -> str:
+    """Distinct word k-shingles CTE body — the DuckDB twin of
+    :func:`shingles`, parameterized like the Spark side."""
+    terms = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, k + 1))
+    return f"""
   SELECT DISTINCT doc_id,
-         unnest(list_transform(range(len(w) - 2),
-                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         unnest(list_transform(range(len(w) - {k - 1}),
+                i -> {terms})) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {source})
 """
+
+
+SHINGLES_SQL = shingles_sql()
 
 
 def _coef_values_sql(n_hashes: int) -> str:

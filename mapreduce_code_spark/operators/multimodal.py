@@ -119,24 +119,42 @@ def _byte_histogram(payload: bytes) -> list[float]:
     return (hist / total if total else hist).tolist()
 
 
-def _real_decode(payload: bytes, kind: str) -> list[float]:
-    """Codec-backed feature extraction, used only when the libraries are
-    installed (``HAS_PIL``/``HAS_SOUNDFILE``). Falls back to the byte
-    histogram when the payload isn't decodable (or for video — no ffmpeg
-    python binding is assumed anywhere)."""
+def _import_or_die(modpath: str, lib: str):
+    """Executor-side import of a codec the DRIVER detected. A silent
+    fallback here would make results depend on task placement on a
+    heterogeneous cluster (some rows real-decoded, some byte-histogram,
+    identical schema — undetectable). Fail the task loudly instead."""
     try:
-        if kind == "image" and HAS_PIL:
-            from PIL import Image  # noqa: PLC0415
+        return __import__(modpath, fromlist=["_"])
+    except ImportError as e:  # pragma: no cover - heterogeneous cluster
+        raise RuntimeError(
+            f"{lib} is installed on the driver but missing on this "
+            "executor — install codecs cluster-wide or use fake=True"
+        ) from e
 
+
+def _real_decode(payload: bytes, kind: str, caps: tuple[bool, bool]) -> list[float]:
+    """Codec-backed feature extraction. ``caps`` is the DRIVER's
+    (HAS_PIL, HAS_SOUNDFILE) snapshot, so executors cannot silently
+    diverge from the plan-time decision. Falls back to the byte
+    histogram only for data-level conditions: an undecodable payload,
+    a kind with no codec (video — no ffmpeg binding is assumed)."""
+    has_pil, has_sf = caps
+    if kind == "image" and has_pil:
+        Image = _import_or_die("PIL.Image", "PIL")
+        try:
             img = Image.open(io.BytesIO(payload)).convert("L")
             px = np.asarray(img, dtype=np.uint8)
-            hist = np.bincount(px.reshape(-1) >> 4, minlength=FEATURE_DIM)
-            hist = hist.astype(float)
+            hist = np.bincount(
+                px.reshape(-1) >> 4, minlength=FEATURE_DIM
+            ).astype(float)
             total = hist.sum()
             return (hist / total if total else hist).tolist()
-        if kind == "audio" and HAS_SOUNDFILE:
-            import soundfile as sf  # noqa: PLC0415
-
+        except Exception:
+            return _byte_histogram(payload)  # not a decodable image
+    if kind == "audio" and has_sf:
+        sf = _import_or_die("soundfile", "soundfile")
+        try:
             data, _rate = sf.read(io.BytesIO(payload), dtype="float64")
             # soundfile returns (frames,) for mono, (frames, channels)
             # for multichannel — downmix across CHANNELS (axis=1), never
@@ -150,8 +168,8 @@ def _real_decode(payload: bytes, kind: str) -> list[float]:
             hist = np.bincount(bins, minlength=FEATURE_DIM).astype(float)
             total = hist.sum()
             return (hist / total if total else hist).tolist()
-    except Exception:
-        pass  # undecodable payload → deterministic fallback below
+        except Exception:
+            return _byte_histogram(payload)  # not a decodable audio clip
     return _byte_histogram(payload)
 
 
@@ -174,10 +192,12 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
             "media codecs are not installed in this environment; "
             "pass fake=True for the deterministic byte-histogram stand-in"
         )
+    caps = (HAS_PIL, HAS_SOUNDFILE)  # driver-side snapshot, shipped to tasks
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _byte_histogram(p) if fake else _real_decode(p, k)
+                _byte_histogram(p) if fake else _real_decode(p, k, caps)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

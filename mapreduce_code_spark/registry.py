@@ -74,9 +74,15 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         owner = df.sparkSession
         owner_stopped = True
         try:
-            owner_stopped = owner._jsc.sc().isStopped()
+            jsc = getattr(owner, "_jsc", None)
+            if jsc is None:
+                # no JVM handle to probe (e.g. Spark Connect) — cannot
+                # prove it stopped, so treat as live and leave it alone
+                owner_stopped = False
+            else:
+                owner_stopped = jsc.sc().isStopped()
         except Exception:
-            pass  # JVM handle gone ⇒ stopped
+            pass  # probe failed on a classic session ⇒ stopped
         if k == key or owner_stopped:
             try:
                 df.unpersist()

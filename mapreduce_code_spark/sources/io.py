@@ -43,7 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR the nanos→micros conversion, matching the oracles'
+        # date_trunc('microseconds') which floors: plain `div` truncates
+        # toward zero and would put pre-epoch timestamps 1µs off (same
+        # bug class as the range-join bucketing fix). Identical to `div`
+        # for the post-epoch test data.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     return df
 
 

@@ -107,6 +107,11 @@ def test_lsh_recall(emb_micro):
 
 
 def test_multimodal_decode_stub_raises(docs_micro):
+    """fake=False must raise loudly when NO codec library exists — in an
+    environment with PIL/soundfile installed the real path runs instead,
+    so the assertion only applies to codec-free environments."""
+    if multimodal.HAS_PIL or multimodal.HAS_SOUNDFILE:
+        pytest.skip("codec libraries installed — real decode path active")
     media = multimodal.media_from_documents(docs_micro)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, fake=False)
