@@ -175,6 +175,44 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def grouping_sets_order_stats(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()): the two
+    independent marginals plus the grand total in ONE pass — the general
+    grouping form that rollup/cube specialize (and, unlike them, able to
+    skip the full cross combination). Null group keys from the
+    non-participating columns coalesce to 'ALL' for oracle-stable
+    output."""
+    price = F.col("o_totalprice").cast(_PRICE)
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def grouping_sets_order_stats_sql() -> str:
+    return f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {_PRICE})) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def cube_order_stats(orders: DataFrame) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): every subtotal combination
     in one pass (rollup's superset — 2^k grouping sets)."""

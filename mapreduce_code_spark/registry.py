@@ -548,6 +548,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rollup_pricing(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "relational_grouping_sets", oracle=R.grouping_sets_order_stats_sql()
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (marginals + grand total, no full cross) —
+    the general form rollup/cube specialize."""
+    return R.grouping_sets_order_stats(load_table(spark, sf_dir, "orders"))
+
+
 @register("relational_cube_order_stats", oracle=R.cube_order_stats_sql())
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE subtotals over (orderstatus, orderpriority)."""
