@@ -109,3 +109,36 @@ def test_split_and_sample_are_independent(spark, sf_dir):
         .mean()
     )
     assert 0.03 < frac < 0.25  # ~10%, NOT ~50-100%
+
+
+def test_split_works_on_streams(spark, sf_dir, tmp_path):
+    """The hash-split predicate is stateless and layout-free, so it runs
+    unchanged on a stream and assigns exactly the batch labels."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        SMP.train_val_split(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("split_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.table("split_stream")
+            .toPandas()
+            .set_index("doc_id")["split"]
+            .sort_index()
+        )
+    finally:
+        q.stop()
+    want = (
+        SMP.train_val_split(docs)
+        .toPandas()
+        .set_index("doc_id")["split"]
+        .sort_index()
+    )
+    assert got.equals(want)
