@@ -405,3 +405,16 @@ def test_scd2_intervals_tile(spark, sf_dir):
         g = g.sort_values(["valid_from", "orderkey"], ignore_index=True)
         closed = g.iloc[:-1]
         assert (closed.valid_to.values == g.valid_from.values[1:]).all()
+
+
+def test_portable_hll_error_bound(spark, sf_dir):
+    """The portable HLL's raw estimate stays within the standard
+    ±1.04/√m regime (≈6.5% at m=256; allow 3σ) of the exact count it
+    carries alongside — accuracy, which the equality oracle can't see."""
+    rows = R.hll_distinct_orders_portable(
+        load_table(spark, sf_dir, "lineitem")
+    ).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
+        assert err < 0.20, (r["l_returnflag"], err)
