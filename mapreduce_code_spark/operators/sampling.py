@@ -168,6 +168,60 @@ FROM off
 """
 
 
+def quality_weighted_sample(
+    documents: DataFrame, max_rate_bp: int = 8000
+) -> DataFrame:
+    """Quality-weighted deterministic sample: each document's keep rate
+    is ``quality · max_rate_bp`` basis points (quality ∈ {0, ¼, ½, ¾, 1}
+    from ``functions.text.quality_score`` — exact integer indicators),
+    so high-quality documents are kept proportionally more often — the
+    curation pipeline's soft quality gate, with the same layout/growth
+    stability as every hash-keyed sample here. Returns ``(doc_id, lang,
+    quality, bucket)`` for kept documents."""
+    from mapreduce_code_spark.functions.text import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    b = key_bucket(F.col("doc_id"), salt="qsample")
+    threshold = F.floor(F.col("quality") * max_rate_bp).cast("bigint")
+    return (
+        documents.select("doc_id", "lang", b.alias("bucket"))
+        .join(q, "doc_id")
+        .filter(F.col("bucket") < threshold)
+        .select("doc_id", "lang", "quality", "bucket")
+    )
+
+
+def quality_weighted_sample_sql(max_rate_bp: int = 8000) -> str:
+    from mapreduce_code_spark.functions.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    b = _bucket_sql("doc_id", salt="qsample")
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stop})))
+           AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         (CASE WHEN n_words >= 20 AND n_words <= 2000 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars / n_words >= 3.0 AND n_chars / n_words <= 12.0
+                 THEN 1 ELSE 0 END
+          + CASE WHEN n_stop / n_words >= 0.05 AND n_stop / n_words <= 0.6
+                 THEN 1 ELSE 0 END
+          + CASE WHEN n_uniq * 2 >= n_words THEN 1 ELSE 0 END) / 4.0
+           AS quality
+  FROM s
+)
+SELECT doc_id, lang, quality, {b} AS bucket
+FROM q
+WHERE {b} < CAST(floor(quality * {max_rate_bp}) AS BIGINT)
+"""
+
+
 def stratified_sample_sql(
     rates_bp: dict[str, int] | None = None,
     default_bp: int = DEFAULT_RATE_BP,

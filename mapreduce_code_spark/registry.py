@@ -473,6 +473,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "sampling_quality_weighted", oracle=SMP.quality_weighted_sample_sql()
+)
+def q_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sample: keep rate proportional to
+    the exact-integer quality score — the soft quality gate."""
+    return SMP.quality_weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
 @register("sampling_pack_documents", oracle=SMP.pack_documents_sql())
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded deterministic sequence packing (concat-then-chunk):

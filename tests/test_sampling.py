@@ -142,3 +142,22 @@ def test_split_works_on_streams(spark, sf_dir, tmp_path):
         .sort_index()
     )
     assert got.equals(want)
+
+
+def test_quality_weighted_rates(spark, sf_dir):
+    """Keep rate scales with quality: zero-quality docs never kept, and
+    the kept fraction of each quality tier is ~quality*max_rate."""
+    from mapreduce_code_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SMP.quality_weighted_sample(docs, max_rate_bp=8000).toPandas()
+    assert (kept.quality > 0).all()
+    tiers = (
+        quality_score(docs).toPandas().groupby("quality").size()
+    )
+    kept_tiers = kept.groupby("quality").size()
+    for q, n_total in tiers.items():
+        if q == 0 or n_total < 30:
+            continue
+        frac = kept_tiers.get(q, 0) / n_total
+        assert abs(frac - q * 0.8) < 0.25, (q, frac)
