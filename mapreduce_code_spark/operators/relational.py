@@ -1065,11 +1065,11 @@ hourly AS (
 )
 SELECT g.event_type, g.hour_ts,
        COALESCE(h.n_events, 0) AS n_events,
-       COALESCE(h.v, 0) AS value_sum_micro,
-       last_value(h.v IGNORE NULLS) OVER (
+       CAST(COALESCE(h.v, 0) AS BIGINT) AS value_sum_micro,
+       CAST(last_value(h.v IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.hour_ts
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS filled_sum_micro
+       ) AS BIGINT) AS filled_sum_micro
 FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
 """
 
@@ -1265,8 +1265,8 @@ def rolling_24h_user_activity_sql() -> str:
 WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
 SELECT event_id, user_id, ts,
        count(*) OVER w AS n_24h,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
-         AS value_sum_micro_24h
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS value_sum_micro_24h
 FROM ev
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)

@@ -156,9 +156,10 @@ WITH base AS (
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), off AS (
-  SELECT *, COALESCE(sum(n_tokens) OVER (
+  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
       PARTITION BY shard ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
   FROM base
 )
 SELECT doc_id, shard, n_tokens, start_offset,

@@ -39,12 +39,57 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver verifies queries in the order this dict yields them and has a
+# finite per-round budget (~50 in round 2: it recorded exactly the first 50
+# of 61 registered queries, starving the events family of its first green
+# CORRECTNESS row for two rounds). So ordering is part of the contract:
+# never-verified and previously-red queries go FIRST; near-duplicate
+# variants whose behavior is also pinned by tests go LAST, where a budget
+# cut costs the least evidence.
+_FIRST = [
+    # never driver-verified through round 2 (registered last, budget-cut)
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_view_purchase_correlation",
+    "events_user_running_totals",
+    "events_json_props",
+    "relational_events_orders_asof",
+    "relational_events_close_pairs",
+    "relational_customer_order_history",
+    "relational_distinct_part_stats",
+    "relational_quantity_quartiles",
+    # hash-red in round 2 (oracle sum-cast drift, fixed this round)
+    "sampling_pack_documents",
+    "relational_rolling_24h",
+    "relational_hourly_gapfill",
+    # new in round 3 — no CORRECTNESS row yet
+    "events_streamed_tumbling",
+    "dedup_components_starcontract",
+    "relational_hll_distinct",
+]
+_LAST = [
+    # variants of already-green queries; the distinct behavior each pins
+    # is also locked by a unit test, so these are the cheapest budget cuts
+    "apriori_frequent_itemsets_s300",
+    "apriori_association_rules_ref",
+    "multimodal_frame_plan",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {n: d[n] for n in _FIRST if n in d}
+    out.update({n: v for n, v in d.items() if n not in out and n not in _LAST})
+    out.update({n: d[n] for n in _LAST if n in d})
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _TX_CACHE: dict[tuple[int, str], DataFrame] = {}

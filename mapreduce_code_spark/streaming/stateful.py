@@ -132,7 +132,8 @@ def user_running_totals_sql() -> str:
 WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
 SELECT user_id,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_value_micro,
        max(epoch_us(ts)) AS last_ts_micros
 FROM ev GROUP BY user_id
 """

@@ -59,7 +59,8 @@ SELECT time_bucket(INTERVAL {width_minutes} MINUTE, ts) AS window_start,
            + INTERVAL {width_minutes} MINUTE AS window_end,
        event_type,
        count(*) AS n,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_value_micro
 FROM ev
 GROUP BY 1, 2, 3
 """
@@ -99,7 +100,8 @@ assigned AS (
 SELECT window_start,
        window_start + INTERVAL {width_minutes} MINUTE AS window_end,
        count(*) AS n,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_value_micro
 FROM assigned
 GROUP BY 1, 2
 """
@@ -151,7 +153,8 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
        count(*) AS n,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_micro
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_value_micro
 FROM numbered
 GROUP BY user_id, session_no
 """

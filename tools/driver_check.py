@@ -76,15 +76,36 @@ def main() -> int:
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
+                # Driver-faithful compare: the driver hashes canonicalized
+                # values, so DuckDB HUGEINT->float64 drift against Spark's
+                # int64 is a FAILURE even when values are numerically equal
+                # (e.g. 0.0 vs 0). rtol applies only when BOTH sides are
+                # genuinely float; integer columns compare exactly.
+                g_int = pd.api.types.is_integer_dtype(g)
+                w_int = pd.api.types.is_integer_dtype(w)
                 try:
-                    if pd.api.types.is_numeric_dtype(w):
+                    if g_int != w_int and pd.api.types.is_numeric_dtype(
+                        g
+                    ) and pd.api.types.is_numeric_dtype(w):
+                        status = (
+                            f"DTYPE DRIFT in {c}: spark={g.dtype} "
+                            f"oracle={w.dtype} (driver hash would differ)"
+                        )
+                        break
+                    if g_int and w_int:
+                        if not g.astype("int64").equals(w.astype("int64")):
+                            status = f"VALUE MISMATCH in {c}"
+                            break
+                    elif pd.api.types.is_float_dtype(
+                        g
+                    ) or pd.api.types.is_float_dtype(w):
                         pd.testing.assert_series_equal(
                             g.astype(float), w.astype(float),
                             check_names=False, rtol=1e-9, check_dtype=False)
                     elif not g.astype(str).equals(w.astype(str)):
                         status = f"VALUE MISMATCH in {c}"
                         break
-                except AssertionError:
+                except (AssertionError, TypeError, OverflowError):
                     status = f"VALUE MISMATCH in {c}"
                     break
         print(f"  {name}: rows={len(got)} {status}")
