@@ -315,39 +315,50 @@ def hll_distinct_orders_portable(lineitem: DataFrame) -> DataFrame:
     (``hll_distinct_portable_sql``) — the round-1 blocker for oracling
     approximate distinct.
 
-    Scale shape: one shuffle to (flag, bucket) registers — map-side
-    partial ``max`` combines first — then a 256-rows-per-group fold.
-    Registers are storable/mergeable exactly like the native sketch.
+    Scale shape: ONE scan of the fact table. A pruned-column
+    ``distinct()`` on (flag, orderkey) — map-side partial, one shuffle —
+    feeds BOTH outputs: md5 is computed once per *distinct* key (not per
+    fact row), the (flag, bucket) register max rides the second (tiny)
+    shuffle, and the exact count falls out as ``Σ per-bucket counts`` of
+    the already-distinct keys, so there is no separate ``countDistinct``
+    expand pass and no join. Registers are storable/mergeable exactly
+    like the native sketch.
     """
+    pairs = lineitem.select("l_returnflag", "l_orderkey").distinct()
     h = F.md5(F.col("l_orderkey").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    tail = F.conv(F.substring(h, 3, 10), 16, 10).cast("bigint")
+    hashed = pairs.select("l_returnflag", h.alias("h"))
+    tail = F.conv(F.substring("h", 3, 10), 16, 10).cast("bigint")
     rho = F.when(tail == 0, F.lit(_HLL_RMAX)).otherwise(
         F.lit(_HLL_RMAX) - F.length(F.bin(tail))
     )
     regs = (
-        lineitem.select(
-            "l_returnflag", bucket.alias("bucket"), rho.alias("rho")
+        hashed.select(
+            "l_returnflag",
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+            rho.alias("rho"),
         )
         .groupBy("l_returnflag", "bucket")
-        .agg(F.max("rho").alias("r"))
+        .agg(F.max("rho").alias("r"), F.count(F.lit(1)).alias("n_keys"))
     )
     empty_term = F.lit(int(2**_HLL_RMAX))  # empty bucket ⇒ r=0 ⇒ 2^41
-    s = regs.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)"))
-            + (F.lit(_HLL_M) - F.count("*")) * empty_term
-        ).alias("s_int")
-    )
-    exact = lineitem.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
-    )
-    return s.join(exact, "l_returnflag").select(
-        "l_returnflag",
-        F.floor(F.lit(_HLL_C) / F.col("s_int"))
-        .cast("bigint")
-        .alias("approx_orders"),
-        "exact_orders",
+    return (
+        regs.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+                )
+                + (F.lit(_HLL_M) - F.count("*")) * empty_term
+            ).alias("s_int"),
+            F.sum("n_keys").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            F.floor(F.lit(_HLL_C) / F.col("s_int"))
+            .cast("bigint")
+            .alias("approx_orders"),
+            "exact_orders",
+        )
     )
 
 
