@@ -658,15 +658,125 @@ def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
             break
         prev = cur
     else:
-        raise ValueError(
-            f"dup_components did not converge in {max_iters} iterations "
-            "— pathological chain; use the star-contraction variant"
-        )
+        # pathological chain (rounds needed = eccentricity of the
+        # cluster's min node) — hand the already-materialized edge list
+        # to the O(log n)-round star-contraction variant instead of
+        # failing the job
+        return _star_contract_labels(und)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component"),
         (F.col("node") == F.col("label")).alias("is_keeper"),
     )
+
+
+def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Core of the large-star/small-star connected-components algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — a published algorithm, re-expressed as DataFrame ops) over
+    a materialized undirected edge frame ``(doc_a, doc_b)`` containing
+    both directions.
+
+    Alternating rounds:
+
+    - **large-star**: per node u with m = min({u} ∪ Γ(u)), rewire every
+      strictly-larger neighbor to m — emit (v, m) for v ∈ Γ(u), v > u.
+    - **small-star**: per node u over its smaller neighbors Γ<(u) with
+      m = min(Γ<(u)), rewire u and all of Γ<(u) \\ {m} to m.
+
+    Both steps preserve connectivity and monotonically pull every node
+    toward its component minimum; the edge set converges to stars
+    centered at the component minima in O(log n) rounds — eccentricity
+    no longer matters, which is what makes a 100 TB corpus with one
+    giant chain-shaped near-dup cluster safe. Each round is two
+    groupBy-min aggregations plus two joins on the (shrinking) edge
+    list; every round's output is localCheckpoint-ed (lineage cut) and
+    convergence is the edge-multiset checksum plateauing — one 3-scalar
+    driver collect per round.
+    """
+    # canonical orientation: (u, v) with v < u; both star steps re-emit
+    # canonically so this holds every round
+    edges = (
+        und.where(F.col("doc_b") < F.col("doc_a"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    for _ in range(max_iters):
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            both.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            large.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        chk = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).collect()[0]
+        )
+        if chk == prev:
+            break
+        prev = chk
+    else:
+        raise ValueError(
+            f"star contraction did not converge in {max_iters} rounds — "
+            "O(log n) bound exceeded; the edge list is likely unstable"
+        )
+    # fixpoint = stars: every non-center node has exactly one edge, to
+    # its component min; centers appear only on the v side
+    nodes = und.select(F.col("doc_a").alias("node")).distinct()
+    lbl = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (
+        nodes.join(lbl, nodes["node"] == lbl["u"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lbl", "node").alias("component"),
+            F.coalesce("lbl", "node").eqNullSafe(F.col("node")).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+def dup_components_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs via large-star/small-star
+    contraction — same contract as :func:`dup_components` (``(doc_id,
+    component, is_keeper)``, component = cluster min), but round count is
+    O(log n) in the largest cluster size instead of its eccentricity, so
+    adversarially deep chains (the case :func:`dup_components` can't
+    finish inside its iteration budget) converge. Prefer this variant
+    when cluster shape is unknown; min-label propagation wins only when
+    clusters are known-shallow (fewer, cheaper rounds)."""
+    edges = pairs.select("doc_a", "doc_b")
+    und = (
+        edges.unionByName(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    return _star_contract_labels(und, max_iters=max_iters)
 
 
 # ------------------------------------------------- DuckDB oracle builders

@@ -420,6 +420,15 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+@register("dedup_components_starcontract", oracle=dedup.dup_components_sql())
+def q_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components contract via large-star/small-star contraction:
+    O(log n) rounds in cluster SIZE (not eccentricity), the variant a
+    100 TB corpus with one giant chain-shaped cluster needs."""
+    pairs = dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
+    return dedup.dup_components_star(pairs)
+
+
 @register("dedup_simhash", oracle=dedup.simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (md5-derived, engine-portable)."""

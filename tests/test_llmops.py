@@ -270,19 +270,50 @@ def test_dup_components_transitivity(spark):
     }
 
 
-def test_dup_components_long_chain_guard(spark):
-    """An adversarial chain deeper than max_iters raises instead of
-    returning a half-propagated (wrong) labeling."""
-    import pytest as _pytest
-
+def test_dup_components_long_chain_falls_back_to_stars(spark):
+    """An adversarial chain deeper than max_iters no longer fails the
+    job: min-label propagation hands the materialized edge list to the
+    star-contraction variant, which labels the chain correctly."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
     )
-    with _pytest.raises(ValueError, match="did not converge"):
-        dedup.dup_components(chain, max_iters=5)
-    # and with enough iterations the same chain is one component
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in dedup.dup_components(chain, max_iters=5).collect()
+    }
+    assert got == {i: (0, i == 0) for i in range(21)}
+    # and with enough iterations the propagation path agrees
     labels = dedup.dup_components(chain, max_iters=25).collect()
     assert {r["component"] for r in labels} == {0}
+
+
+def test_star_contraction_deep_chain_olog_rounds(spark):
+    """A 200-node chain (eccentricity 199 — min-label propagation would
+    need ~200 rounds) converges under star contraction within its
+    25-round O(log n) budget, with every node labeled by the chain min."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in dedup.dup_components_star(chain).collect()
+    }
+    assert got == {i: (0, i == 0) for i in range(200)}
+
+
+def test_star_contraction_matches_propagation(spark, sf_dir):
+    """Both components algorithms produce identical labelings over the
+    real near-dup pair pipeline."""
+    pairs = dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
+    via_prop = {
+        (r["doc_id"], r["component"], r["is_keeper"])
+        for r in dedup.dup_components(pairs).collect()
+    }
+    via_star = {
+        (r["doc_id"], r["component"], r["is_keeper"])
+        for r in dedup.dup_components_star(pairs).collect()
+    }
+    assert via_star == via_prop
 
 
 def test_incremental_matches_cross_parity_subset(spark, sf_dir):
