@@ -35,9 +35,15 @@ Behavioral variants of the two reference versions are config flags:
   (``apriori_final.java:215``); ``_raw`` writes unconditionally
   (``apriori_raw.java:442-458``).
 
-Itemset identity: sorted-distinct arrays, rendered as space-joined strings
-(canonical because sorted) — a documented deviation from the reference's
-transaction-order-sensitive strings (SURVEY.md §7.2).
+Itemset identity: by default sorted-distinct arrays, rendered as
+space-joined strings (canonical because sorted) — a deliberate deviation
+from the reference, which keys itemsets by *transaction-order* space-joined
+strings (``apriori_final.java:82-93``: the subset recursion walks tokens in
+line order, so a basket line ``"b a"`` yields the itemset ``"b a"``, a
+DIFFERENT key from ``"a b"``). ``AprioriConfig(ordered_identity=True)``
+replays that faithful mode: subset keys preserve each basket's item order
+(pair with ``plans.prep.transactions_ordered`` for encounter-order
+baskets). SURVEY.md §7.2.
 """
 
 from __future__ import annotations
@@ -59,6 +65,11 @@ class AprioriConfig:
     max_itemset_size: int = 3
     emit_singletons: bool = True   # _final mode; False = _raw mode
     reduce_side_having: bool = True  # _final mode; False = _raw mode
+    # False (default): canonical sorted-set identity — "a b" == "b a",
+    # enforced here regardless of input array order. True: faithful
+    # reference replay — itemset keys preserve the basket's item order
+    # (apriori_final.java:82-93), so "b a" != "a b".
+    ordered_identity: bool = False
 
 
 def frequent_items(tx: DataFrame, support: int = DEFAULT_SUPPORT) -> DataFrame:
@@ -84,7 +95,8 @@ def frequent_itemsets(
     """Jobs 1+2 fused: frequent itemsets of size 1..max_itemset_size.
 
     Returns ``(itemset string, cnt bigint)`` where ``itemset`` is the
-    space-joined sorted item array.
+    space-joined item subset — sorted (canonical) by default, in basket
+    order under ``ordered_identity=True``.
     """
     spark = tx.sparkSession
     freq = frequent_items(tx, config.support)
@@ -96,6 +108,7 @@ def frequent_itemsets(
     vocab_b = spark.sparkContext.broadcast(vocab)
     min_size = 1 if config.emit_singletons else 2
     max_size = config.max_itemset_size
+    ordered = config.ordered_identity
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def gen_subsets(items: pd.Series) -> pd.Series:
@@ -103,6 +116,8 @@ def frequent_itemsets(
 
         def expand(arr):
             kept = [x for x in arr if x in fv]
+            if not ordered:
+                kept = sorted(kept)
             out = []
             for k in range(max(min_size, 2), min(max_size, len(kept)) + 1):
                 out.extend(" ".join(c) for c in combinations(kept, k))
@@ -139,12 +154,15 @@ def frequent_itemsets_udtf(
     )
     min_size = 1 if config.emit_singletons else 2
     max_size = config.max_itemset_size
+    ordered = config.ordered_identity
 
     @F.udtf(returnType="itemset string")
     class SubsetGen:
         def eval(self, items):
             fv = vocab_b.value
             kept = [x for x in (items or []) if x in fv]
+            if not ordered:
+                kept = sorted(kept)
             for k in range(max(min_size, 2), min(max_size, len(kept)) + 1):
                 for c in combinations(kept, k):
                     yield (" ".join(c),)

@@ -46,6 +46,41 @@ def transactions(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def transactions_ordered(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Encounter-order baskets for faithful reference replay:
+    ``(basket_id, items)`` where items keep the order the basket's lines
+    appear in (``l_linenumber``), first occurrence wins on duplicates,
+    and NO sorting is applied — so with
+    ``AprioriConfig(ordered_identity=True)`` the itemset keys reproduce
+    the reference's transaction-order-sensitive identity
+    (``apriori_final.java:82-93``), where ``"b a"`` and ``"a b"`` are
+    different itemsets. Same broadcast-join + single-shuffle plan as
+    :func:`transactions`; the order column rides the collect_list and is
+    dropped after the in-group sort."""
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_orderkey").alias("basket_id"))
+        .agg(
+            F.slice(
+                F.array_distinct(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("l_linenumber", "p_brand")
+                            )
+                        ),
+                        lambda x: x["p_brand"],
+                    )
+                ),
+                1,
+                10_000,
+            ).alias("items")
+        )
+    )
+
+
 def labeled_points_scaled(lineitem: DataFrame) -> DataFrame:
     """Normalized regression input for SGD stability: y and features scaled
     to O(1) so the reference's fixed alpha=0.03 doesn't diverge on

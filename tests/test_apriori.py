@@ -88,3 +88,54 @@ def test_udtf_variant_matches_udf(tx_micro):
             for r in frequent_itemsets_udtf(tx_micro, cfg).collect()
         }
         assert a == b
+
+
+def test_ordered_identity_mode(spark):
+    """Faithful reference replay (apriori_final.java:82-93): itemset keys
+    preserve basket order, so baskets listing "b a" count toward the
+    itemset "b a" — a DIFFERENT key from "a b" — while the default mode
+    folds both spellings into the canonical sorted key."""
+    tx = spark.createDataFrame(
+        [(i, ["b", "a"]) for i in range(5)]
+        + [(5 + i, ["a", "b"]) for i in range(5)],
+        "basket_id long, items array<string>",
+    )
+    ordered = {
+        r["itemset"]: r["cnt"]
+        for r in frequent_itemsets(
+            tx, AprioriConfig(ordered_identity=True)
+        ).collect()
+    }
+    # 10 baskets of {a,b} but only 5 in each spelling: both order-
+    # sensitive pair keys exist, separately counted
+    assert ordered["b a"] == 5 and ordered["a b"] == 5
+    assert ordered["a"] == 10 and ordered["b"] == 10
+    canonical = {
+        r["itemset"]: r["cnt"] for r in frequent_itemsets(tx).collect()
+    }
+    # default mode canonicalizes even order-mixed input arrays
+    assert canonical["a b"] == 10 and "b a" not in canonical
+
+
+def test_transactions_ordered_preserves_line_order(spark):
+    """transactions_ordered keeps l_linenumber encounter order with
+    first-occurrence dedup; transactions sorts."""
+    from mapreduce_code_spark.plans import prep
+
+    lineitem = spark.createDataFrame(
+        [(1, 1, 101), (1, 2, 100), (1, 3, 101), (2, 1, 100)],
+        "l_orderkey long, l_linenumber int, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(100, "A"), (101, "B")], "p_partkey long, p_brand string"
+    )
+    got = {
+        r["basket_id"]: r["items"]
+        for r in prep.transactions_ordered(lineitem, part).collect()
+    }
+    assert got == {1: ["B", "A"], 2: ["A"]}
+    srt = {
+        r["basket_id"]: r["items"]
+        for r in prep.transactions(lineitem, part).collect()
+    }
+    assert srt == {1: ["A", "B"], 2: ["A"]}
