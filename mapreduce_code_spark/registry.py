@@ -772,6 +772,15 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.tumbling_counts(load_table(spark, sf_dir, "events"))
 
 
+@register("events_streamed_tumbling", oracle=W.tumbling_counts_sql())
+def q_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation executed through an actual
+    writeStream (file source → stateful agg → memory sink, availableNow
+    trigger) — the streaming execution path itself earns the oracle
+    comparison, not just its batch twin."""
+    return W.streamed_tumbling_counts(spark, sf_dir)
+
+
 @register("events_sliding_window", oracle=W.sliding_counts_sql())
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m windows (streaming-capable plan)."""

@@ -191,6 +191,11 @@ def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
         T.StructField("ts", T.LongType(), False) if f.name == "ts" else f
         for f in EVENTS.fields
     ]
+    # same point-of-use confs as sources.io.load_table: a vanilla session
+    # (the round driver's) has neither, and without them the nanos
+    # timestamp read throws / truncates in host-local time
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file stream source monitors a DIRECTORY; select just the events
     # file with a glob filter
     reader = (
@@ -201,6 +206,34 @@ def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streamed_tumbling_counts(
+    spark, sf_dir: str, width: str = "1 hour"
+) -> DataFrame:
+    """:func:`tumbling_counts` driven through an ACTUAL ``writeStream`` —
+    file stream source → windowed aggregation → memory sink in complete
+    mode, ``availableNow`` trigger (process everything already on disk,
+    then stop). Returns the materialized sink table, so the streaming
+    execution path itself — micro-batch planner, stateful aggregation,
+    sink commit — produces the compared rows, not a batch twin. The
+    result equals the batch/DuckDB oracle because complete-mode output
+    after the final micro-batch IS the full aggregation.
+
+    At scale this is the standing dashboard query: the same code with a
+    continuous trigger and a real sink; ``availableNow`` here bounds it
+    for a synchronous correctness check."""
+    sink = "events_streamed_tumbling_sink"
+    q = (
+        tumbling_counts(stream_events(spark, sf_dir), width)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:

@@ -61,7 +61,9 @@ PUSHDOWN = (
     "pipeline_curated_corpus",
     "relational_events_close_pairs",
     "relational_filter_case_orders",
-    "relational_hll_distinct",
+    # relational_hll_distinct dropped: its single-scan rewrite removed the
+    # exact-count join whose IsNotNull inference was the only predicate —
+    # a predicate-free full-table sketch has nothing to push down
     "relational_kv_upsert",
     "relational_pricing_summary",
     "relational_setops_customers",
