@@ -129,3 +129,101 @@ def test_compaction_reduces_files(spark, sf_dir, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{src}/part-*.parquet")) == 1
     assert spark.read.parquet(src).count() == orders.count()
+
+
+# ---------------------------------------------------------- window skew
+
+
+def _skewed_events(spark, hot_rows: int, cold_users: int, cold_rows: int):
+    """Synthetic events with one hot user: ``hot_rows`` events 1s apart
+    for user 0 plus ``cold_users`` users with ``cold_rows`` events each —
+    100:1+ key skew when hot_rows >> cold_rows."""
+    base_us = 1_700_000_000_000_000  # fixed epoch anchor, micros
+    hot = spark.range(hot_rows).select(
+        F.col("id").alias("event_id"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * 1_000_000).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    cold = spark.range(cold_users * cold_rows).select(
+        (F.lit(hot_rows) + F.col("id")).alias("event_id"),
+        (F.lit(1) + F.col("id") % cold_users).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.floor(F.col("id") / cold_users) * 1_000_000
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_rolling_24h_survives_100to1_user_skew(spark):
+    """rolling_24h under 1000:1 key skew (one user with 100k events,
+    1000 users with 100): the RANGE-frame running-window machinery is
+    linear in the hot partition, so the hot task finishes in seconds —
+    a self-join formulation of "events in my trailing 24h" would be
+    O(hot_rows²) = 10^10 pairs here and blow any time budget. Exact
+    frame counts on the hot user pin correctness at the 24h boundary."""
+    import time
+
+    from mapreduce_code_spark.operators import relational as R
+
+    events = _skewed_events(spark, hot_rows=100_000, cold_users=1000, cold_rows=100)
+    t0 = time.time()
+    hot = (
+        R.rolling_24h_user_activity(events)
+        .filter(F.col("user_id") == 0)
+        .select("event_id", "n_24h", "value_sum_micro_24h")
+        .collect()
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"hot-user window task took {elapsed:.0f}s — skew cliff"
+    got = {r["event_id"]: (r["n_24h"], r["value_sum_micro_24h"]) for r in hot}
+    assert len(got) == 100_000
+    # 1s spacing: frame [ts-24h, ts] holds min(i, 86400) + 1 events
+    for i in (0, 1, 50_000, 86_400, 99_999):
+        expect = min(i, 86_400) + 1
+        assert got[i] == (expect, expect * 1_000_000), f"row {i}"
+
+
+def test_hourly_gapfill_survives_type_skew(spark):
+    """hourly_gapfill partitions by event_type — inherently few, so one
+    hot type IS the steady state. 100:1 type skew must neither cliff nor
+    mis-fill: the hot type's dense hours aggregate exactly and the cold
+    type's gap hours zero-fill with a forward-filled last value."""
+    import time
+
+    from mapreduce_code_spark.operators import relational as R
+
+    base_us = 1_699_999_200_000_000  # hour-aligned epoch anchor
+    hot = spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * 360_000).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )  # 100k events over 10h
+    cold = spark.range(1_000).select(
+        (F.lit(100_000) + F.col("id")).alias("event_id"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * 3_600_000_000
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )  # 1k events, one per hour — defines the full grid span
+    t0 = time.time()
+    rows = R.hourly_gapfill(hot.unionByName(cold)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"gapfill took {elapsed:.0f}s — skew cliff"
+    # grid = 2 types x 1000 hours
+    assert len(rows) == 2 * 1_000
+    view = [r for r in rows if r["event_type"] == "view"]
+    # hot type: 10 dense hours of 10k events each, then zero-filled gaps
+    assert sum(r["n_events"] for r in view) == 100_000
+    assert max(r["n_events"] for r in view) == 10_000
+    zero_hours = [r for r in view if r["n_events"] == 0]
+    assert len(zero_hours) == 990
+    # forward fill carries the last dense hour's sum into the gap
+    assert all(
+        r["filled_sum_micro"] == 10_000 * 1_000_000 for r in zero_hours
+    )
