@@ -31,10 +31,25 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS query's cached dedup intermediates at
+            # each build: a sequential sweep (the round driver, any
+            # notebook) has consumed them by the time it builds the next
+            # query, so the contract no longer depends on every harness
+            # knowing the dedup module's global. Harmless mid-use — a
+            # released persist recomputes, never corrupts.
+            from mapreduce_code_spark.operators.dedup import release_persisted
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -134,6 +149,16 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass  # owning session already stopped
             del _TX_CACHE[k]
+    # Liveness can't be proven for Connect sessions (no _jsc probe), so
+    # bound the cache: beyond 8 entries evict oldest-inserted first —
+    # session churn then costs a recompute, never unbounded growth.
+    while len(_TX_CACHE) >= 8:
+        k, df = next(iter(_TX_CACHE.items()))
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        del _TX_CACHE[k]
     _TX_CACHE[key] = prep.transactions(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     ).persist()
