@@ -59,6 +59,8 @@ def main() -> int:
         "regression_sgd_linear",
         "regression_sgd_logistic",
         "dedup_components",
+        "dedup_components_starcontract",
+        "events_streamed_tumbling",  # runs an actual writeStream at build
     }
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}

@@ -133,3 +133,29 @@ def test_orc_format_round_trip(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
+
+
+# ------------------------------------------------------- connectors gate
+
+
+def test_connector_gates_name_the_deploy_fix(spark, tmp_path):
+    """This container ships no spark-avro / kafka / JDBC-driver jars, so
+    every connector must fail FAST with the exact deploy flag in the
+    message — never Spark's raw ClassNotFound from inside a job. (On a
+    cluster with the jars present the same calls pass straight through
+    to the stock Spark reader.)"""
+    import pytest as _pytest
+
+    from mapreduce_code_spark.sources import connectors as C
+
+    with _pytest.raises(C.ConnectorUnavailable, match="spark-avro"):
+        C.read_avro(spark, str(tmp_path / "x.avro"))
+    with _pytest.raises(C.ConnectorUnavailable, match="spark-avro"):
+        C.write_avro(spark.range(1), str(tmp_path / "x.avro"))
+    with _pytest.raises(C.ConnectorUnavailable, match="driver jar"):
+        C.read_jdbc(
+            spark, "jdbc:postgresql://db/x", "t", "id", 0, 100, 4,
+            driver="org.postgresql.Driver",
+        )
+    with _pytest.raises(C.ConnectorUnavailable, match="kafka"):
+        C.read_kafka_stream(spark, "broker:9092", "events")
