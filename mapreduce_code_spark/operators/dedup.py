@@ -742,12 +742,20 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
     driver collect per round.
     """
     # canonical orientation: (u, v) with v < u; both star steps re-emit
-    # canonically so this holds every round
+    # canonically so this holds every round. The edge list is orders of
+    # magnitude smaller than the corpus (it's the near-dup pair set), so
+    # per-round task-scheduling overhead, not data volume, dominates the
+    # loop — keep every round's frames at a few partitions (AQE re-splits
+    # if a genuinely huge edge list shows up).
     edges = (
         und.where(F.col("doc_b") < F.col("doc_a"))
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .coalesce(4)
+        # lazy checkpoint: the first consumer materializes it — an eager
+        # checkpoint would cost a separate job per round on top of the
+        # checksum job below
+        .localCheckpoint(eager=False)
     )
     prev: tuple | None = None
     for _ in range(max_iters):
@@ -759,11 +767,14 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # no distinct here: duplicate (v, m) emissions are harmless to the
+        # small-star mins and the final distinct below canonicalizes —
+        # dropping it saves one shuffle per round (the loop is stage-
+        # latency bound, not data bound; the edge list is tiny)
         large = (
             both.join(lmin, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         smin = large.groupBy("u").agg(F.min("v").alias("m"))
         edges = (
@@ -773,7 +784,8 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
             .unionByName(smin.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .coalesce(4)
+            .localCheckpoint(eager=False)
         )
         chk = tuple(
             edges.agg(

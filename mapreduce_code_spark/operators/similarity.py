@@ -434,3 +434,154 @@ def topk_cosine_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
     )
+
+
+# ------------------------------------------------- int8 quantization
+
+def _int8_scale():
+    """Per-vector symmetric int8 scale: ``max|x| / 127`` as an IEEE
+    double — float→double widening is exact and the division is
+    bit-identical in every engine."""
+    return (
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        )
+        / F.lit(127.0)
+    )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/bandwidth scale path for ANN: float32 vectors shrink 4×
+    (64-dim: 256 B → 64 B + one scale), which at 100 TB of embeddings is
+    the difference between a broadcastable codebook and not.
+
+    Long-form output (the driver's canonicalizer can't sort arrays):
+    ``(vec_id, pos, q, scale_q9)`` where ``q = clamp(floor(x/scale+0.5),
+    ±127)`` and ``scale_q9`` is the scale at 1e-9 resolution. Every step
+    is float→double widening, IEEE double arithmetic, and exact floor —
+    bit-reproducible in DuckDB (:func:`quantize_int8_sql`). Zero vectors
+    quantize to all-zero (scale 0 guard).
+    """
+    base = embeddings.select(
+        "vec_id",
+        _int8_scale().alias("scale"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    q = (
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(127).cast("long"),
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.floor(
+                        F.col("x").cast("double") / F.col("scale")
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return base.select(
+        "vec_id",
+        "pos",
+        q.alias("q"),
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_q9"),
+    )
+
+
+def quantize_int8_sql() -> str:
+    """DuckDB twin of :func:`quantize_int8` — same widen/divide/floor
+    pipeline (DuckDB ``floor`` returns DOUBLE; the final INT cast matches
+    Spark's long→int)."""
+    return """
+WITH scales AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+elems AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT e.vec_id, e.pos,
+       CAST(CASE WHEN s.scale = 0 THEN 0
+            ELSE least(127.0, greatest(-127.0,
+                 floor(CAST(e.x AS DOUBLE) / s.scale + 0.5)))
+       END AS INTEGER) AS q,
+       CAST(floor(s.scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_q9
+FROM elems e JOIN scales s USING (vec_id)
+"""
+
+
+def topk_cosine_int8(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — same plan
+    shape as :func:`topk_cosine` (queries broadcast, shuffle-free
+    candidate scan, WindowGroupLimit top-k) but the per-pair dot runs on
+    int8 codes: the per-vector scales cancel in the cosine, so the score
+    is ``dot_q / (|q_a| |q_b|)`` in pure integer math + one double
+    division. Approximate (quantization error ~1/254 per element) —
+    rows-only contract; the recall-vs-exact bound is pinned in tests.
+    """
+    scale = _int8_scale()
+    qv = F.when(scale == 0, F.transform("embedding", lambda v: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "embedding",
+            lambda v: F.least(
+                F.lit(127).cast("long"),
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.floor(v.cast("double") / scale + F.lit(0.5)),
+                ),
+            ),
+        )
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    e = embeddings.select("vec_id", qv.alias("qcodes")).withColumn(
+        "qnorm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("qcodes", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+        ),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qcodes").alias("qa"),
+        F.col("qnorm").alias("qanorm"),
+    )
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cand = e.select(
+        "vec_id", F.col("qcodes").alias("qb"), F.col("qnorm").alias("qbnorm")
+    ).repartition(n_part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_q.cast("double") / (F.col("qanorm") * F.col("qbnorm")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
