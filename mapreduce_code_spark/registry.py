@@ -81,6 +81,8 @@ _FIRST = [
     # new in round 3 — no CORRECTNESS row yet
     "events_streamed_tumbling",
     "dedup_components_starcontract",
+    "similarity_quantize_int8",
+    "similarity_topk_int8",
     "relational_hll_distinct",
 ]
 _LAST = [
@@ -491,6 +493,20 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (random-hyperplane candidates + exact
     re-rank); recall vs brute force asserted in tests."""
     return similarity.topk_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_quantize_int8", oracle=similarity.quantize_int8_sql())
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (long form) — the 4x storage/bandwidth scale path for ANN."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_topk_int8")  # approximate (quantized) — rows-only
+def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors (scales
+    cancel in the cosine); recall vs exact asserted in tests."""
+    return similarity.topk_cosine_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("text_stats", oracle=TXT.text_stats_sql())
