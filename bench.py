@@ -61,6 +61,7 @@ def main() -> int:
         "dedup_components",
         "dedup_components_starcontract",
         "events_streamed_tumbling",  # runs an actual writeStream at build
+        "sampling_streamed_stratified",  # writeStream at build
     }
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}

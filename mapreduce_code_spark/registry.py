@@ -80,6 +80,7 @@ _FIRST = [
     "relational_hourly_gapfill",
     # new in round 3 — no CORRECTNESS row yet
     "events_streamed_tumbling",
+    "sampling_streamed_stratified",
     "dedup_components_starcontract",
     "similarity_quantize_int8",
     "similarity_topk_int8",
@@ -566,6 +567,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sample (downsample dominant
     strata, keep rare ones) — the multilingual-mix rebalancing op."""
     return SMP.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_streamed_stratified", oracle=SMP.stratified_sample_sql())
+def q_streamed_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stratified sample run as a STREAM: hash-keyed sampling is a
+    stateless filter, so the same operator code runs append-mode under
+    readStream and lands the identical row set — reproducibility across
+    batch and streaming ingest is the point of deterministic sampling."""
+    from mapreduce_code_spark.sources.io import load_table_stream
+    from mapreduce_code_spark.streaming.windows import run_available_now
+
+    return run_available_now(
+        SMP.stratified_sample(load_table_stream(spark, sf_dir, "documents")),
+        "sampling_streamed_stratified_sink",
+        output_mode="append",
+    )
 
 
 @register(

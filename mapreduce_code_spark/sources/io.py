@@ -54,6 +54,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`load_table`: a ``readStream`` file source
+    over ``{sf_dir}/{name}.parquet`` with the table's explicit schema (a
+    file stream cannot infer), the same point-of-use nanos/UTC confs, and
+    the same nanos→micros ts conversion for events. The file source
+    monitors the DIRECTORY; a glob filter selects just this table's file.
+    """
+    from pyspark.sql import types as T
+
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = SCHEMAS[name]
+    if name == "events":
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType(), False)
+                if f.name == "ts"
+                else f
+                for f in schema.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several tables at once; all tables if none named."""
     use = names or TABLES

@@ -180,32 +180,32 @@ FROM events
 # ------------------------------------------------------------ streaming
 
 def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
-    """``readStream`` over the events parquet (file source) — the
-    streaming twin of ``load_table``, including the TIMESTAMP(NANOS) →
-    micros conversion (read nanos as long, exact integer division)."""
-    from pyspark.sql import types as T
+    """``readStream`` over the events parquet — the streaming twin of
+    ``load_table`` (delegates to the generic ``load_table_stream``,
+    which sets the nanos/UTC confs at the read site and applies the
+    exact nanos→micros conversion)."""
+    from mapreduce_code_spark.sources.io import load_table_stream
 
-    from mapreduce_code_spark.sources.schemas import EVENTS
-
-    fields = [
-        T.StructField("ts", T.LongType(), False) if f.name == "ts" else f
-        for f in EVENTS.fields
-    ]
-    # same point-of-use confs as sources.io.load_table: a vanilla session
-    # (the round driver's) has neither, and without them the nanos
-    # timestamp read throws / truncates in host-local time
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the file stream source monitors a DIRECTORY; select just the events
-    # file with a glob filter
-    reader = (
-        spark.readStream.schema(T.StructType(fields))
-        .option("pathGlobFilter", "events.parquet")
+    return load_table_stream(
+        spark, sf_dir, "events", max_files_per_trigger=max_files_per_trigger
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str):
+    """Drive a stream through ``writeStream`` with the ``availableNow``
+    trigger (process everything already on disk, then stop) into a
+    memory sink; returns the materialized sink table. The synchronous
+    bounded runner behind every oracled streaming query."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def streamed_tumbling_counts(
@@ -223,17 +223,11 @@ def streamed_tumbling_counts(
     At scale this is the standing dashboard query: the same code with a
     continuous trigger and a real sink; ``availableNow`` here bounds it
     for a synchronous correctness check."""
-    sink = "events_streamed_tumbling_sink"
-    q = (
-        tumbling_counts(stream_events(spark, sf_dir), width)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    return run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir), width),
+        "events_streamed_tumbling_sink",
+        output_mode="complete",
     )
-    q.awaitTermination()
-    return spark.table(sink)
 
 
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
