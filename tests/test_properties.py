@@ -61,3 +61,44 @@ def test_salted_agg_equals_direct(spark, rows, n_salts):
         for r in skew.salted_agg_counts(df, "k", n_salts=n_salts).collect()
     }
     assert salted == direct
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_star_contraction_matches_union_find(spark, edges):
+    """Star-contraction component labels equal a driver-side union-find
+    on arbitrary random graphs — the property that guards the subtle
+    emission rules (large-star emits only from the v>u perspective,
+    small-star rewires Γ< ∪ {u}) against shape-specific blind spots."""
+    from mapreduce_code_spark.operators import dedup
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    expect = {v: find(v) for v in nodes}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dup_components_star(pairs).collect()
+    }
+    assert got == expect
