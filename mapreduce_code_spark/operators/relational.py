@@ -622,6 +622,122 @@ FROM per
 """
 
 
+# Portable histogram-quantile sketch: equi-width bins over the value
+# domain, quantiles read off the cumulative bin counts with linear
+# interpolation inside the hit bin. Completes the portable mergeable-
+# sketch quartet — HLL = distinct counts, count-min = frequencies,
+# Bloom = membership, histogram = QUANTILES — and like the others every
+# step is exact integer arithmetic plus one shared IEEE division, so the
+# *estimates* are cross-engine exact. Error bound: one bin width.
+HIST_BIN_WIDTH = 1_000  # l_extendedprice domain ≈ [900, 105k] → ~105 bins
+HIST_QUANTILES_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def histogram_bins(lineitem: DataFrame, width: int = HIST_BIN_WIDTH) -> DataFrame:
+    """The sketch itself: ``(bin, cnt)`` — bounded equi-width bins.
+    One narrow map + one groupBy with map-side partials; shuffle volume
+    is O(partitions × bins) regardless of input size. Mergeable by
+    bin-wise addition (asserted in tests), so per-day/per-partition
+    histograms can be stored and summed later."""
+    return (
+        lineitem.groupBy(
+            F.floor(F.col("l_extendedprice") / F.lit(float(width)))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    lineitem: DataFrame,
+    width: int = HIST_BIN_WIDTH,
+    quantiles_bp: tuple[int, ...] = HIST_QUANTILES_BP,
+) -> DataFrame:
+    """Histogram-sketch quantile estimates for l_extendedprice:
+    ``(q_bp, n_rows, est)`` — the approximate-percentile answer that
+    scales where exact ``percentile_disc`` (a full sort per group) does
+    not. The target rank is the exact integer ``ceil(q·n)``; the hit bin
+    is the first whose cumulative count reaches it; the estimate
+    interpolates inside that bin with ONE IEEE double division —
+    bit-identical in DuckDB (:func:`histogram_quantiles_sql`).
+
+    Scale shape: one fact scan into ~100 bins (map-side partials), a
+    single-partition window over the bins (bounded by construction —
+    never the data), and a broadcast of the 5-row quantile list.
+    """
+    bins = histogram_bins(lineitem, width)
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    )
+    qdf = lineitem.sparkSession.createDataFrame(
+        [(q,) for q in quantiles_bp], "q_bp int"
+    )
+    # need = ceil(q_bp · n / 10000) in pure integer math
+    need = F.expr("CAST((CAST(q_bp AS BIGINT) * n_rows + 9999) div 10000 AS BIGINT)")
+    return (
+        cum.join(F.broadcast(qdf))
+        .withColumn("need", need)
+        .filter(
+            (F.col("cum_before") < F.col("need"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("need"))
+        )
+        .select(
+            "q_bp",
+            "n_rows",
+            (
+                (F.col("bin") * width).cast("double")
+                + ((F.col("need") - F.col("cum_before")) * width).cast(
+                    "double"
+                )
+                / F.col("cnt")
+            ).alias("est"),
+        )
+    )
+
+
+def histogram_quantiles_sql(
+    width: int = HIST_BIN_WIDTH,
+    quantiles_bp: tuple[int, ...] = HIST_QUANTILES_BP,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` — identical binning,
+    integer rank, and interpolation expression (same operation order, so
+    the one IEEE division matches bit-for-bit)."""
+    qvals = ", ".join(f"({q})" for q in quantiles_bp)
+    return f"""
+WITH bins AS (
+  SELECT CAST(floor(l_extendedprice / {float(width)}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT bin, cnt,
+         CAST(COALESCE(sum(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_rows
+  FROM bins
+), needs AS (
+  SELECT c.*, q.q_bp,
+         (CAST(q.q_bp AS BIGINT) * c.n_rows + 9999) // 10000 AS need
+  FROM cum c, (VALUES {qvals}) q(q_bp)
+)
+SELECT q_bp, n_rows,
+       CAST(bin * {width} AS DOUBLE)
+         + CAST((need - cum_before) * {width} AS DOUBLE) / cnt AS est
+FROM needs
+WHERE cum_before < need AND cum_before + cnt >= need
+"""
+
+
 def hll_merge_distinct_orders(lineitem: DataFrame) -> DataFrame:
     """Mergeability demonstration: sketch two disjoint halves separately,
     then ``hll_union_agg`` them — the result must estimate the SAME

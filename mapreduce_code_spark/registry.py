@@ -84,6 +84,7 @@ _FIRST = [
     "dedup_components_starcontract",
     "similarity_quantize_int8",
     "similarity_topk_int8",
+    "relational_histogram_quantiles",
     "relational_hll_distinct",
 ]
 _LAST = [
@@ -715,6 +716,16 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-slice hashes, bounded 4×1024 cells, min-over-rows probe), exact
     enough to be hash-compared against DuckDB."""
     return R.countmin_heavy_hitters(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "relational_histogram_quantiles", oracle=R.histogram_quantiles_sql()
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimates (equi-width mergeable bins +
+    interpolated rank) — the portable sketch quartet's QUANTILE member;
+    the scalable stand-in for exact percentile's full sort."""
+    return R.histogram_quantiles(load_table(spark, sf_dir, "lineitem"))
 
 
 @register("relational_bloom_customers", oracle=R.bloom_membership_sql())

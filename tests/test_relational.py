@@ -418,3 +418,33 @@ def test_portable_hll_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
         assert err < 0.20, (r["l_returnflag"], err)
+
+
+def test_histogram_quantiles_bound_and_mergeability(spark, sf_dir):
+    """Sketch quantile estimates land within one bin width of the exact
+    percentile, and bins merge by addition: per-half histograms summed
+    equal the whole-corpus histogram (the storable/mergeable property
+    shared by the whole portable sketch family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = {
+        r["q_bp"]: r["est"] for r in R.histogram_quantiles(li).collect()
+    }
+    exact = li.selectExpr(
+        *[
+            f"percentile_cont({q / 10000.0}) WITHIN GROUP "
+            f"(ORDER BY l_extendedprice) AS q{q}"
+            for q in R.HIST_QUANTILES_BP
+        ]
+    ).collect()[0]
+    for q in R.HIST_QUANTILES_BP:
+        assert abs(est[q] - exact[f"q{q}"]) <= R.HIST_BIN_WIDTH, q
+    halves = [
+        li.filter(F.col("l_linenumber") <= 3),
+        li.filter(F.col("l_linenumber") > 3),
+    ]
+    merged: dict = {}
+    for h in halves:
+        for r in R.histogram_bins(h).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    whole = {r["bin"]: r["cnt"] for r in R.histogram_bins(li).collect()}
+    assert merged == whole
