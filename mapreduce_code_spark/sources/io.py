@@ -101,23 +101,26 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in use}
 
 
-def read_transactions_text(spark: SparkSession, path: str) -> DataFrame:
+def read_transactions_text(
+    spark: SparkSession, path: str, ordered: bool = False
+) -> DataFrame:
     """Ingest the reference's apriori input: one basket per line,
     whitespace-separated item tokens (``apriori_final.java:6,51-53``).
 
-    Returns ``(basket_id bigint, items array<string>)`` with items
-    sorted+distinct — the engine's canonical itemset identity
+    Returns ``(basket_id bigint, items array<string>)``. By default
+    items are sorted+distinct — the engine's canonical set identity
     (documented deviation from the reference's order-sensitive strings,
-    SURVEY.md §7.2).
+    SURVEY.md §7.2). ``ordered=True`` keeps the line's token order
+    (first occurrence wins) for faithful replay with
+    ``AprioriConfig(ordered_identity=True)``.
     """
     # blank lines must be dropped BEFORE split — split('') yields ['']
     # (size 1), which would smuggle an empty-string item into the counts
     lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    toks = F.array_distinct(F.split(F.trim(F.col("value")), r"\s+"))
     return lines.select(
         F.monotonically_increasing_id().alias("basket_id"),
-        F.array_sort(
-            F.array_distinct(F.split(F.trim(F.col("value")), r"\s+"))
-        ).alias("items"),
+        (toks if ordered else F.array_sort(toks)).alias("items"),
     )
 
 

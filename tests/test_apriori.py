@@ -139,3 +139,25 @@ def test_transactions_ordered_preserves_line_order(spark):
         for r in prep.transactions(lineitem, part).collect()
     }
     assert srt == {1: ["A", "B"], 2: ["A"]}
+
+
+def test_read_transactions_text_ordered(spark, tmp_path):
+    """ordered=True keeps line order ('b a' stays b-then-a) for faithful
+    replay of reference input files; default still canonicalizes."""
+    from mapreduce_code_spark.sources.io import read_transactions_text
+
+    p = str(tmp_path / "baskets.txt")
+    with open(p, "w") as f:
+        f.write("b a\n\na b c\n")
+    ordered = [
+        r["items"]
+        for r in read_transactions_text(spark, p, ordered=True)
+        .orderBy("basket_id")
+        .collect()
+    ]
+    assert ordered == [["b", "a"], ["a", "b", "c"]]
+    canonical = [
+        r["items"]
+        for r in read_transactions_text(spark, p).orderBy("basket_id").collect()
+    ]
+    assert canonical == [["a", "b"], ["a", "b", "c"]]
