@@ -288,11 +288,16 @@ _PROBE_CACHE: dict[tuple[int, int], int] = {}
 def _guard_probe(documents: DataFrame) -> int:
     """Bounded corpus-size probe (``limit(cap+1).count()`` stops at the
     first cap+1 rows — a handful of row groups on a 100 TB table, never a
-    full scan), memoized on the input's semantic plan hash."""
+    full scan), memoized on the input's semantic plan hash PLUS its file
+    listing: a parquet path's semantic hash is rootPaths-based, so files
+    appended to the same path would otherwise serve a stale (smaller)
+    probe and silently bypass the quadratic guard. ``inputFiles`` is
+    driver-side metadata — no job."""
     try:
         key = (
             id(documents.sparkSession),
             documents._jdf.queryExecution().analyzed().semanticHash(),
+            hash(tuple(sorted(documents.inputFiles()))),
         )
     except Exception:
         key = None  # Spark Connect — no JVM plan handle; probe uncached
@@ -636,6 +641,28 @@ WHERE shared / (ns.sz + cs.sz - shared) >= {threshold}
 """
 
 
+def _materialize_undirected(pairs: DataFrame) -> DataFrame:
+    """Both-direction edge frame ``(doc_a, doc_b)``, materialized ONCE —
+    the shared entry invariant of both components algorithms. ``pairs``
+    is typically the lazy plan of the whole near-dup pipeline, and
+    without the checkpoint every iteration round would re-run shingling
+    + LSH + rerank from scratch (measured 19s → ~4s at sf0.1).
+    coalesce(8): the edge list is orders of magnitude smaller than the
+    corpus, so per-round task overhead, not data volume, dominates the
+    loops — fewer/larger tasks win; at genuinely large edge counts AQE
+    re-splits the joins anyway."""
+    edges = pairs.select("doc_a", "doc_b")
+    return (
+        edges.unionByName(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .coalesce(8)
+        .localCheckpoint()
+    )
+
+
 def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components over near-dup pairs: the production dedup
     step that pair lists alone can't do — near-duplication is transitive
@@ -654,24 +681,7 @@ def dup_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     adversarially long chains would swap in the large-star/small-star
     variant (same per-iteration plan shape, O(log n) rounds).
     """
-    edges = pairs.select("doc_a", "doc_b")
-    # materialize the edge list ONCE: `pairs` is typically the lazy plan
-    # of the whole near-dup pipeline, and without this every propagation
-    # round would re-run shingling + LSH + rerank from scratch (measured
-    # 19s → ~4s at sf0.1)
-    # coalesce(8): the edge list is orders of magnitude smaller than the
-    # corpus (it's the near-dup pair set) — per-round task overhead, not
-    # data volume, dominates the propagation loop, so fewer/larger tasks
-    # win; at genuinely large edge counts AQE re-splits the joins anyway
-    und = (
-        edges.unionByName(
-            edges.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .coalesce(8)
-        .localCheckpoint()
-    )
+    und = _materialize_undirected(pairs)
     # localCheckpoint each iteration: the labels frame would otherwise
     # embed every previous iteration's plan (lineage grows exponentially
     # and the analyzer itself OOMs past ~30 rounds — measured). Cutting
@@ -825,17 +835,9 @@ def dup_components_star(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     finish inside its iteration budget) converge. Prefer this variant
     when cluster shape is unknown; min-label propagation wins only when
     clusters are known-shallow (fewer, cheaper rounds)."""
-    edges = pairs.select("doc_a", "doc_b")
-    und = (
-        edges.unionByName(
-            edges.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .coalesce(8)
-        .localCheckpoint()
+    return _star_contract_labels(
+        _materialize_undirected(pairs), max_iters=max_iters
     )
-    return _star_contract_labels(und, max_iters=max_iters)
 
 
 # ------------------------------------------------- DuckDB oracle builders

@@ -450,6 +450,19 @@ def _int8_scale():
     )
 
 
+def _int8_code(x, scale):
+    """Clamped round-half-up int8 code for ONE element — the single
+    quantization definition shared by the oracled codes query and the
+    quantized search, so the two can never drift apart."""
+    return F.least(
+        F.lit(127).cast("long"),
+        F.greatest(
+            F.lit(-127).cast("long"),
+            F.floor(x.cast("double") / scale + F.lit(0.5)),
+        ),
+    )
+
+
 def quantize_int8(embeddings: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the storage/bandwidth scale path for ANN: float32 vectors shrink 4×
@@ -470,18 +483,7 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
     q = (
         F.when(F.col("scale") == 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(127).cast("long"),
-                F.greatest(
-                    F.lit(-127).cast("long"),
-                    F.floor(
-                        F.col("x").cast("double") / F.col("scale")
-                        + F.lit(0.5)
-                    ),
-                ),
-            )
-        )
+        .otherwise(_int8_code(F.col("x"), F.col("scale")))
         .cast("int")
     )
     return base.select(
@@ -534,17 +536,10 @@ def topk_cosine_int8(
     rows-only contract; the recall-vs-exact bound is pinned in tests.
     """
     scale = _int8_scale()
-    qv = F.when(scale == 0, F.transform("embedding", lambda v: F.lit(0).cast("long"))).otherwise(
-        F.transform(
-            "embedding",
-            lambda v: F.least(
-                F.lit(127).cast("long"),
-                F.greatest(
-                    F.lit(-127).cast("long"),
-                    F.floor(v.cast("double") / scale + F.lit(0.5)),
-                ),
-            ),
-        )
+    qv = F.when(
+        scale == 0, F.transform("embedding", lambda v: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform("embedding", lambda v: _int8_code(v, scale))
     )
     dot_q = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),

@@ -38,7 +38,13 @@ class ConnectorUnavailable(RuntimeError):
 
 
 def _probe_format(spark: SparkSession, fmt: str, deploy_hint: str) -> None:
-    jvm = spark._jvm
+    try:
+        jvm = spark._jvm
+    except Exception:
+        # Spark Connect: no JVM handle to probe with. Absence can't be
+        # proven, so DON'T gate — the real read runs server-side and
+        # surfaces its own error if the jar is missing there.
+        return
     try:
         jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             fmt, spark._jsparkSession.sessionState().conf()
@@ -87,12 +93,18 @@ def read_jdbc(
     is a hang. Predicates on ``partition_column`` push down to the
     database as WHERE clauses on each partition's query."""
     try:
-        spark._jvm.java.lang.Class.forName(driver)
-    except Exception as exc:
-        raise ConnectorUnavailable(
-            f"JDBC driver class {driver!r} is not on the classpath; add "
-            f"the driver jar via --jars (and spark.executor.extraClassPath)"
-        ) from exc
+        jvm = spark._jvm
+    except Exception:
+        jvm = None  # Spark Connect — can't probe; let the read surface it
+    if jvm is not None:
+        try:
+            jvm.java.lang.Class.forName(driver)
+        except Exception as exc:
+            raise ConnectorUnavailable(
+                f"JDBC driver class {driver!r} is not on the classpath; "
+                f"add the driver jar via --jars (and "
+                f"spark.executor.extraClassPath)"
+            ) from exc
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
