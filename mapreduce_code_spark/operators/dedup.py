@@ -747,9 +747,13 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
     no longer matters, which is what makes a 100 TB corpus with one
     giant chain-shaped near-dup cluster safe. Each round is two
     groupBy-min aggregations plus two joins on the (shrinking) edge
-    list; every round's output is localCheckpoint-ed (lineage cut) and
-    convergence is the edge-multiset checksum plateauing — one 3-scalar
-    driver collect per round.
+    list; every round's output is localCheckpoint-ed (lineage cut).
+    Convergence = the edge set is star-shaped (no node appears on both
+    the leaf and center side) — checkable on the SAME round's output
+    with one scalar job, so unlike a plateau test it never pays an
+    extra confirmation round. Star-shaped ⇒ fixpoint: both steps map
+    stars to themselves, and edge transformations preserve
+    connectivity, so a star component is final.
     """
     # canonical orientation: (u, v) with v < u; both star steps re-emit
     # canonically so this holds every round. The edge list is orders of
@@ -764,11 +768,22 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
         .coalesce(4)
         # lazy checkpoint: the first consumer materializes it — an eager
         # checkpoint would cost a separate job per round on top of the
-        # checksum job below
+        # convergence-check job below
         .localCheckpoint(eager=False)
     )
-    prev: tuple | None = None
-    for _ in range(max_iters):
+
+    def _is_star_shaped(e: DataFrame) -> bool:
+        # any node on both sides (some edge's u == another edge's v)
+        # means contraction hasn't finished
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, F.col("a.v") == F.col("b.u"), "left_semi").limit(1).count()
+            == 0
+        )
+
+    converged = _is_star_shaped(edges)
+    rounds = 0
+    while not converged and rounds < max_iters:
         both = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -797,15 +812,9 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
             .coalesce(4)
             .localCheckpoint(eager=False)
         )
-        chk = tuple(
-            edges.agg(
-                F.count(F.lit(1)), F.sum("u"), F.sum("v")
-            ).collect()[0]
-        )
-        if chk == prev:
-            break
-        prev = chk
-    else:
+        converged = _is_star_shaped(edges)
+        rounds += 1
+    if not converged:
         raise ValueError(
             f"star contraction did not converge in {max_iters} rounds — "
             "O(log n) bound exceeded; the edge list is likely unstable"
