@@ -773,13 +773,19 @@ def _star_contract_labels(und: DataFrame, max_iters: int = 25) -> DataFrame:
     )
 
     def _is_star_shaped(e: DataFrame) -> bool:
-        # any node on both sides (some edge's u == another edge's v)
-        # means contraction hasn't finished
-        a, b = e.alias("a"), e.alias("b")
-        return (
-            a.join(b, F.col("a.v") == F.col("b.u"), "left_semi").limit(1).count()
-            == 0
+        # Fixpoint ⇔ disjoint stars ⇔ BOTH hold: (a) no node appears on
+        # the leaf AND center side (no chains), and (b) every leaf points
+        # at exactly one center (a u with two distinct v's is a node
+        # whose centers haven't merged yet — the hypothesis suite's
+        # falsifying example [(0,2),(1,2)] is exactly that shape, which
+        # check (a) alone wrongly accepts). One scalar job: union both
+        # violation kinds and probe for a single row.
+        centers = e.select(F.col("v").alias("u")).distinct()
+        per_u = e.groupBy("u").agg(F.count_distinct("v").alias("nv"))
+        bad = per_u.where(F.col("nv") > 1).select("u").unionByName(
+            per_u.select("u").join(centers, "u", "left_semi")
         )
+        return bad.limit(1).count() == 0
 
     converged = _is_star_shaped(edges)
     rounds = 0
