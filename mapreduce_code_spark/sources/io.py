@@ -20,37 +20,54 @@ from mapreduce_code_spark.sources.schemas import SCHEMAS
 TABLES = tuple(SCHEMAS)
 
 
+def _canonical_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the engine's canonical TIMESTAMP type
+    regardless of how the parquet writer typed it. Seen in the wild:
+
+    - INT64 TIMESTAMP(NANOS): Spark reads long nanos under
+      ``nanosAsLong`` — FLOOR to micros (matching the oracles'
+      ``date_trunc('microseconds')``; plain ``div`` truncates toward
+      zero and would put pre-epoch timestamps 1µs off).
+    - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ — cast to TIMESTAMP; under the UTC session zone set
+      at the read site this preserves the wall-clock micros exactly,
+      which is how the DuckDB oracles read the same (naive) column.
+    - TIMESTAMP (already UTC-adjusted): passes through untouched.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
-    microseconds with exact integer division (``div`` — not float ``/``,
-    which loses precision above 2^53). DuckDB oracles mirror this with
-    ``date_trunc('microseconds', ts)``.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS, naive) across driver testdata generations; either
+    way it is normalized to microsecond TIMESTAMP under a UTC session
+    zone (see :func:`_canonical_events_ts`). DuckDB oracles mirror this
+    with ``date_trunc('microseconds', ts)`` over the naive column.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # Must hold on ANY session, not just ones built by session.get_spark():
     # external harnesses construct vanilla SparkSessions and call the
-    # registry directly, and without these confs (a) every events.parquet
-    # read dies with PARQUET_TYPE_ILLEGAL (INT64 TIMESTAMP(NANOS)), and
-    # (b) on a non-UTC host every timestamp column renders/truncates in
-    # local time while the DuckDB oracles are UTC-naive — the exact class
-    # of host-environment bug round 1 shipped. Both are runtime-settable,
-    # so set them at the read site.
+    # registry directly, and without these confs (a) a nanos-typed
+    # events.parquet read dies with PARQUET_TYPE_ILLEGAL (INT64
+    # TIMESTAMP(NANOS)), and (b) on a non-UTC host every timestamp column
+    # renders/truncates in local time while the DuckDB oracles are
+    # UTC-naive — the exact class of host-environment bug round 1
+    # shipped. Both are runtime-settable, so set them at the read site.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # FLOOR the nanos→micros conversion, matching the oracles'
-        # date_trunc('microseconds') which floors: plain `div` truncates
-        # toward zero and would put pre-epoch timestamps 1µs off (same
-        # bug class as the range-join bucketing fix). Identical to `div`
-        # for the post-epoch test data.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+    if name == "events":
+        df = _canonical_events_ts(df)
     return df
 
 
@@ -74,11 +91,20 @@ def load_table_stream(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = SCHEMAS[name]
     if name == "events":
+        # A file stream must declare its schema up front, and the declared
+        # ts type must match the file's physical encoding (long nanos vs
+        # naive micros). Probe via a batch footer read — metadata only, no
+        # Spark job — then normalize exactly like the batch reader.
+        probed = dict(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet").dtypes
+        ).get("ts")
+        ts_type = {
+            "bigint": T.LongType(),
+            "timestamp_ntz": T.TimestampNTZType(),
+        }.get(probed, T.TimestampType())
         schema = T.StructType(
             [
-                T.StructField("ts", T.LongType(), False)
-                if f.name == "ts"
-                else f
+                T.StructField("ts", ts_type, False) if f.name == "ts" else f
                 for f in schema.fields
             ]
         )
@@ -89,9 +115,7 @@ def load_table_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+        df = _canonical_events_ts(df)
     return df
 
 

@@ -58,11 +58,18 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        if name not in oracles:
-            print(f"  {name}: rows-only check, rows={sdf.count()}")
+        # The driver records a per-query err and moves on; a raising query
+        # must not mask the health of everything registered after it.
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                print(f"  {name}: rows-only check, rows={sdf.count()}")
+                continue
+            got = normalize(sdf.toPandas())
+        except Exception as exc:
+            print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
             continue
-        got = normalize(sdf.toPandas())
         con = duckdb.connect()
         for t in SCHEMAS:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
