@@ -1,7 +1,12 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+short JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N, "queries_sidecar": "bench_timings.json"}.
+
+Per-query timings (and per-run times when SPARK_GRAFT_BENCH_REPEATS>1)
+go to bench_timings.json next to this file — the driver keeps only a
+2000-char tail of stdout, and a 68-query timings dict inline overflowed
+it three rounds running (BENCH_r0{1,2,3}.json all "parsed": null).
 
 Execution is forced through the noop sink (full pipeline runs, nothing
 collected to the driver), which measures engine time rather than
@@ -64,17 +69,19 @@ def main() -> int:
         "sampling_streamed_stratified",  # writeStream at build
     }
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     shuffles: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        best = None
+        per_run: list[float] = []
         for _ in range(max(repeats, 1)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            per_run.append(round(time.perf_counter() - t0, 3))
+        best = min(per_run)
+        runs[name] = per_run
         # shuffle count — the scale-relevant plan-shape metric (each net
         # Exchange is a full network shuffle at cluster scale; broadcast
         # and reused exchanges don't shuffle). Counted on a FRESH
@@ -102,21 +109,45 @@ def main() -> int:
         release_persisted()
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
-    # Round 1 lesson: the driver captures only a bounded tail of stdout,
-    # and the full payload (timings + shuffles for every query) overflowed
-    # it — BENCH_r01.json recorded "parsed": null. Keep stdout to ONE
-    # compact JSON line (timings only, no spaces) as the final line, and
-    # write the plan-shape detail (shuffle counts) to a sidecar file.
-    sidecar = Path(__file__).resolve().parent / "bench_shuffles.json"
-    sidecar.write_text(json.dumps(shuffles, indent=1, sort_keys=True))
+    # Rounds 1-3 lesson: the driver captures only a ~2000-char tail of
+    # stdout and the inline per-query timings dict overflowed it every
+    # round ("parsed": null). Stdout gets ONE short line (total only);
+    # everything per-query goes to sidecar files next to this script:
+    #   bench_timings.json  — best-of-N per query, per-run times, and a
+    #                         "contended" list (max/min > 3x) so a noisy
+    #                         host run is visibly noisy instead of
+    #                         looking like a regression
+    #   bench_shuffles.json — net Exchange count per fresh plan
+    here = Path(__file__).resolve().parent
+    (here / "bench_shuffles.json").write_text(
+        json.dumps(shuffles, indent=1, sort_keys=True)
+    )
+    contended = sorted(
+        n for n, rs in runs.items() if len(rs) > 1 and max(rs) > 3 * min(rs)
+    )
+    (here / "bench_timings.json").write_text(
+        json.dumps(
+            {
+                "total_sec": round(sum(timings.values()), 3),
+                "sf": sf,
+                "repeats": max(repeats, 1),
+                "queries": timings,
+                "runs": runs,
+                "contended": contended,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "engine_bench_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries_sidecar": "bench_timings.json",
             },
             separators=(",", ":"),
         )

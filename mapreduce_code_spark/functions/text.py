@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_code_spark.partitioning import spread
+
 # Marker stopwords per language for the n-gram/marker-vote heuristic.
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "that"]
 MARKERS = {
@@ -191,9 +193,8 @@ def winnow_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pos_sh = (
-        documents.repartition(n_part)
+        spread(documents)
         .select("doc_id", F.posexplode(sh).alias("pos", "shingle"))
         .withColumn(
             "h",
@@ -259,9 +260,8 @@ def tfidf_stats(documents: DataFrame, min_tf: int = 2) -> DataFrame:
     the long hapax tail before the df join — at web scale that tail is
     most of the vocabulary.
     """
-    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     words = (
-        documents.repartition(n_part)
+        spread(documents)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
     )

@@ -32,6 +32,8 @@ import threading
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_code_spark.partitioning import spread
+
 # Persisted intermediates (shingle passes) are tracked here so long-lived
 # sessions (bench repeats, notebooks) can release them: Spark's
 # CacheManager holds cached plans until explicit unpersist — they are NOT
@@ -121,10 +123,10 @@ def _exploded_shingles(documents: DataFrame, k: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # documents arrive as one partition per parquet file; spread the rows
-    # BEFORE the explode/md5-heavy downstream stages so they use all cores
-    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return documents.repartition(n_part).select(
+    # spread an under-partitioned corpus BEFORE the explode/md5-heavy
+    # downstream stages (single test file = 1 partition); a well-split
+    # 100 TB input passes through with no Exchange
+    return spread(documents).select(
         "doc_id", F.explode(sh).alias("shingle")
     )
 
@@ -400,9 +402,8 @@ def simhash(documents: DataFrame) -> DataFrame:
     shuffle with map-side partial aggregation; no per-bit row blowup.
     Returns ``(doc_id, simhash bigint)``.
     """
-    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = (
-        documents.repartition(n_part)
+        spread(documents)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .withColumn("h", _token_hash(F.col("w")))
     )

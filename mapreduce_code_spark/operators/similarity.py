@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapreduce_code_spark.partitioning import spread
+
 
 SCALE = 10_000_000.0  # quantization: 1e-7 resolution
 
@@ -76,10 +78,10 @@ def topk_cosine(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
         F.col("embedding").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    # single-file parquet arrives as one partition; spread the candidate
-    # scan so the per-pair dot evaluation parallelizes across cores
-    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cand = e.select("vec_id", "embedding", "norm").repartition(n_part)
+    # spread an under-partitioned candidate scan (single test file = one
+    # partition) so the per-pair dot evaluation parallelizes across
+    # cores; a well-split input passes through with no Exchange
+    cand = spread(e.select("vec_id", "embedding", "norm"))
     cos = dot_exact(F.col("qv"), F.col("embedding")).cast("double") / (
         F.col("qnorm") * F.col("norm")
     )
@@ -151,22 +153,24 @@ def cosine_dup_pairs(
     keeps pairs >= threshold. Returns ``(vec_a, vec_b, cosine)``.
     """
     e = with_norm(embeddings)
-    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # round-robin the left side across cores so pair generation + per-pair
-    # dot evaluation parallelize (single-file parquet would otherwise be
-    # one task). The right side is broadcast only when it provably fits
-    # (metadata-cheap count vs BROADCAST_VEC_LIMIT): an unconditional
-    # broadcast hint would hit Spark's 8 GB broadcast limit at corpus
-    # scale, while never broadcasting costs ~4× at bench scale. Above the
-    # limit the blocked equi-join shuffles (AQE may still convert it).
+    # spread the left side across cores when under-partitioned so pair
+    # generation + per-pair dot evaluation parallelize (single-file
+    # parquet would otherwise be one task; a well-split input passes
+    # through shuffle-free). The right side is broadcast only when it
+    # provably fits (metadata-cheap count vs BROADCAST_VEC_LIMIT): an
+    # unconditional broadcast hint would hit Spark's 8 GB broadcast limit
+    # at corpus scale, while never broadcasting costs ~4× at bench scale.
+    # Above the limit the blocked equi-join shuffles (AQE may convert it).
     if broadcast_right is None:
         broadcast_right = embeddings.count() <= BROADCAST_VEC_LIMIT
-    a = e.select(
-        F.col(block_col).alias("blk"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
-    ).repartition(n_part)
+    a = spread(
+        e.select(
+            F.col(block_col).alias("blk"),
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+        )
+    )
     b = e.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("vec_b"),
@@ -561,12 +565,11 @@ def topk_cosine_int8(
         F.col("qcodes").alias("qa"),
         F.col("qnorm").alias("qanorm"),
     )
-    n_part = int(
-        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cand = spread(
+        e.select(
+            "vec_id", F.col("qcodes").alias("qb"), F.col("qnorm").alias("qbnorm")
+        )
     )
-    cand = e.select(
-        "vec_id", F.col("qcodes").alias("qb"), F.col("qnorm").alias("qbnorm")
-    ).repartition(n_part)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )

@@ -55,44 +55,49 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver verifies queries in the order this dict yields them and has a
-# finite per-round budget (~50 in round 2: it recorded exactly the first 50
-# of 61 registered queries, starving the events family of its first green
-# CORRECTNESS row for two rounds). So ordering is part of the contract:
-# never-verified and previously-red queries go FIRST; near-duplicate
-# variants whose behavior is also pinned by tests go LAST, where a budget
-# cut costs the least evidence.
+# finite per-round budget (~50 of 67 registered queries got a round-3 row).
+# So ordering is part of the contract, and the rule — extended per the
+# round-3 verdict — is: a query goes FIRST if it is (a) new this round,
+# (b) its code was touched this round, or (c) it has no driver row from
+# the previous round (rotation: nothing sits unchecked two rounds in a
+# row). Near-duplicate variants whose behavior is also pinned by a unit
+# test go LAST, where a budget cut costs the least evidence.
 _FIRST = [
-    # never driver-verified through round 2 (registered last, budget-cut)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_view_purchase_correlation",
-    "events_user_running_totals",
-    "events_json_props",
-    "relational_events_orders_asof",
-    "relational_events_close_pairs",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_quantity_quartiles",
-    # hash-red in round 2 (oracle sum-cast drift, fixed this round)
-    "sampling_pack_documents",
-    "relational_rolling_24h",
-    "relational_hourly_gapfill",
-    # new in round 3 — no CORRECTNESS row yet
-    "events_streamed_tumbling",
-    "sampling_streamed_stratified",
-    "dedup_components_starcontract",
-    "similarity_quantize_int8",
-    "similarity_topk_int8",
-    "relational_histogram_quantiles",
-    "relational_hll_distinct",
-]
-_LAST = [
-    # variants of already-green queries; the distinct behavior each pins
-    # is also locked by a unit test, so these are the cheapest budget cuts
+    # the 17 queries with no CORRECTNESS_r03 row (budget-cut; all green
+    # in r02 and judge-verified clean in r03 — rotation per verdict #2)
+    "relational_topk_parts_per_brand",
+    "relational_rollup_pricing",
+    "relational_grouping_sets",
+    "relational_cube_order_stats",
+    "relational_pivot_returnflag",
+    "relational_kv_upsert",
+    "relational_countmin_heavy_hitters",
+    "relational_bloom_customers",
+    "relational_idle_customers",
+    "relational_scd2_prices",
+    "relational_funnel_stages",
+    "relational_unpivot_measures",
+    "relational_setops_customers",
+    "relational_filter_case_orders",
     "apriori_frequent_itemsets_s300",
     "apriori_association_rules_ref",
     "multimodal_frame_plan",
+    # new or code-touched in round 4
+    "apriori_frequent_itemsets_ordered",  # new: faithful ordered-identity mode
+    "dedup_components",  # touched: shared pair materialization
+    "dedup_components_starcontract",  # touched: shared pair materialization
+    "dedup_minhash_lsh",  # touched: conditional corpus repartition
+    "dedup_near_dup_scalable",  # touched: conditional corpus repartition
+    "dedup_simhash",  # touched: conditional corpus repartition
+    "dedup_incremental",  # touched: conditional corpus repartition
+    "similarity_topk_cosine",  # touched: conditional corpus repartition
+]
+_LAST = [
+    # batch twins of the streamed queries (one shared oracle each, parity
+    # additionally pinned by tests/test_streaming.py) — per verdict #8 the
+    # pure-batch twin is the cheapest budget cut if the round runs tight
+    "events_tumbling_window",  # twin of events_streamed_tumbling
+    "sampling_stratified_lang",  # twin of sampling_streamed_stratified
 ]
 
 
@@ -111,30 +116,34 @@ def oracle_sql() -> dict[str, str]:
     return _ordered(_ORACLES)
 
 
-_TX_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Per-(kind, session, sf_dir) persisted materializations shared across
+# registered queries. Two uses: the Apriori transactions prep (the
+# reference's own cross-job HBase cache, done Spark-style with persist())
+# and the near-dup pairs frame shared by dedup_components and
+# dedup_components_starcontract (round-3 verdict #4: rebuilding the full
+# shingles→LSH→rerank pipeline for each components variant doubled the
+# sweep cost for identical input).
+_DF_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
-def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transactions view, persisted per (session, sf_dir) — the Apriori
-    queries share one materialization instead of re-running the
-    lineitem⋈part prep (the reference's own cross-job HBase cache, done
-    Spark-style with ``persist()``). Keyed by the live session too: a
-    cached DataFrame is bound to the session that built it, and handing
-    it to a restarted session would fail."""
-    key = (id(spark), sf_dir)
+def _cached_df(kind: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Persisted DataFrame per (kind, session, sf_dir). Keyed by the live
+    session: a cached DataFrame is bound to the session that built it,
+    and handing it to a restarted session would fail."""
+    key = (kind, id(spark), sf_dir)
     # validate on HIT too: id() can be reused after a stopped session is
     # garbage-collected, so the key alone can't prove the cached frame
     # belongs to THIS session
-    hit = _TX_CACHE.get(key)
+    hit = _DF_CACHE.get(key)
     if hit is not None and hit.sparkSession is spark:
         return hit
     # Evict only entries we can prove are stale: THIS key's invalid entry
     # (id-reuse case) and entries whose owning session has stopped. A
     # CONCURRENTLY LIVE second session's cache must be left alone
     # (unpersisting it would silently degrade that session mid-use), and
-    # this session's OTHER sf_dir entries stay warm — a sweep alternating
-    # sf dirs must not thrash the transactions materialization.
-    for k, df in list(_TX_CACHE.items()):
+    # this session's OTHER entries stay warm — a sweep alternating
+    # sf dirs must not thrash the materializations.
+    for k, df in list(_DF_CACHE.items()):
         owner = df.sparkSession
         owner_stopped = True
         try:
@@ -152,21 +161,34 @@ def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 df.unpersist()
             except Exception:
                 pass  # owning session already stopped
-            del _TX_CACHE[k]
+            del _DF_CACHE[k]
     # Liveness can't be proven for Connect sessions (no _jsc probe), so
     # bound the cache: beyond 8 entries evict oldest-inserted first —
     # session churn then costs a recompute, never unbounded growth.
-    while len(_TX_CACHE) >= 8:
-        k, df = next(iter(_TX_CACHE.items()))
+    while len(_DF_CACHE) >= 8:
+        k, df = next(iter(_DF_CACHE.items()))
         try:
             df.unpersist()
         except Exception:
             pass
-        del _TX_CACHE[k]
-    _TX_CACHE[key] = prep.transactions(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    ).persist()
-    return _TX_CACHE[key]
+        del _DF_CACHE[k]
+    _DF_CACHE[key] = build().persist()
+    return _DF_CACHE[key]
+
+
+def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactions view, persisted per (session, sf_dir) — the Apriori
+    queries share one materialization instead of re-running the
+    lineitem⋈part prep."""
+    return _cached_df(
+        "transactions",
+        spark,
+        sf_dir,
+        lambda: prep.transactions(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+        ),
+    )
 
 
 # DuckDB twin of plans.prep.transactions: distinct (basket, item) tokens.
@@ -234,6 +256,64 @@ def q_frequent_itemsets_high(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent.frequent_itemsets(
         _transactions(spark, sf_dir),
         frequent.AprioriConfig(support=HIGH_SUPPORT),
+    )
+
+
+# Faithful reference-replay oracle: itemset identity follows the basket's
+# ENCOUNTER order (apriori_final.java:82-93 — "b a" != "a b"), not the
+# canonical sorted-set identity. Baskets order items by first l_linenumber
+# (unique within an order), first occurrence wins on duplicate brands;
+# subset enumeration then respects in-basket position (a.pos < b.pos)
+# instead of lexicographic item order.
+_ORDERED_ITEMSETS_ORACLE = f"""
+WITH tok AS (
+  SELECT l_orderkey AS basket_id, p_brand AS item,
+         min(l_linenumber) AS first_ln
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+freq AS (SELECT item FROM tok GROUP BY item HAVING count(*) >= {SUPPORT}),
+pos AS (
+  -- order by (first_ln, item): the driver's synthetic lineitem REUSES
+  -- l_linenumber within an order, and Spark's array_sort over
+  -- struct(l_linenumber, p_brand) breaks those ties by brand
+  SELECT basket_id, item,
+         row_number() OVER (PARTITION BY basket_id
+                            ORDER BY first_ln, item) AS pos
+  FROM tok WHERE item IN (SELECT item FROM freq)
+),
+singles AS (SELECT item AS itemset, count(*) AS cnt FROM pos GROUP BY 1),
+pairs AS (
+  SELECT a.item || ' ' || b.item AS itemset, count(*) AS cnt
+  FROM pos a JOIN pos b ON a.basket_id = b.basket_id AND a.pos < b.pos
+  GROUP BY 1
+),
+triples AS (
+  SELECT a.item || ' ' || b.item || ' ' || c.item AS itemset, count(*) AS cnt
+  FROM pos a
+  JOIN pos b ON a.basket_id = b.basket_id AND a.pos < b.pos
+  JOIN pos c ON b.basket_id = c.basket_id AND b.pos < c.pos
+  GROUP BY 1
+)
+SELECT itemset, cnt
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs
+      UNION ALL SELECT * FROM triples)
+WHERE cnt >= {SUPPORT}
+"""
+
+
+@register("apriori_frequent_itemsets_ordered", oracle=_ORDERED_ITEMSETS_ORACLE)
+def q_frequent_itemsets_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori in faithful reference-replay mode: encounter-order baskets
+    (``prep.transactions_ordered``) + order-sensitive itemset identity
+    (``AprioriConfig(ordered_identity=True)``) — the reference's
+    transaction-order-sensitive keys (``apriori_final.java:82-93``)
+    reproduced end to end (round-3 verdict task 6)."""
+    tx = prep.transactions_ordered(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    return frequent.frequent_itemsets(
+        tx, frequent.AprioriConfig(support=SUPPORT, ordered_identity=True)
     )
 
 
@@ -439,14 +519,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup pairs, persisted per (session, sf_dir): both
+    components variants consume the IDENTICAL pair set, so the full
+    shingles→LSH→rerank pipeline materializes once, not once per
+    variant (round-3 verdict #4 — together the two rebuilds were ~15 s
+    of the sweep)."""
+    return _cached_df(
+        "near_dup_pairs",
+        spark,
+        sf_dir,
+        lambda: dedup.near_dup_pairs_scalable(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
 @register("dedup_components", oracle=dedup.dup_components_sql())
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the scalable near-dup pairs: one keeper
     per transitive dup CLUSTER (min-label propagation; oracle = DuckDB
     recursive reachability) — the step that turns pair lists into an
     actionable dedup decision."""
-    pairs = dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
-    return dedup.dup_components(pairs)
+    return dedup.dup_components(_near_dup_pairs(spark, sf_dir))
 
 
 @register("dedup_components_starcontract", oracle=dedup.dup_components_sql())
@@ -454,8 +549,7 @@ def q_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same components contract via large-star/small-star contraction:
     O(log n) rounds in cluster SIZE (not eccentricity), the variant a
     100 TB corpus with one giant chain-shaped cluster needs."""
-    pairs = dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
-    return dedup.dup_components_star(pairs)
+    return dedup.dup_components_star(_near_dup_pairs(spark, sf_dir))
 
 
 @register("dedup_simhash", oracle=dedup.simhash_sql())

@@ -29,9 +29,14 @@ def _canonical_events_ts(df: DataFrame) -> DataFrame:
       ``date_trunc('microseconds')``; plain ``div`` truncates toward
       zero and would put pre-epoch timestamps 1µs off).
     - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
-      TIMESTAMP_NTZ — cast to TIMESTAMP; under the UTC session zone set
-      at the read site this preserves the wall-clock micros exactly,
-      which is how the DuckDB oracles read the same (naive) column.
+      TIMESTAMP_NTZ — interpret the naive wall-clock as UTC, which is
+      how the DuckDB oracles read the same (naive) column. Done
+      TZ-INDEPENDENTLY: NTZ epoch micros via ``timestampdiff`` (NTZ
+      arithmetic has no zone), then ``timestamp_micros``. A plain
+      ``cast('timestamp')`` resolves against the session zone at
+      EXECUTION time, so a caller resetting ``spark.sql.session.timeZone``
+      after load_table() would silently shift every ts by the host
+      offset — the exact bug class this function exists to kill.
     - TIMESTAMP (already UTC-adjusted): passes through untouched.
     """
     dt = dict(df.dtypes).get("ts")
@@ -40,7 +45,15 @@ def _canonical_events_ts(df: DataFrame) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
         )
     elif dt == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 
@@ -94,10 +107,18 @@ def load_table_stream(
         # A file stream must declare its schema up front, and the declared
         # ts type must match the file's physical encoding (long nanos vs
         # naive micros). Probe via a batch footer read — metadata only, no
-        # Spark job — then normalize exactly like the batch reader.
-        probed = dict(
-            spark.read.parquet(f"{sf_dir}/{name}.parquet").dtypes
-        ).get("ts")
+        # Spark job — then normalize exactly like the batch reader. The
+        # probe needs the file to exist NOW; a stream may legitimately be
+        # declared before data arrives in the monitored directory, so on
+        # any probe failure fall back to the long-nanos default (the
+        # driver testdata's dominant encoding, and the pre-probe
+        # behavior) instead of refusing to define the stream.
+        try:
+            probed = dict(
+                spark.read.parquet(f"{sf_dir}/{name}.parquet").dtypes
+            ).get("ts")
+        except Exception:
+            probed = "bigint"
         ts_type = {
             "bigint": T.LongType(),
             "timestamp_ntz": T.TimestampNTZType(),

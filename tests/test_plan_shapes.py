@@ -80,3 +80,34 @@ def test_filters_reach_the_scan(spark, sf_dir, name):
     assert re.search(r"PushedFilters: \[[^\]]", plan), (
         f"{name}: no non-empty PushedFilters on any scan"
     )
+
+
+# The corpus-scan operators spread an under-partitioned input before their
+# explode-heavy stages, but at 100 TB the input already arrives as
+# thousands of splits and an unconditional repartition() would be a full
+# shuffle of the widest columns for nothing. spread() must therefore be a
+# NO-OP (no round-robin Exchange before the explode) when the input
+# already has >= shuffle.partitions partitions.
+def test_spread_is_noop_on_well_partitioned_input(spark, sf_dir):
+    from mapreduce_code_spark.operators.dedup import shingles
+    from mapreduce_code_spark.partitioning import spread
+    from mapreduce_code_spark.sources.io import load_table
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents")
+
+    # under-partitioned (single file → 1 partition): spread repartitions
+    assert spread(docs).rdd.getNumPartitions() == n_part
+
+    # pre-partitioned at/above the target: spread passes through untouched
+    pre = docs.repartition(n_part)
+    assert spread(pre) is pre
+
+    # end-to-end: the shingle plan over a well-partitioned input contains
+    # exactly ONE round-robin exchange — the input's own explicit
+    # repartition — i.e. spread() added none (the unconditional form
+    # added a second one)
+    plan = (
+        shingles(pre)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("RoundRobinPartitioning") == 1, plan

@@ -64,11 +64,15 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if name not in oracles:
                 print(f"  {name}: rows-only check, rows={sdf.count()}")
+                release_persisted()
                 continue
             got = normalize(sdf.toPandas())
         except Exception as exc:
             print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
             failures.append(name)
+            # a query that persisted shingle intermediates and THEN raised
+            # must not leave them cached for the rest of the sweep
+            release_persisted()
             continue
         con = duckdb.connect()
         for t in SCHEMAS:
