@@ -7,8 +7,14 @@ three natively, but each needs a component this container does not ship:
 
 - **Avro** — the ``spark-avro`` module jar (external since Spark 2.4):
   ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+  (The bundled ``avro-*.jar`` files are the Avro CORE library the
+  metastore uses — not the datasource; ``format("avro")`` still gates.)
 - **JDBC** — the database's JDBC driver jar on the executor classpath.
-- **Kafka** — the ``spark-sql-kafka-0-10`` module jar.
+  Spark DOES bundle the embedded Derby driver (for the Hive metastore),
+  so the JDBC path has a REAL in-container integration test
+  (``tests/test_text_io.py::test_jdbc_roundtrip_embedded_derby``); for
+  any external database, ship its driver jar.
+- **Kafka** — the ``spark-sql-kafka-0-10`` module jar (and a broker).
 
 Rather than pretending (a fake would corrupt a real deployment) or
 crashing with Spark's raw classpath error deep inside a job, each
@@ -118,6 +124,42 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """JDBC sink. Each task opens one connection and batch-inserts its
+    partition — parallelism is the DataFrame's partitioning, so coalesce
+    first if the target database can't take one connection per task."""
+    try:
+        jvm = df.sparkSession._jvm
+    except Exception:
+        jvm = None  # Spark Connect — can't probe; let the write surface it
+    if jvm is not None:
+        try:
+            jvm.java.lang.Class.forName(driver)
+        except Exception as exc:
+            raise ConnectorUnavailable(
+                f"JDBC driver class {driver!r} is not on the classpath; "
+                f"add the driver jar via --jars (and "
+                f"spark.executor.extraClassPath)"
+            ) from exc
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def read_kafka_stream(
