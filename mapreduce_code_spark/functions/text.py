@@ -300,3 +300,142 @@ SELECT tf.doc_id, tf.word, tf.tf, df.df,
        (SELECT count(*) FROM documents) AS n_docs
 FROM tf JOIN df USING (word)
 """
+
+
+# ----------------------------------------------------- repetition (Gopher)
+
+def _word_ngram_array(k: int):
+    """Column expr: the document's word k-gram list (space-joined), empty
+    for docs shorter than k words (matching the oracles' range())."""
+    words = F.split(F.col("text"), " ")
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    duplicate-n-gram quality filters (Rae et al. 2021, public), word-level:
+
+    - ``dup_ngram_frac``: fraction of n-gram occurrences whose n-gram
+      appears more than once in the doc,
+    - ``top_ngram_frac``: occurrences of the single most frequent n-gram
+      over all n-gram occurrences.
+
+    Returns ``(doc_id, n_ngrams, n_dup_ngrams, top_ngram_count,
+    dup_ngram_frac, top_ngram_frac)``. Docs shorter than n words emit no
+    row (they have no n-grams to judge).
+
+    Scale: explode → one (doc_id, gram) count with map-side partials →
+    one doc-level rollup; both shuffles are keyed on doc_id(+gram), so
+    hot keys are bounded by document length, not corpus size.
+    """
+    per_gram = (
+        spread(documents)
+        .select("doc_id", F.explode(_word_ngram_array(n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_ngrams"
+        ),
+        F.max("c").alias("top_ngram_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        "n_dup_ngrams",
+        "top_ngram_count",
+        (F.col("n_dup_ngrams") / F.col("n_ngrams")).alias("dup_ngram_frac"),
+        (F.col("top_ngram_count") / F.col("n_ngrams")).alias("top_ngram_frac"),
+    )
+
+
+def repetition_stats_sql(n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - {n - 1}), i -> {gram})) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_ngrams,
+         coalesce(sum(c) FILTER (c > 1), 0) AS n_dup_ngrams,
+         max(c) AS top_ngram_count
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_dup_ngrams AS BIGINT) AS n_dup_ngrams,
+       CAST(top_ngram_count AS BIGINT) AS top_ngram_count,
+       CAST(n_dup_ngrams AS DOUBLE) / n_ngrams AS dup_ngram_frac,
+       CAST(top_ngram_count AS DOUBLE) / n_ngrams AS top_ngram_frac
+FROM agg
+"""
+
+
+# --------------------------------------------------- contamination check
+
+def ngram_contamination(
+    documents: DataFrame, eval_docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scan — the standard train/test n-gram
+    overlap check LLM pipelines run before training (the GPT-3 paper's
+    13-gram dedup is the canonical public description; k is a parameter
+    because the right n depends on tokenization and document length).
+
+    A training doc is contaminated when it shares at least one word
+    k-gram with any eval-suite doc. Returns ``(doc_id,
+    n_shared_ngrams)`` for contaminated training docs only, where
+    ``n_shared_ngrams`` counts the doc's DISTINCT k-grams that appear
+    anywhere in the eval suite.
+
+    Scale: the eval suite is tiny relative to the corpus (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct-gram set
+    broadcasts; the training side is one explode + broadcast semi-join +
+    per-doc count — the corpus never shuffles its text, only (doc_id,
+    gram) survivors of the semi-join.
+    """
+    ev = (
+        eval_docs.select(F.explode(_word_ngram_array(k)).alias("gram"))
+        .distinct()
+    )
+    train_grams = (
+        spread(documents)
+        .select("doc_id", F.explode(_word_ngram_array(k)).alias("gram"))
+        .distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def ngram_contamination_sql(
+    k: int = 3, eval_pred: str = "doc_id % 97 = 0"
+) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(k))
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - {k - 1}), i -> {gram})) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE {eval_pred}),
+hits AS (
+  SELECT DISTINCT g.doc_id, g.gram
+  FROM g JOIN ev USING (gram)
+  WHERE NOT ({eval_pred.replace('doc_id', 'g.doc_id')})
+)
+SELECT doc_id, count(*) AS n_shared_ngrams
+FROM hits GROUP BY doc_id
+"""

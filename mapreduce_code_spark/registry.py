@@ -84,6 +84,8 @@ _FIRST = [
     "multimodal_frame_plan",
     # new or code-touched in round 4
     "apriori_frequent_itemsets_ordered",  # new: faithful ordered-identity mode
+    "text_repetition_gopher",  # new: duplicate-n-gram quality filter
+    "text_contamination_ngram",  # new: train/eval overlap scan
     "dedup_components",  # touched: shared pair materialization
     "dedup_components_starcontract",  # touched: shared pair materialization
     "dedup_minhash_lsh",  # touched: conditional corpus repartition
@@ -634,6 +636,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (window functions)."""
     return TXT.winnow_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_repetition_gopher", oracle=TXT.repetition_stats_sql())
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram repetition filter signals (word
+    2-grams): the within-document quality gate LLM pipelines apply
+    before training."""
+    return TXT.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_contamination_ngram", oracle=TXT.ngram_contamination_sql()
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination scan: training docs sharing any
+    word 3-gram with the (broadcast) eval suite, with shared-gram
+    counts. Every 97th doc plays the deterministic pseudo-benchmark
+    (Column exprs must be built under a live session, hence inline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_pred = F.col("doc_id") % 97 == 0
+    return TXT.ngram_contamination(
+        docs.filter(~eval_pred), docs.filter(eval_pred)
+    )
 
 
 from mapreduce_code_spark.plans import pipeline as PIPE  # noqa: E402

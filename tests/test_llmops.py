@@ -377,3 +377,49 @@ def test_int8_topk_recall(emb_micro):
     }
     assert (0, 1) in quant
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_repetition_stats_hand_checked(spark):
+    """Gopher duplicate-n-gram fractions on a crafted doc: 'a b a b a'
+    has 2-grams [a b, b a, a b, b a] — all 4 occurrences duplicated,
+    top gram count 2."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a", "en", "s", 9),
+         (2, "all words differ here now", "en", "s", 25),
+         (3, "x", "en", "s", 1)],  # shorter than n: no row
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in TXT.repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_ngrams"] == 4
+    assert rows[1]["n_dup_ngrams"] == 4
+    assert rows[1]["top_ngram_count"] == 2
+    assert rows[1]["dup_ngram_frac"] == 1.0
+    assert rows[1]["top_ngram_frac"] == 0.5
+    assert rows[2]["n_dup_ngrams"] == 0 and rows[2]["dup_ngram_frac"] == 0.0
+
+
+def test_contamination_semantics_and_plan(spark):
+    """A train doc sharing a 3-gram with the eval suite is flagged with
+    its distinct shared-gram count; disjoint docs are not. The eval side
+    must be BROADCAST (the corpus never shuffles for the probe)."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    mk = "doc_id long, text string, lang string, source string, n_chars long"
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en", "s", 25),
+         (2, "totally unrelated words here", "en", "s", 28),
+         (3, "quick brown fox runs quick brown fox", "en", "s", 36)],
+        mk,
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox appeared", "en", "s", 26)], mk
+    )
+    out = TXT.ngram_contamination(train, ev, k=3)
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in out.collect()}
+    # doc 1 shares "quick brown fox"; doc 3 shares the same (distinct → 1)
+    assert rows == {1: 1, 3: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
