@@ -28,6 +28,42 @@ from mapreduce_code_spark.registry import queries
 from mapreduce_code_spark.session import get_spark
 
 
+def net_shuffles(df) -> int:
+    """True shuffle-Exchange count for a DataFrame's physical plan.
+
+    Walks the plan TREE instead of counting substrings of the printed
+    plan: the printer re-expands a cached relation's child plan at every
+    InMemoryTableScan reference, so string counts over-report persisted
+    pipelines wildly (the near-dup query printed 16-56 "Exchanges" for a
+    plan that actually runs 4 net shuffles plus one cached build). Rules:
+    - ``Exchange`` (shuffle) counts; ``BroadcastExchange`` /
+      ``ReusedExchange`` don't (no all-to-all network move).
+    - ``AdaptiveSparkPlan`` descends into its initial plan (fresh
+      unexecuted plans have no runtime re-plan yet).
+    - Each DISTINCT cached relation's build plan is traversed ONCE (its
+      shuffles run once at materialization), not once per scan.
+    """
+    seen_cached: set[str] = set()
+
+    def walk(node) -> int:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return walk(node.initialPlan())
+        n = 1 if name == "Exchange" else 0
+        if name == "InMemoryTableScan":
+            cached = node.relation().cachedPlan()
+            key = cached.toString()
+            if key not in seen_cached:
+                seen_cached.add(key)
+                n += walk(cached)
+        ch = node.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,23 +120,13 @@ def main() -> int:
         runs[name] = per_run
         # shuffle count — the scale-relevant plan-shape metric (each net
         # Exchange is a full network shuffle at cluster scale; broadcast
-        # and reused exchanges don't shuffle). Counted on a FRESH
-        # unexecuted plan: sparkPlan() predates the EnsureRequirements
-        # pass that inserts exchanges, and an already-executed AQE plan
-        # prints repeated subplan text, double-counting. Queries that
-        # persist() an intermediate (the Jaccard family) still over-count:
-        # each reference to the cached relation reprints its child plan.
+        # and reused exchanges don't shuffle). Counted structurally on a
+        # FRESH unexecuted plan via net_shuffles() — see its docstring
+        # for why string-counting the printed plan over-reports.
         if name in eager:
             shuffles[name] = -1
         else:
-            plan = (
-                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            )
-            shuffles[name] = (
-                plan.count("Exchange")
-                - plan.count("BroadcastExchange")
-                - plan.count("ReusedExchange")
-            )
+            shuffles[name] = net_shuffles(fn(spark, sf_dir))
         timings[name] = round(best, 3)
         # release per-query persisted intermediates (shingle passes) so
         # cached blocks don't accumulate across the full-registry sweep;
