@@ -451,6 +451,92 @@ SELECT doc_id, {sim_expr} AS simhash FROM bits
 """
 
 
+# --------------------------------------------- exact-substring dup spans
+
+def dup_spans(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-document duplicated-substring spans — the span-level exact
+    dedup of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022, public), at word-n-gram granularity: a position is
+    duplicated when its word n-gram occurs in at least one OTHER
+    document; maximal runs of duplicated positions merge into spans
+    (gaps-and-islands). The spans are what a curation pipeline CUTS from
+    each document, as opposed to dropping whole near-dup docs. Returns
+    ``(doc_id, span_start, span_end, n_dup_grams)`` with word-index
+    bounds ``[span_start, span_end)``.
+
+    Scale shape: the suffix-array the paper builds is a single-machine
+    structure; the distributed re-expression is one (gram → doc count)
+    aggregation joined back to gram positions. Grams travel as 60-bit
+    md5-derived ids, never as strings, so both shuffles are narrow
+    (16 bytes/row); the islands window and final rollup are keyed on
+    doc_id, bounded by document length. Hot grams (boilerplate shared by
+    millions of docs) inflate the join fan-out, not a single reducer —
+    AQE skew-join splits them.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = spread(documents).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        _token_hash(F.col("gram")).alias("gid"),
+    )
+    pos_grams = _persist(pos_grams)
+    dup = (
+        pos_grams.groupBy("gid")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gid")
+    )
+    hits = pos_grams.join(dup, "gid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def dup_spans_sql(n: int = 8) -> str:
+    """DuckDB twin of :func:`dup_spans` (same md5-derived gram ids)."""
+    gram = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return f"""
+WITH g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS gid
+  FROM (
+    SELECT doc_id, unnest(range(len(w) - {n - 1})) AS i, w
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {n}
+  )
+), dup AS (
+  SELECT gid FROM g GROUP BY gid HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gid)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def near_dup_pairs_scalable(
     documents: DataFrame,
     threshold: float = 0.2,

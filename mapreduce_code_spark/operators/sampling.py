@@ -169,6 +169,122 @@ FROM off
 """
 
 
+def chunk_documents(
+    documents: DataFrame, size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-window
+    preparation step of a pretraining/fine-tuning pipeline (cut each
+    document into ``size``-word chunks every ``stride`` words, so
+    consecutive chunks overlap by ``size - stride`` words and no token
+    is dropped at a hard boundary). Returns ``(doc_id, chunk_id,
+    start_word, chunk_words, chunk_text)``; a document shorter than
+    ``size`` words yields exactly one (whole-document) chunk.
+
+    Chunk count and content are pure functions of the text (integer
+    arithmetic only), so the op is exactly SQL-oracle-able and stable
+    across layouts. Scale shape: one narrow map — split, an in-row
+    ``sequence``/``transform`` explode, and slices; no shuffle, no
+    state, and the per-row blowup is bounded by ``n_words / stride``.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    n_chunks = F.when(n_words <= size, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(size(split(text, ' ')) - {size} + {stride - 1}) div {stride}")
+        + 1
+    )
+    base = documents.select(
+        "doc_id", words.alias("w"), n_words.alias("n_words"),
+        n_chunks.alias("n_chunks"),
+    )
+    ch = base.select(
+        "doc_id",
+        "n_words",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * stride
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_word"),
+        F.least(F.lit(size).cast("bigint"), F.col("n_words") - start).alias(
+            "chunk_words"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("w"), (start + 1).cast("int"), size)
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(size: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+), ch AS (
+  SELECT doc_id, n_words, w,
+         unnest(range(CASE WHEN n_words <= {size} THEN 1
+                           ELSE (n_words - {size} + {stride - 1}) // {stride} + 1
+                      END)) AS chunk_id
+  FROM base
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS start_word,
+       CAST(least({size}, n_words - chunk_id * {stride}) AS BIGINT)
+         AS chunk_words,
+       array_to_string(
+         list_slice(w, chunk_id * {stride} + 1, chunk_id * {stride} + {size}),
+         ' ') AS chunk_text
+FROM ch
+"""
+
+
+def source_cap_sample(documents: DataFrame, cap: int = 20) -> DataFrame:
+    """Per-source document cap — domain balancing (the CCNet/RefinedWeb
+    move: no single site/domain may dominate the training mix). Keeps at
+    most ``cap`` documents per ``source``, chosen by hash priority
+    (salted bucket of doc_id) with doc_id as the tiebreak, so the kept
+    set is a pure function of the data: stable across runs and layouts,
+    and adding documents to a source can only displace hash-lower
+    priorities, never reshuffle the whole selection. Returns ``(doc_id,
+    source, priority, rk)`` for kept documents.
+
+    Scale shape: one shuffle keyed on ``source``. The rank filter
+    compiles to Spark's WindowGroupLimit, which prunes to the per-source
+    top-``cap`` BEFORE the exchange on every map task — a hot domain
+    ships ``cap`` rows per input partition, not its full row count, so
+    the classic web-crawl skew (one domain = half the corpus) never
+    funnels through one reducer.
+    """
+    pri = key_bucket(F.col("doc_id"), salt="srccap")
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        documents.select("doc_id", "source", pri.alias("priority"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def source_cap_sample_sql(cap: int = 20) -> str:
+    b = _bucket_sql("doc_id", salt="srccap")
+    return f"""
+WITH p AS (
+  SELECT doc_id, source, {b} AS priority FROM documents
+), r AS (
+  SELECT doc_id, source, priority,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY priority, doc_id) AS BIGINT) AS rk
+  FROM p
+)
+SELECT doc_id, source, priority, rk FROM r WHERE rk <= {cap}
+"""
+
+
 def quality_weighted_sample(
     documents: DataFrame, max_rate_bp: int = 8000
 ) -> DataFrame:

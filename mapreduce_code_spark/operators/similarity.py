@@ -528,6 +528,61 @@ FROM elems e JOIN scales s USING (vec_id)
 """
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding centroid — the class-centroid aggregation
+    behind nearest-centroid classification, cluster seeding, and
+    per-domain embedding drift monitoring. Long-form output ``(label,
+    pos, sum_q, n, centroid)``: elements quantize to int64 at 1e-7
+    resolution (module convention — float sums are summation-order-
+    dependent, integer sums are exact and engine-identical), and the
+    double ``centroid = sum_q / (n · 1e7)`` is one IEEE division off the
+    exact integers.
+
+    Scale shape: posexplode then ONE groupBy(label, pos) with map-side
+    partial aggregation — the only shuffle carries (label, pos, partial
+    sum, partial count) per map task, i.e. ``n_labels × dim`` rows per
+    task regardless of corpus size.
+    """
+    el = spread(embeddings).select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    )
+    return (
+        el.groupBy(
+            F.col("label").cast("bigint").alias("label"),
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        )
+        .agg(
+            F.sum(_q(F.col("x"))).alias("sum_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            "sum_q",
+            "n",
+            (F.col("sum_q").cast("double") / (F.col("n") * F.lit(SCALE)))
+            .alias("centroid"),
+        )
+    )
+
+
+def label_centroids_sql() -> str:
+    """DuckDB twin of :func:`label_centroids` (same quantization)."""
+    return f"""
+WITH el AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5)
+                          AS BIGINT))) AS q
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, pos,
+       CAST(sum(q) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS DOUBLE) / (count(*) * {SCALE}) AS centroid
+FROM el GROUP BY 1, 2
+"""
+
+
 def topk_cosine_int8(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10
 ) -> DataFrame:

@@ -93,6 +93,10 @@ _FIRST = [
     "dedup_simhash",  # touched: conditional corpus repartition
     "dedup_incremental",  # touched: conditional corpus repartition
     "similarity_topk_cosine",  # touched: conditional corpus repartition
+    "sampling_chunk_documents",  # new: sliding-window chunking
+    "sampling_source_cap",  # new: per-source cap (domain balancing)
+    "dedup_substring_spans",  # new: span-level exact dedup
+    "similarity_label_centroids",  # new: per-label centroid (long form)
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -607,6 +611,13 @@ def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_label_centroids", oracle=similarity.label_centroids_sql())
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (long form, exact quantized sums) —
+    class centroids for nearest-centroid search / cluster seeding."""
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("text_stats", oracle=TXT.text_stats_sql())
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/word/stopword counting stats per document."""
@@ -720,6 +731,28 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard running offsets cut into fixed token-budget packs — the
     pretraining batch-construction op, parallel by hash shard."""
     return SMP.pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_chunk_documents", oracle=SMP.chunk_documents_sql())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap — the context-window
+    prep step; pure narrow map, no shuffle."""
+    return SMP.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("sampling_source_cap", oracle=SMP.source_cap_sample_sql())
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap by hash priority (domain balancing);
+    rank filter compiles to WindowGroupLimit so hot domains prune
+    map-side."""
+    return SMP.source_cap_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_substring_spans", oracle=dedup.dup_spans_sql())
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring spans (word 8-grams, islands
+    merged) — span-level exact dedup à la Lee et al. 2022."""
+    return dedup.dup_spans(load_table(spark, sf_dir, "documents"))
 
 
 @register("multimodal_meta", oracle=multimodal.media_meta_sql())

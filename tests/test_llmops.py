@@ -152,6 +152,10 @@ ORACLED = [
     "text_winnow_fingerprint",
     "multimodal_meta",
     "multimodal_frame_plan",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "dedup_substring_spans",
+    "similarity_label_centroids",
 ]
 
 
@@ -423,3 +427,81 @@ def test_contamination_semantics_and_plan(spark):
     assert rows == {1: 1, 3: 1}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_chunking_semantics(spark):
+    """Chunk boundaries: size=4/stride=3 over 10 words → starts 0,3,6
+    with the tail chunk truncated; a doc shorter than size yields one
+    whole-doc chunk; no shuffle in the plan (pure narrow map)."""
+    from mapreduce_code_spark.operators import sampling as SMP
+
+    mk = "doc_id long, text string, lang string, source string, n_chars long"
+    ten = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [(1, ten, "en", "s", len(ten)), (2, "a b", "en", "s", 3)], mk
+    )
+    out = SMP.chunk_documents(docs, size=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert {(d, c) for d, c in rows} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[(1, 2)]["chunk_words"] == 4 and rows[(1, 2)]["start_word"] == 6
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["chunk_words"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # chunking must not shuffle
+
+
+def test_source_cap_semantics_and_plan(spark):
+    """Cap keeps at most `cap` docs per source, deterministically, and
+    the rank filter must compile to WindowGroupLimit (map-side pruning
+    for hot domains)."""
+    from mapreduce_code_spark.operators import sampling as SMP
+
+    mk = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, "t", "en", "big" if i < 30 else "small", 1) for i in range(35)]
+    docs = spark.createDataFrame(rows, mk)
+    out = SMP.source_cap_sample(docs, cap=20)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 20 and len(by_src["small"]) == 5
+    # pure function of the data: a second run selects the identical set
+    again = {r["doc_id"] for r in SMP.source_cap_sample(docs, cap=20).collect()}
+    assert again == by_src["big"] | by_src["small"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_dup_spans_micro(docs_micro):
+    """Identical docs are one full-width span each; a doc with no 8-gram
+    shared with any other doc emits no row; the near-dup's span excludes
+    the edited region's unique grams."""
+    from mapreduce_code_spark.operators import dedup as DD
+
+    n_words = len(BASE.split(" "))
+    out = {r["doc_id"]: r for r in DD.dup_spans(docs_micro, n=8).collect()}
+    assert 3 not in out  # unrelated doc: no shared 8-grams
+    for d in (0, 1):  # exact dups: every position duplicated, one span
+        assert out[d]["span_start"] == 0
+        assert out[d]["span_end"] == n_words
+        assert out[d]["n_dup_grams"] == n_words - 7
+    # near-dup shares prefix and suffix grams but not those crossing the
+    # one-word edit — its duplicated-gram count is strictly smaller
+    assert 2 in out and out[2]["n_dup_grams"] < n_words - 7
+
+
+def test_label_centroids_exact(spark):
+    """Centroid of known vectors is exact: quantized integer sums, one
+    IEEE division; single shuffle with partial aggregation."""
+    from mapreduce_code_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], 7), (1, [3.0, 4.0], 7), (2, [10.0, -10.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["pos"]): r for r in SIM.label_centroids(emb).collect()}
+    assert out[(7, 1)]["centroid"] == 2.0 and out[(7, 2)]["centroid"] == 3.0
+    assert out[(8, 1)]["centroid"] == 10.0 and out[(8, 2)]["centroid"] == -10.0
+    assert out[(7, 1)]["n"] == 2 and out[(7, 1)]["sum_q"] == 40_000_000
