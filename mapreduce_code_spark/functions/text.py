@@ -255,30 +255,30 @@ def tfidf_stats(documents: DataFrame, min_tf: int = 2) -> DataFrame:
     bit-stable cross-engine while losing nothing (the transform is a
     driver-side one-liner).
 
-    Scale: one explode + two hash aggregations; df is a second aggregate
-    over the (word, doc) pairs with map-side partials. ``min_tf`` prunes
-    the long hapax tail before the df join — at web scale that tail is
-    most of the vocabulary.
+    Scale: the corpus is exploded ONCE into a single (doc_id, word)
+    aggregate; df rides the SAME frame as an unordered window count
+    partitioned by word (per_pair rows are distinct pairs, so rows per
+    word = doc frequency) — one scan and two keyed exchanges total,
+    where the textbook tf⋈df formulation scans and explodes the corpus
+    twice and shuffles both join sides. ``min_tf`` prunes the long
+    hapax tail AFTER the window (df's definition doesn't carry the tf
+    threshold) but before anything downstream — at web scale that tail
+    is most of the vocabulary.
     """
-    words = (
+    per_pair = (
         spread(documents)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
-    )
-    tf = (
-        words.groupBy("doc_id", "word")
+        .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .filter(F.col("tf") >= min_tf)
     )
-    df = (
-        words.select("doc_id", "word")
-        .distinct()
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    df_w = Window.partitionBy("word")
     n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
-    return tf.join(df, "word").crossJoin(F.broadcast(n_docs)).select(
-        "doc_id", "word", "tf", "df", "n_docs"
+    return (
+        per_pair.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("tf") >= min_tf)
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "word", "tf", "df", "n_docs")
     )
 
 
