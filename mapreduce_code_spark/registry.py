@@ -97,6 +97,7 @@ _FIRST = [
     "sampling_source_cap",  # new: per-source cap (domain balancing)
     "dedup_substring_spans",  # new: span-level exact dedup
     "similarity_label_centroids",  # new: per-label centroid (long form)
+    "dedup_streamed_incremental",  # new: foreachBatch ingest dedup
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -522,6 +523,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dups(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@register(
+    "dedup_streamed_incremental", oracle=dedup.incremental_near_dups_sql()
+)
+def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup run as a STREAM: new docs (odd ids)
+    arrive via readStream and each micro-batch is near-dup-checked
+    against the accepted corpus (even ids) INSIDE foreachBatch — the
+    production shard-by-shard ingest shape, driven through the actual
+    streaming engine (checkpointed, append-only parquet sink). The
+    result is batching-invariant (each new doc is checked against the
+    static corpus independently), so it hash-matches the batch twin's
+    oracle no matter how the file source slices micro-batches."""
+    import tempfile
+
+    from mapreduce_code_spark.sources.io import load_table_stream
+    from mapreduce_code_spark.streaming.windows import run_batch_transform
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    new_stream = load_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    tmp = tempfile.mkdtemp(prefix="dedup_streamed_incremental_")
+    return run_batch_transform(
+        new_stream,
+        lambda batch: dedup.incremental_near_dups(batch, corpus),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
     )
 
 

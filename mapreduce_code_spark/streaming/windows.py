@@ -264,6 +264,42 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def run_batch_transform(
+    stream_df: DataFrame,
+    batch_fn,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drive a stream through ``foreachBatch`` with the ``availableNow``
+    trigger, mapping every micro-batch through an arbitrary BATCH
+    transformation and appending the results to a parquet sink; returns
+    the read-back result frame.
+
+    This is the streaming escape hatch for operators a continuous query
+    can't express declaratively (multi-join + multi-aggregate pipelines
+    like LSH dedup): inside foreachBatch the micro-batch is a plain
+    DataFrame, so the full batch operator library applies unchanged.
+    Exactly-once per batch comes from the checkpoint + append-only sink
+    (a replayed batch_id re-appends, but availableNow + checkpoint
+    replays a batch only after a crash BEFORE its commit, so the sink
+    converges). ``batch_fn`` must be deterministic and per-row
+    independent across batches (each output row derived from one input
+    row's batch) for the result to be batching-invariant.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_fn(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(out_dir)
+
+
 def run_upsert_sink(
     stream_df: DataFrame,
     snapshot_dir: str,

@@ -242,3 +242,47 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         assert rows == {1: "b", 2: "a", 3: "a"}  # key 1 upserted, 3 appended
     finally:
         q.stop()
+
+
+def test_batch_transform_multi_batch_invariance(spark, tmp_path):
+    """run_batch_transform over a 2-file source with maxFilesPerTrigger=1
+    processes two real micro-batches, and the accumulated sink equals the
+    one-shot batch operator over the union — batching-invariance of the
+    foreachBatch incremental-dedup shape."""
+    from mapreduce_code_spark.operators import dedup
+    from mapreduce_code_spark.streaming.windows import run_batch_transform
+
+    mk = "doc_id long, text string, lang string, source string, n_chars long"
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm window sill today")
+    near = base.replace("lazy", "sleepy")
+    far = ("completely different words about distributed shuffle "
+           "partitioning strategies for large scale engines")
+    corpus = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)), (2, far, "en", "s", len(far))], mk
+    )
+    # two new-doc files → two micro-batches
+    src = str(tmp_path / "new_src")
+    spark.createDataFrame([(1, near, "en", "s", len(near))], mk).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(3, base, "en", "s", len(base))], mk).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streamed = run_batch_transform(
+        stream,
+        lambda b: dedup.incremental_near_dups(b, corpus),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    batch = dedup.incremental_near_dups(spark.read.parquet(src), corpus)
+    key = lambda r: (r["new_doc"], r["corpus_doc"])
+    got = {key(r): r["jaccard"] for r in streamed.collect()}
+    want = {key(r): r["jaccard"] for r in batch.collect()}
+    assert got == want and len(want) >= 2  # both new docs matched doc 0
