@@ -38,6 +38,7 @@ TOPK = (
     "similarity_topk_cosine",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
+    "sampling_source_cap",
 )
 
 
