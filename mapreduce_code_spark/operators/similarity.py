@@ -583,6 +583,112 @@ FROM el GROUP BY 1, 2
 """
 
 
+def assign_centroids(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: every vector gets the label of its
+    highest-cosine class centroid (from :func:`label_centroids`) — one
+    k-means/classification E-step, and the per-domain drift check
+    (``label != assigned_label`` rows are the misfits). Returns
+    ``(vec_id, label, assigned_label, cosine)``.
+
+    Exactness: centroid components are IEEE-determined doubles, so
+    re-quantizing them through the module's 1e-7 integer dot keeps every
+    cosine bit-identical across engines, and ties break deterministically
+    (max over (cosine, -label) structs = highest cosine, then lowest
+    label). Scale shape: the centroid table is (n_labels × dim) — tiny —
+    so it broadcasts; scoring is embarrassingly parallel; the only
+    shuffle is the per-vector argmax re-aggregation keyed on vec_id.
+    """
+    cents = (
+        label_centroids(embeddings)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid"))
+            ).alias("pc")
+        )
+        .select(
+            "c_label",
+            F.transform(F.col("pc"), lambda s: s["centroid"]).alias("cvec"),
+        )
+    )
+    scored = spread(embeddings).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (
+            dot_exact(F.col("embedding"), F.col("cvec")).cast("double")
+            / (
+                F.sqrt(
+                    dot_exact(F.col("embedding"), F.col("embedding")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    dot_exact(F.col("cvec"), F.col("cvec")).cast("double")
+                )
+            )
+        ).alias("cosine"),
+    )
+    best = F.max(F.struct(F.col("cosine"), (-F.col("c_label")).alias("nl")))
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            (-F.col("b.nl")).cast("bigint").alias("assigned_label"),
+            F.col("b.cosine").alias("cosine"),
+        )
+    )
+
+
+def assign_centroids_sql() -> str:
+    """DuckDB twin of :func:`assign_centroids` (same quantized dots;
+    parallel ``unnest`` zips the two equal-length lists positionally)."""
+    q_expr = f"x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)"
+    return f"""
+WITH el AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         unnest(list_transform(embedding, {q_expr})) AS q
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label,
+         list(CAST(sum_q AS DOUBLE) / (n * {SCALE}) ORDER BY pos) AS cvec
+  FROM (
+    SELECT label, pos, sum(q) AS sum_q, count(*) AS n
+    FROM el GROUP BY 1, 2
+  ) GROUP BY label
+), qv AS (
+  SELECT vec_id, label, list_transform(embedding, {q_expr}) AS qv
+  FROM embeddings
+), qc AS (
+  SELECT c_label,
+         list_transform(cvec,
+             x -> CAST(floor(x * {SCALE} + 0.5) AS BIGINT)) AS qc
+  FROM cent
+), pairs AS (
+  SELECT vec_id, label, c_label, unnest(qv) AS a, unnest(qc) AS b
+  FROM qv CROSS JOIN qc
+), dots AS (
+  SELECT vec_id, label, c_label, sum(a * b) AS dot,
+         sum(a * a) AS na, sum(b * b) AS nb
+  FROM pairs GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT vec_id, label, c_label,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                                * sqrt(CAST(nb AS DOUBLE))) AS cosine,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                    * sqrt(CAST(nb AS DOUBLE))) DESC, c_label ASC) AS rn
+  FROM dots
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(c_label AS BIGINT) AS assigned_label, cosine
+FROM ranked WHERE rn = 1
+"""
+
+
 def topk_cosine_int8(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10
 ) -> DataFrame:

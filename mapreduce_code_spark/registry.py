@@ -98,6 +98,7 @@ _FIRST = [
     "dedup_substring_spans",  # new: span-level exact dedup
     "similarity_label_centroids",  # new: per-label centroid (long form)
     "dedup_streamed_incremental",  # new: foreachBatch ingest dedup
+    "similarity_assign_centroids",  # new: nearest-centroid E-step
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -649,6 +650,13 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (long form, exact quantized sums) —
     class centroids for nearest-centroid search / cluster seeding."""
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_assign_centroids", oracle=similarity.assign_centroids_sql())
+def q_assign_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means E-step): centroids
+    broadcast, scoring shuffle-free, argmax re-agg keyed on vec_id."""
+    return similarity.assign_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("text_stats", oracle=TXT.text_stats_sql())

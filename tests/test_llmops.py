@@ -156,6 +156,7 @@ ORACLED = [
     "sampling_source_cap",
     "dedup_substring_spans",
     "similarity_label_centroids",
+    "similarity_assign_centroids",
 ]
 
 
@@ -505,3 +506,36 @@ def test_label_centroids_exact(spark):
     assert out[(7, 1)]["centroid"] == 2.0 and out[(7, 2)]["centroid"] == 3.0
     assert out[(8, 1)]["centroid"] == 10.0 and out[(8, 2)]["centroid"] == -10.0
     assert out[(7, 1)]["n"] == 2 and out[(7, 1)]["sum_q"] == 40_000_000
+
+
+def test_assign_centroids_matches_bruteforce(emb_micro):
+    """Every vector's assigned label equals the numpy argmax of cosine
+    against per-label means under the module's 1e-7 quantization."""
+    import numpy as np
+    from mapreduce_code_spark.operators import similarity as SIM
+
+    rows = emb_micro.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    S = SIM.SCALE
+    by_label = {}
+    for vid, v in vecs.items():
+        by_label.setdefault(labels[vid], []).append(np.floor(v * S + 0.5))
+    cents = {
+        lab: np.stack(qs).sum(axis=0) / (len(qs) * S)
+        for lab, qs in by_label.items()
+    }
+    got = {r["vec_id"]: r for r in SIM.assign_centroids(emb_micro).collect()}
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        qv = np.floor(v * S + 0.5)
+        best = max(
+            sorted(cents),
+            key=lambda lab: float(
+                (qv * np.floor(cents[lab] * S + 0.5)).sum()
+                / (np.sqrt((qv * qv).sum())
+                   * np.sqrt((np.floor(cents[lab] * S + 0.5) ** 2).sum()))
+            ),
+        )
+        assert got[vid]["assigned_label"] == best, vid
+        assert -1.0 <= got[vid]["cosine"] <= 1.0
