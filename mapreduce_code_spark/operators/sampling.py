@@ -188,6 +188,12 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # stride > size leaves every (start+size, next start) word range
+        # in no chunk AND the chunk-count formula emits an empty
+        # past-the-end tail chunk — refuse the degenerate geometry
+        # instead of silently dropping tokens
+        raise ValueError("stride must be <= size (chunks must tile or overlap)")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("bigint")
     n_chunks = F.when(n_words <= size, F.lit(1).cast("bigint")).otherwise(

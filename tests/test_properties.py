@@ -102,3 +102,106 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in dedup.dup_components_star(pairs).collect()
     }
     assert got == expect
+
+
+_doc_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=40
+)
+
+
+@given(
+    words=_doc_words,
+    size=st.integers(1, 10),
+    stride=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_chunking_laws(spark, words, size, stride):
+    """For any doc and any valid (size, stride≤size): every word index is
+    covered by at least one chunk, every chunk is the exact word slice it
+    claims, chunk starts are 0, stride, 2·stride…, and only the last
+    chunk may be shorter than size (when the doc is longer than size).
+    stride > size must be refused (it drops tokens)."""
+    import pytest
+
+    from mapreduce_code_spark.operators import sampling as SMP
+
+    text = " ".join(words)
+    if stride > size:
+        with pytest.raises(ValueError):
+            SMP.chunk_documents(
+                spark.createDataFrame(
+                    [(0, text, "en", "s", 1)],
+                    "doc_id long, text string, lang string, source string,"
+                    " n_chars long",
+                ),
+                size=size,
+                stride=stride,
+            )
+        return
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    chunks = sorted(
+        SMP.chunk_documents(df, size=size, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    n = len(words)
+    covered = set()
+    for i, r in enumerate(chunks):
+        assert r["chunk_id"] == i and r["start_word"] == i * stride
+        expect = words[r["start_word"] : r["start_word"] + size]
+        assert r["chunk_text"] == " ".join(expect)
+        assert r["chunk_words"] == len(expect)
+        if i < len(chunks) - 1 and n > size:
+            assert r["chunk_words"] == size  # only the tail may be short
+        covered.update(range(r["start_word"], r["start_word"] + r["chunk_words"]))
+    assert covered == set(range(n))
+
+
+_corpus = st.lists(_doc_words, min_size=1, max_size=6)
+
+
+@given(docs=_corpus, n=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_dup_spans_match_bruteforce(spark, docs, n):
+    """dup_spans equals a driver-side brute force on arbitrary tiny
+    corpora: duplicated n-gram positions per doc, merged into maximal
+    runs — guards the islands arithmetic and the >=2-docs rule."""
+    from collections import Counter
+
+    from mapreduce_code_spark.operators import dedup as DD
+
+    rows = [
+        (i, " ".join(w), "en", "s", len(" ".join(w)))
+        for i, w in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # brute force: gram -> set of docs; then per-doc dup positions -> runs
+    gram_docs = {}
+    for i, w in enumerate(docs):
+        for p in range(len(w) - n + 1):
+            gram_docs.setdefault(tuple(w[p : p + n]), set()).add(i)
+    want = set()
+    for i, w in enumerate(docs):
+        dup_pos = [
+            p
+            for p in range(len(w) - n + 1)
+            if len(gram_docs[tuple(w[p : p + n])]) >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in dup_pos + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                want.add((i, run_start, prev + n, prev - run_start + 1))
+            run_start, prev = p, p
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in DD.dup_spans(df, n=n).collect()
+    }
+    assert got == want
