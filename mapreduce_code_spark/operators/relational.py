@@ -1310,32 +1310,45 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     the previous stage (ordering matters — a click before the first view
     doesn't convert). ``reached`` ∈ {1,2,3}.
 
-    Three filtered min-aggregates chained by broadcast-friendly equi-
-    joins on user_id — each stage's frame is one-row-per-user (already
-    thresholded), so the cascade is join-light at any event volume; the
-    raw events table is scanned once per stage with the type filter
-    pushed to parquet.
+    Single-pass formulation: ONE scan of the three event types and ONE
+    user-keyed exchange. Each stage's threshold is a RUNNING min over
+    the ts-ordered per-user stream (default RANGE frame, so ties at the
+    current timestamp are visible and the strict ``>`` excludes them,
+    exactly like comparing against the global first-stage min — the
+    global min is visible in the running frame precisely when it
+    precedes the candidate). The final per-user rollup reuses the
+    window's hash partitioning, so no second exchange; the naive
+    3-aggregate + 2-join cascade costs 3 scans and 5 exchanges for the
+    same rows.
     """
-
-    def first_after(etype: str, prev: DataFrame, prev_ts: str, out: str):
-        return (
-            events.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    is_t = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
         )
-
-    v = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+        .select("user_id", "ts", "event_type")
+        .withColumn("rv", F.min(F.when(is_t("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "qclick",
+            F.when(is_t("click") & (F.col("ts") > F.col("rv")), F.col("ts")),
+        )
+        .withColumn("rc", F.min("qclick").over(w))
+        .withColumn(
+            "qpurchase",
+            F.when(
+                is_t("purchase") & (F.col("ts") > F.col("rc")), F.col("ts")
+            ),
+        )
     )
-    c = first_after("click", v, "first_view", "first_click")
-    p = first_after("purchase", c, "first_click", "first_purchase")
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        staged.groupBy("user_id")
+        .agg(
+            F.min(F.when(is_t("view"), F.col("ts"))).alias("first_view"),
+            F.min("qclick").alias("first_click"),
+            F.min("qpurchase").alias("first_purchase"),
+        )
+        .filter(F.col("first_view").isNotNull())
         .select(
             "user_id",
             "first_view",

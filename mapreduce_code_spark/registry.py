@@ -99,6 +99,7 @@ _FIRST = [
     "similarity_label_centroids",  # new: per-label centroid (long form)
     "dedup_streamed_incremental",  # new: foreachBatch ingest dedup
     "similarity_assign_centroids",  # new: nearest-centroid E-step
+    "relational_funnel_stages",  # touched: single-pass window rewrite
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
