@@ -1303,6 +1303,90 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    r_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue by nation for orders in a
+    region and date window, where the lineitem's supplier sits in the
+    customer's own nation. ``(n_name, revenue)``, decimal-exact revenue.
+
+    The join-planning showcase, broadcast-by-BOUNDEDNESS: only the
+    region→nation product is broadcast by hand (≤ a few dozen rows at
+    ANY scale factor). Customer and supplier GROW with the data, so
+    their joins stay declarative — AQE broadcasts the filtered sides
+    when runtime stats fit and falls back to shuffle joins when they
+    don't, which is exactly the 100 TB behavior (forcing broadcast here
+    would OOM a real cluster). Date/region predicates push into the
+    parquet scans; the orders⋈lineitem fact join shuffles only the
+    date-surviving rows on orderkey.
+    """
+    price = F.col("l_extendedprice").cast(_PRICE)
+    disc = F.col("l_discount").cast(_RATE)
+    nations = (
+        region.filter(F.col("r_name") == r_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    custs = customer.join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supps = supplier.join(
+        F.broadcast(nations.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            (price * (F.lit(1).cast(_RATE) - disc)).alias("rev"),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(custs, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supps,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+
+
+def regional_revenue_sql(
+    r_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    return f"""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS {_PRICE})
+                * (CAST(1 AS {_RATE}) - CAST(l_discount AS {_RATE})))
+            AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{r_name}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n_name
+"""
+
+
 def funnel_stages(events: DataFrame) -> DataFrame:
     """Ordered conversion funnel view → click → purchase per user:
     ``(user_id, first_view, first_click, first_purchase, reached)``.

@@ -100,6 +100,7 @@ _FIRST = [
     "dedup_streamed_incremental",  # new: foreachBatch ingest dedup
     "similarity_assign_centroids",  # new: nearest-centroid E-step
     "relational_funnel_stages",  # touched: single-pass window rewrite
+    "relational_regional_revenue",  # new: TPC-H Q5-shaped 6-table join
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -842,6 +843,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from mapreduce_code_spark.operators import relational as R  # noqa: E402
+
+
+@register("relational_regional_revenue", oracle=R.regional_revenue_sql())
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: bounded dims broadcast by hand,
+    scaling sides AQE-planned, predicates pushed to the scans."""
+    return R.regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
 
 
 @register("relational_pricing_summary", oracle=R.pricing_summary_sql())

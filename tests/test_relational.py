@@ -448,3 +448,17 @@ def test_histogram_quantiles_bound_and_mergeability(spark, sf_dir):
             merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
     whole = {r["bin"]: r["cnt"] for r in R.histogram_bins(li).collect()}
     assert merged == whole
+
+
+def test_regional_revenue_parity_and_semantics(spark, sf_dir):
+    """Q5-shaped six-table join: DuckDB parity at smoke SF."""
+    from mapreduce_code_spark.operators import relational as R
+    from mapreduce_code_spark.registry import oracle_sql, queries
+    from tests.helpers import assert_parity
+
+    assert_parity(
+        queries()["relational_regional_revenue"](spark, sf_dir),
+        sf_dir,
+        oracle_sql()["relational_regional_revenue"],
+        rtol=0,
+    )
