@@ -192,3 +192,81 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
         (r.n_nationkey, r.n_regionkey, r.n_name) for r in nation.collect()
     )
     assert got == want and len(got) == 25
+
+
+def test_basket_datasource_round_trip(spark, tx, tmp_path_factory):
+    """The Spark 4 Python Data Source speaks the same format as the
+    column-op reader: write via the datasource, read back via BOTH paths
+    → identical basket multisets; basket ids are deterministic functions
+    of (file index, line number)."""
+    from mapreduce_code_spark.sources.basket_datasource import (
+        BasketTextDataSource,
+    )
+
+    spark.dataSource.register(BasketTextDataSource)
+    path = str(tmp_path_factory.mktemp("bds") / "baskets")
+    tx.select("items").write.format("basket_text").mode("overwrite").save(path)
+
+    via_ds = spark.read.format("basket_text").load(path)
+    via_io = io.read_transactions_text(spark, path)
+    a = sorted(r["items"] for r in via_ds.select("items").collect())
+    b = sorted(r["items"] for r in via_io.select("items").collect())
+    want = sorted(r["items"] for r in tx.select("items").collect())
+    assert a == b == want
+    # deterministic ids: same data read twice -> same (id, items) pairs
+    first = sorted(map(tuple, via_ds.select("basket_id").collect()))
+    again = sorted(
+        map(
+            tuple,
+            spark.read.format("basket_text").load(path)
+            .select("basket_id").collect(),
+        )
+    )
+    assert first == again
+
+
+def test_basket_datasource_ordered_and_blank_lines(spark, tmp_path):
+    """ordered=true keeps first-occurrence token order; blank lines and
+    duplicate tokens are handled exactly like the column-op reader."""
+    from mapreduce_code_spark.sources.basket_datasource import (
+        BasketTextDataSource,
+    )
+
+    spark.dataSource.register(BasketTextDataSource)
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-00000.txt").write_text("b a b c\n\n  \nc a\n")
+    canon = spark.read.format("basket_text").load(str(p)).collect()
+    assert [r["items"] for r in sorted(canon, key=lambda r: r["basket_id"])] == [
+        ["a", "b", "c"],
+        ["a", "c"],
+    ]
+    ordered = (
+        spark.read.format("basket_text")
+        .option("ordered", "true")
+        .load(str(p))
+        .collect()
+    )
+    assert [
+        r["items"] for r in sorted(ordered, key=lambda r: r["basket_id"])
+    ] == [["b", "a", "c"], ["c", "a"]]
+    # line numbers are preserved through blank-line skips (id = file<<32|line)
+    assert [r["basket_id"] for r in sorted(canon, key=lambda r: r["basket_id"])] == [0, 3]
+
+
+def test_basket_datasource_overwrite_and_append(spark, tmp_path):
+    from mapreduce_code_spark.sources.basket_datasource import (
+        BasketTextDataSource,
+    )
+
+    spark.dataSource.register(BasketTextDataSource)
+    df1 = spark.createDataFrame([(0, ["x", "y"])], "basket_id long, items array<string>")
+    df2 = spark.createDataFrame([(0, ["z"])], "basket_id long, items array<string>")
+    out = str(tmp_path / "o")
+    df1.write.format("basket_text").mode("overwrite").save(out)
+    df2.write.format("basket_text").mode("append").save(out)
+    both = {tuple(r["items"]) for r in spark.read.format("basket_text").load(out).collect()}
+    assert both == {("x", "y"), ("z",)}
+    df2.write.format("basket_text").mode("overwrite").save(out)
+    only = [r["items"] for r in spark.read.format("basket_text").load(out).collect()]
+    assert only == [["z"]]
