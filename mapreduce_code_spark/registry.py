@@ -55,7 +55,8 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver verifies queries in the order this dict yields them and has a
-# finite per-round budget (~50 of 67 registered queries got a round-3 row).
+# finite per-round budget (~50 of the 67 then-registered queries got a
+# round-3 row; 77 registered as of round 4).
 # So ordering is part of the contract, and the rule — extended per the
 # round-3 verdict — is: a query goes FIRST if it is (a) new this round,
 # (b) its code was touched this round, or (c) it has no driver row from
