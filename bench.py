@@ -103,6 +103,7 @@ def main() -> int:
         "dedup_components_starcontract",
         "events_streamed_tumbling",  # runs an actual writeStream at build
         "dedup_streamed_incremental",  # foreachBatch writeStream at build
+        "relational_streamed_hll",  # foreachBatch writeStream at build
         "sampling_streamed_stratified",  # writeStream at build
     }
     timings: dict[str, float] = {}

@@ -324,7 +324,21 @@ def hll_distinct_orders_portable(lineitem: DataFrame) -> DataFrame:
     expand pass and no join. Registers are storable/mergeable exactly
     like the native sketch.
     """
-    pairs = lineitem.select("l_returnflag", "l_orderkey").distinct()
+    return hll_from_pairs(hll_pairs(lineitem))
+
+
+def hll_pairs(lineitem: DataFrame) -> DataFrame:
+    """The sketch's distinct-key materialization — (flag, orderkey)
+    pairs. Separated so a STREAMING maintainer can accumulate the same
+    pairs incrementally (append-new-keys state) and finalize with
+    :func:`hll_from_pairs` to the identical result."""
+    return lineitem.select("l_returnflag", "l_orderkey").distinct()
+
+
+def hll_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Registers + estimate + exact rider from an already-distinct
+    (l_returnflag, l_orderkey) frame — the finalize step shared by the
+    batch query and the streamed state accumulator."""
     h = F.md5(F.col("l_orderkey").cast("string"))
     hashed = pairs.select("l_returnflag", h.alias("h"))
     tail = F.conv(F.substring("h", 3, 10), 16, 10).cast("bigint")

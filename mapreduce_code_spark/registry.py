@@ -102,6 +102,8 @@ _FIRST = [
     "similarity_assign_centroids",  # new: nearest-centroid E-step
     "relational_funnel_stages",  # touched: single-pass window rewrite
     "relational_regional_revenue",  # new: TPC-H Q5-shaped 6-table join
+    "relational_streamed_hll",  # new: streamed mergeable-sketch state
+    "relational_hll_distinct",  # touched: pairs/finalize refactor
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -858,6 +860,32 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+@register("relational_streamed_hll", oracle=R.hll_distinct_portable_sql())
+def q_streamed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable HLL driven as a STREAM: micro-batches accumulate the
+    distinct (flag, orderkey) state via idempotent anti-join appends
+    (foreachBatch + checkpoint), and the register finalize runs over the
+    state — register-max is associative, so the estimate equals the
+    batch twin's bit-for-bit under ANY batching. The
+    mergeable-sketch-over-a-stream story, same oracle as the batch
+    query."""
+    import tempfile
+
+    from mapreduce_code_spark.sources.io import load_table_stream
+    from mapreduce_code_spark.streaming.windows import run_streamed_distinct
+
+    tmp = tempfile.mkdtemp(prefix="streamed_hll_")
+    state = run_streamed_distinct(
+        load_table_stream(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey"
+        ),
+        ["l_returnflag", "l_orderkey"],
+        f"{tmp}/state",
+        f"{tmp}/ckpt",
+    )
+    return R.hll_from_pairs(state)
 
 
 @register("relational_pricing_summary", oracle=R.pricing_summary_sql())

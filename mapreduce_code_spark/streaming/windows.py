@@ -300,6 +300,49 @@ def run_batch_transform(
     return stream_df.sparkSession.read.parquet(out_dir)
 
 
+def run_streamed_distinct(
+    stream_df: DataFrame,
+    keys: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Maintain a DISTINCT-key state table across micro-batches: each
+    batch's new key tuples (anti-joined against the accumulated state)
+    append to a parquet state dir; returns the final state frame. The
+    incremental half of any mergeable-sketch pipeline — accumulate the
+    distinct pairs as the stream runs, finalize (registers, estimates)
+    from the state whenever asked.
+
+    Idempotent under replay BY CONSTRUCTION: a crash between a batch's
+    append and its checkpoint commit replays the batch, whose keys now
+    anti-join away against the state they already joined — so the
+    append-only sink still converges to exactly-once key semantics.
+    State grows with DISTINCT keys only (the same bound as any
+    streaming dropDuplicates state, here spilled to storage instead of
+    the state store so it survives restarts and is directly queryable).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.select(*keys).distinct()
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(state_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path(state_dir)):
+            new = new.join(spark.read.parquet(state_dir), keys, "left_anti")
+        new.write.mode("append").parquet(state_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(state_dir)
+
+
 def run_upsert_sink(
     stream_df: DataFrame,
     snapshot_dir: str,

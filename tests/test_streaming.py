@@ -286,3 +286,44 @@ def test_batch_transform_multi_batch_invariance(spark, tmp_path):
     got = {key(r): r["jaccard"] for r in streamed.collect()}
     want = {key(r): r["jaccard"] for r in batch.collect()}
     assert got == want and len(want) >= 2  # both new docs matched doc 0
+
+
+def test_streamed_distinct_state_multi_batch(spark, tmp_path):
+    """run_streamed_distinct over a 2-file source with overlapping keys:
+    the anti-join append keeps the state exactly-distinct across
+    micro-batch boundaries, and the HLL finalize over the state equals
+    the batch query over the union."""
+    from mapreduce_code_spark.operators import relational as R
+    from mapreduce_code_spark.streaming.windows import run_streamed_distinct
+
+    src = str(tmp_path / "li_src")
+    mk = "l_returnflag string, l_orderkey long"
+    b1 = spark.createDataFrame([("A", 1), ("A", 2), ("B", 1)], mk)
+    b2 = spark.createDataFrame([("A", 2), ("A", 3), ("B", 1)], mk)  # overlaps
+    b1.write.mode("append").parquet(src)
+    b2.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = run_streamed_distinct(
+        stream,
+        ["l_returnflag", "l_orderkey"],
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    got_pairs = sorted(map(tuple, state.collect()))
+    assert got_pairs == [("A", 1), ("A", 2), ("A", 3), ("B", 1)]
+    want = {
+        (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
+        for r in R.hll_distinct_orders_portable(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    got = {
+        (r["l_returnflag"], r["approx_orders"], r["exact_orders"])
+        for r in R.hll_from_pairs(state).collect()
+    }
+    assert got == want and {r[0] for r in got} == {"A", "B"}
