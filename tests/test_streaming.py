@@ -327,3 +327,29 @@ def test_streamed_distinct_state_multi_batch(spark, tmp_path):
         for r in R.hll_from_pairs(state).collect()
     }
     assert got == want and {r[0] for r in got} == {"A", "B"}
+
+
+def test_streamed_distinct_replay_is_idempotent(spark, tmp_path):
+    """Replaying every batch into an EXISTING state dir (fresh
+    checkpoint, same data) leaves the state unchanged — the exactly-once
+    convergence claim for crash-replay, pinned directly."""
+    from mapreduce_code_spark.streaming.windows import run_streamed_distinct
+
+    src = str(tmp_path / "src")
+    mk = "l_returnflag string, l_orderkey long"
+    spark.createDataFrame([("A", 1), ("B", 2)], mk).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt: str):
+        return run_streamed_distinct(
+            spark.readStream.schema(schema).parquet(src),
+            ["l_returnflag", "l_orderkey"],
+            str(tmp_path / "state"),
+            str(tmp_path / ckpt),
+        )
+
+    first = sorted(map(tuple, run("ckpt1").collect()))
+    again = sorted(map(tuple, run("ckpt2").collect()))  # full replay
+    assert first == again == [("A", 1), ("B", 2)]
