@@ -15,6 +15,7 @@ larger table is a few hundred MB at target scale (bucket ≈ task).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def save_bucketed(
@@ -82,3 +83,31 @@ def compact(spark: SparkSession, path: str, target_bytes: int = 256 << 20) -> in
         raise IOError(f"compact: could not promote {tmp}")
     fs.delete(jbak, True)
     return n_files
+
+
+def write_sharded(
+    df: DataFrame, path: str, n_shards: int = 8, key: str = "doc_id"
+) -> None:
+    """Write the final training-mix layout: hive-partitioned by a
+    DETERMINISTIC hash shard of ``key`` (``shard=N/`` directories, one
+    file per shard). Shard membership is a pure function of the key —
+    identical across runs, engines, and cluster layouts (the property a
+    resumable multi-epoch training loader needs), unlike
+    ``repartition(n)`` round-robin whose assignment depends on the input
+    partitioning.
+
+    Scale notes: ``repartition(shard)`` aligns the shuffle with the
+    output partitioning, so each shard directory is written by exactly
+    one task as one file — at 100 TB raise ``n_shards`` until shard
+    size fits the downstream loader (the assignment stays stable under
+    re-sharding to a multiple). Readers filtering on ``shard`` get
+    partition pruning for free (hive layout).
+    """
+    from mapreduce_code_spark.operators.sampling import key_bucket
+
+    sharded = df.withColumn(
+        "shard", (key_bucket(F.col(key), salt="outshard") % n_shards)
+    )
+    sharded.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)

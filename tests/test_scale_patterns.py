@@ -230,3 +230,50 @@ def test_hourly_gapfill_survives_type_skew(spark):
     assert all(
         r["filled_sum_micro"] == 10_000 * 1_000_000 for r in zero_hours
     )
+
+
+def test_write_sharded_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Sharded training-mix writer: hive shard=N/ dirs with one file
+    each, shard membership stable across rewrites, and a shard filter
+    prunes partitions at read."""
+    import glob
+    import os
+
+    from mapreduce_code_spark.sources.bucketing import write_sharded
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "mix")
+    write_sharded(docs, out, n_shards=4)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*"))
+    )
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    for d in dirs:
+        files = [
+            f
+            for f in glob.glob(os.path.join(out, d, "*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # repartition aligned with the layout
+    first = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(out).select("doc_id", "shard").collect()
+    }
+    assert len({d for _, d in first}) == 4
+    out2 = str(tmp_path / "mix2")
+    write_sharded(docs, out2, n_shards=4)  # rewrite → identical assignment
+    second = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
+    }
+    assert first == second
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("shard") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
