@@ -100,7 +100,8 @@ _FIRST = [
     "similarity_label_centroids",  # new: per-label centroid (long form)
     "dedup_streamed_incremental",  # new: foreachBatch ingest dedup
     "similarity_assign_centroids",  # new: nearest-centroid E-step
-    "relational_funnel_stages",  # touched: single-pass window rewrite
+    # (relational_funnel_stages also rewritten this round — already
+    # leads via the r03-unchecked block above)
     "relational_regional_revenue",  # new: TPC-H Q5-shaped 6-table join
     "relational_streamed_hll",  # new: streamed mergeable-sketch state
     "relational_hll_distinct",  # touched: pairs/finalize refactor

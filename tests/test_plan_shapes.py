@@ -112,3 +112,21 @@ def test_spread_is_noop_on_well_partitioned_input(spark, sf_dir):
         shingles(pre)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("RoundRobinPartitioning") == 1, plan
+
+
+def test_rotation_lists_name_real_queries():
+    """Every name in the _FIRST/_LAST rotation lists must exist in the
+    registry — a typo would silently drop the driver-budget ordering the
+    round contract depends on — and the ordered dict must contain every
+    registered query exactly once, _FIRST entries leading."""
+    from mapreduce_code_spark import registry as REG
+
+    names = list(REG.queries())
+    assert set(REG._FIRST) <= set(names), set(REG._FIRST) - set(names)
+    assert set(REG._LAST) <= set(names), set(REG._LAST) - set(names)
+    assert len(REG._FIRST) == len(set(REG._FIRST)), "duplicate in _FIRST"
+    assert len(names) == len(set(names)) == len(REG._QUERIES)
+    lead = names[: len(REG._FIRST)]
+    assert lead == list(REG._FIRST)
+    for n in REG._LAST:
+        assert names.index(n) >= len(names) - len(REG._LAST)
