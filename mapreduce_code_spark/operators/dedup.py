@@ -595,6 +595,7 @@ def incremental_near_dups(
     n_hashes: int = 12,
     band_size: int = 3,
     k: int = 3,
+    corpus_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: near-dups of NEW documents against an
     EXISTING corpus — the production shape, where each arriving shard is
@@ -608,10 +609,17 @@ def incremental_near_dups(
     signatures/bands and shingle ids are computed once at acceptance
     time and stored (they are plain tables — the mergeable-sketch
     storage story); here they are derived inline from the corpus frame
-    so the operator is self-contained and oracle-checkable.
+    so the operator is self-contained and oracle-checkable — or passed
+    in as ``corpus_sh`` by a caller that checks MANY shards against one
+    static corpus (the streamed foreachBatch twin), so the corpus-side
+    shingle pass runs once, not once per shard.
     """
     new_sh = _persist(shingle_ids(new_docs, k))
-    corp_sh = _persist(shingle_ids(corpus_docs, k))
+    corp_sh = (
+        corpus_sh
+        if corpus_sh is not None
+        else _persist(shingle_ids(corpus_docs, k))
+    )
     nb = band_keys(
         minhash_signatures(new_docs, n_hashes, k, sh_ids=new_sh), band_size
     )

@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None = None):
 
 # The driver verifies queries in the order this dict yields them and has a
 # finite per-round budget (~50 of the 67 then-registered queries got a
-# round-3 row; 77 registered as of round 4).
+# round-3 row; 78 registered as of round 4).
 # So ordering is part of the contract, and the rule — extended per the
 # round-3 verdict — is: a query goes FIRST if it is (a) new this round,
 # (b) its code was touched this round, or (c) it has no driver row from
@@ -553,13 +553,19 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
     )
+    # corpus-side shingle pass materialized ONCE, outside the stream —
+    # every micro-batch reuses it instead of re-shingling the static
+    # corpus per batch (the "computed once at acceptance time" shape)
+    corp_sh = dedup._persist(dedup.shingle_ids(corpus))
     new_stream = load_table_stream(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 1
     )
     tmp = tempfile.mkdtemp(prefix="dedup_streamed_incremental_")
     return run_batch_transform(
         new_stream,
-        lambda batch: dedup.incremental_near_dups(batch, corpus),
+        lambda batch: dedup.incremental_near_dups(
+            batch, corpus, corpus_sh=corp_sh
+        ),
         f"{tmp}/out",
         f"{tmp}/ckpt",
     )

@@ -27,6 +27,11 @@ interpreter pass per row — the right trade for a legacy ingest format
 whose alternative is not reading it at all; bulk columnar stays on
 parquet.
 
+Format limitation (inherent to the reference's line format): an EMPTY
+basket has no representation — a blank line reads back as "no basket" —
+so the writer skips rows whose ``items`` array is empty instead of
+emitting a blank line that would silently vanish on read.
+
 This module is pure-Python and must stay import-light: Spark pickles
 the DataSource/Reader/Writer objects to executors.
 """
@@ -102,6 +107,13 @@ class _BasketReader(DataSourceReader):
         base = partition.index << 32
         with open(partition.path, encoding="utf-8") as fh:
             for line_no, line in enumerate(fh):
+                if line_no >= 1 << 32:
+                    # ids pack (file_index << 32 | line_no); letting
+                    # line_no bleed into the file bits would silently
+                    # collide with the next file's ids
+                    raise ValueError(
+                        f"{partition.path}: >= 2^32 lines — split the file"
+                    )
                 line = line.strip()
                 if not line:  # blank lines carry no basket (io.py parity)
                     continue
@@ -130,7 +142,12 @@ class _BasketWriter(DataSourceWriter):
         )
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(" ".join(row.items) + "\n")
+                # the line format cannot represent an empty basket (a
+                # blank line reads back as "no basket"), so empty item
+                # arrays are SKIPPED rather than silently becoming a
+                # dropped blank line — same information loss, stated
+                if row.items:
+                    fh.write(" ".join(row.items) + "\n")
         return _Committed(tmp)
 
     def commit(self, messages) -> None:  # driver-side

@@ -99,15 +99,23 @@ def write_sharded(
     Scale notes: ``repartition(shard)`` aligns the shuffle with the
     output partitioning, so each shard directory is written by exactly
     one task as one file — at 100 TB raise ``n_shards`` until shard
-    size fits the downstream loader (the assignment stays stable under
-    re-sharding to a multiple). Readers filtering on ``shard`` get
-    partition pruning for free (hive layout).
+    size fits the downstream loader. Readers filtering on ``shard`` get
+    partition pruning for free (hive layout). The shard hashes the key
+    DIRECTLY (60 md5 bits mod n_shards) rather than through
+    ``sampling.key_bucket`` — the bucket space there is 10,000, which
+    would cap the shard count and skew any non-divisor n_shards by up to
+    a whole bucket's worth of keys.
     """
-    from mapreduce_code_spark.operators.sampling import key_bucket
-
-    sharded = df.withColumn(
-        "shard", (key_bucket(F.col(key), salt="outshard") % n_shards)
-    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("outshard|"), F.col(key).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sharded = df.withColumn("shard", h % n_shards)
     sharded.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)

@@ -264,6 +264,24 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def _dir_exists(spark, path: str) -> bool:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jvm_path)
+
+
+def _drive_foreach_batch(stream_df: DataFrame, handle, checkpoint_dir: str):
+    """Shared scaffold: foreachBatch + checkpoint + availableNow, run to
+    completion."""
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_batch_transform(
     stream_df: DataFrame,
     batch_fn,
@@ -272,32 +290,40 @@ def run_batch_transform(
 ) -> DataFrame:
     """Drive a stream through ``foreachBatch`` with the ``availableNow``
     trigger, mapping every micro-batch through an arbitrary BATCH
-    transformation and appending the results to a parquet sink; returns
-    the read-back result frame.
+    transformation into a parquet sink; returns the read-back result
+    frame.
 
     This is the streaming escape hatch for operators a continuous query
     can't express declaratively (multi-join + multi-aggregate pipelines
     like LSH dedup): inside foreachBatch the micro-batch is a plain
     DataFrame, so the full batch operator library applies unchanged.
-    Exactly-once per batch comes from the checkpoint + append-only sink
-    (a replayed batch_id re-appends, but availableNow + checkpoint
-    replays a batch only after a crash BEFORE its commit, so the sink
-    converges). ``batch_fn`` must be deterministic and per-row
-    independent across batches (each output row derived from one input
-    row's batch) for the result to be batching-invariant.
+    Exactly-once per batch holds because each batch OVERWRITES its own
+    ``batch_id=N`` subdirectory — a crash between the write and the
+    checkpoint commit replays the batch, which rewrites the same subdir
+    with the same rows instead of appending duplicates. ``batch_fn``
+    must be deterministic and per-row independent across batches (each
+    output row derived from one input row's batch) for the result to be
+    batching-invariant. A source that yields zero batches returns an
+    empty frame with ``batch_fn``'s output schema.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_fn(batch_df).write.mode("append").parquet(out_dir)
+        batch_fn(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.read.parquet(out_dir)
+    _drive_foreach_batch(stream_df, handle, checkpoint_dir)
+    spark = stream_df.sparkSession
+    if not _dir_exists(spark, out_dir):
+        # zero micro-batches: an empty result with the right schema, not
+        # a path-does-not-exist error (batch_fn over the empty stream
+        # schema is a plan, never executed)
+        return batch_fn(
+            spark.createDataFrame([], stream_df.schema)
+        ).limit(0)
+    # the hive layout adds the synthetic batch_id partition column —
+    # strip it so the result schema equals batch_fn's output schema
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 def run_streamed_distinct(
@@ -320,27 +346,21 @@ def run_streamed_distinct(
     State grows with DISTINCT keys only (the same bound as any
     streaming dropDuplicates state, here spilled to storage instead of
     the state store so it survives restarts and is directly queryable).
+    A source that yields zero batches returns an empty keys frame.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.select(*keys).distinct()
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        fs = jvm_path(state_dir).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        if fs.exists(jvm_path(state_dir)):
+        if _dir_exists(spark, state_dir):
             new = new.join(spark.read.parquet(state_dir), keys, "left_anti")
         new.write.mode("append").parquet(state_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.read.parquet(state_dir)
+    _drive_foreach_batch(stream_df, handle, checkpoint_dir)
+    spark = stream_df.sparkSession
+    if not _dir_exists(spark, state_dir):
+        return spark.createDataFrame([], stream_df.select(*keys).schema)
+    return spark.read.parquet(state_dir)
 
 
 def run_upsert_sink(

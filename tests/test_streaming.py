@@ -353,3 +353,37 @@ def test_streamed_distinct_replay_is_idempotent(spark, tmp_path):
     first = sorted(map(tuple, run("ckpt1").collect()))
     again = sorted(map(tuple, run("ckpt2").collect()))  # full replay
     assert first == again == [("A", 1), ("B", 2)]
+
+
+def test_foreach_batch_helpers_empty_source(spark, tmp_path):
+    """A source directory with no files yields zero micro-batches; both
+    foreachBatch helpers must return an EMPTY frame with the right
+    schema, not a path-does-not-exist error."""
+    from pyspark.sql import functions as F2
+
+    from mapreduce_code_spark.streaming.windows import (
+        run_batch_transform,
+        run_streamed_distinct,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = "l_returnflag string, l_orderkey long"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = run_batch_transform(
+        stream,
+        lambda b: b.groupBy("l_returnflag").agg(
+            F2.count(F2.lit(1)).alias("n")
+        ),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck1"),
+    )
+    assert out.columns == ["l_returnflag", "n"] and out.count() == 0
+    state = run_streamed_distinct(
+        spark.readStream.schema(schema).parquet(str(src)),
+        ["l_returnflag", "l_orderkey"],
+        str(tmp_path / "state"),
+        str(tmp_path / "ck2"),
+    )
+    assert state.columns == ["l_returnflag", "l_orderkey"]
+    assert state.count() == 0
