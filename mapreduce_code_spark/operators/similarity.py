@@ -583,6 +583,25 @@ FROM el GROUP BY 1, 2
 """
 
 
+def _centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid as a dense vector: ``(c_label, cvec
+    array<double>)`` — :func:`label_centroids` pivoted wide. (n_labels ×
+    dim) rows total, so the result always broadcasts."""
+    return (
+        label_centroids(embeddings)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "centroid"))
+            ).alias("pc")
+        )
+        .select(
+            "c_label",
+            F.transform(F.col("pc"), lambda s: s["centroid"]).alias("cvec"),
+        )
+    )
+
+
 def assign_centroids(embeddings: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: every vector gets the label of its
     highest-cosine class centroid (from :func:`label_centroids`) — one
@@ -598,19 +617,7 @@ def assign_centroids(embeddings: DataFrame) -> DataFrame:
     so it broadcasts; scoring is embarrassingly parallel; the only
     shuffle is the per-vector argmax re-aggregation keyed on vec_id.
     """
-    cents = (
-        label_centroids(embeddings)
-        .groupBy(F.col("label").alias("c_label"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "centroid"))
-            ).alias("pc")
-        )
-        .select(
-            "c_label",
-            F.transform(F.col("pc"), lambda s: s["centroid"]).alias("cvec"),
-        )
-    )
+    cents = _centroid_vectors(embeddings)
     scored = spread(embeddings).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
@@ -686,6 +693,154 @@ WITH el AS (
 SELECT vec_id, CAST(label AS BIGINT) AS label,
        CAST(c_label AS BIGINT) AS assigned_label, cosine
 FROM ranked WHERE rn = 1
+"""
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, re-derived as DataFrame ops): inside each cluster
+    (``label`` here; the k-means assignment at corpus scale), find
+    embedding pairs with cosine ≥ ``threshold`` and prune the MORE
+    TYPICAL member of every such pair — the one closer to its cluster
+    centroid — keeping the atypical example, which is the paper's
+    diversity-preserving keep rule. Returns one row per vector:
+    ``(vec_id, label, cent_cosine, pruned)`` with ``pruned`` as BIGINT
+    0/1 (the flag stays in the driver hash's exact-integer path).
+
+    Pairwise-domination variant of the paper's keep-one-per-group:
+    a vector is pruned iff SOME ≥-threshold neighbor is strictly more
+    atypical (lower centroid-cosine, ties to the lower vec_id). This is
+    deterministic, needs no iterative clustering, and never prunes a
+    whole group (each group's minimum survives by construction).
+
+    Exactness: centroid cosines reuse the module's quantized integer
+    dots (IEEE-identical across engines), so the double comparisons in
+    the domination predicate are engine-identical too. Scale shape: the
+    centroid table broadcasts; centroid scoring is shuffle-free; pair
+    generation rides :func:`cosine_dup_pairs` (blocked join — LSH
+    buckets at 100 TB); the domination join is keyed on vec_id with
+    pair-count cardinality, and the final flag join is keyed on vec_id.
+    """
+    cents = _centroid_vectors(embeddings)
+    scored = (
+        spread(embeddings)
+        .join(F.broadcast(cents), F.col("label") == F.col("c_label"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            (
+                dot_exact(F.col("embedding"), F.col("cvec")).cast("double")
+                / (
+                    F.sqrt(
+                        dot_exact(
+                            F.col("embedding"), F.col("embedding")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        dot_exact(F.col("cvec"), F.col("cvec")).cast("double")
+                    )
+                )
+            ).alias("cent_cosine"),
+        )
+    )
+    pairs = cosine_dup_pairs(embeddings, threshold, block_col="label")
+    oriented = pairs.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("o")
+    ).unionAll(pairs.select(F.col("vec_b").alias("v"), F.col("vec_a").alias("o")))
+    sv = scored.select(F.col("vec_id").alias("v"), F.col("cent_cosine").alias("cx"))
+    so = scored.select(F.col("vec_id").alias("o"), F.col("cent_cosine").alias("co"))
+    pruned = (
+        oriented.join(sv, "v")
+        .join(so, "o")
+        .filter(
+            (F.col("co") < F.col("cx"))
+            | ((F.col("co") == F.col("cx")) & (F.col("o") < F.col("v")))
+        )
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+        .withColumn("p", F.lit(1).cast("bigint"))
+    )
+    return scored.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "cent_cosine",
+        F.coalesce(F.col("p"), F.lit(0).cast("bigint")).alias("pruned"),
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same quantized dots, same
+    domination rule)."""
+    q_expr = f"x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)"
+    return f"""
+WITH el AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         unnest(list_transform(embedding, {q_expr})) AS q
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label,
+         list(CAST(sum_q AS DOUBLE) / (n * {SCALE}) ORDER BY pos) AS cvec
+  FROM (
+    SELECT label, pos, sum(q) AS sum_q, count(*) AS n
+    FROM el GROUP BY 1, 2
+  ) GROUP BY label
+), qv AS (
+  SELECT vec_id, label, list_transform(embedding, {q_expr}) AS qv
+  FROM embeddings
+), qc AS (
+  SELECT c_label,
+         list_transform(cvec,
+             x -> CAST(floor(x * {SCALE} + 0.5) AS BIGINT)) AS qc
+  FROM cent
+), selfp AS (
+  SELECT vec_id, label, unnest(qv) AS a, unnest(qc) AS b
+  FROM qv JOIN qc ON qv.label = qc.c_label
+), selfd AS (
+  SELECT vec_id, label, sum(a * b) AS dot,
+         sum(a * a) AS na, sum(b * b) AS nb
+  FROM selfp GROUP BY 1, 2
+), scored AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                                * sqrt(CAST(nb AS DOUBLE))) AS cent_cosine
+  FROM selfd
+), pelems AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), pdots AS (
+  SELECT vec_a, vec_b,
+         CAST(sum(CAST(floor(CAST(xa AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(xb AS DOUBLE) * {SCALE} + 0.5) AS BIGINT))
+              AS DOUBLE) AS dot
+  FROM pelems GROUP BY vec_a, vec_b
+), vnorm AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(q * q) AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, unnest(list_transform(embedding, {q_expr})) AS q
+        FROM embeddings) GROUP BY vec_id
+), dup AS (
+  SELECT d.vec_a, d.vec_b
+  FROM pdots d
+  JOIN vnorm na ON na.vec_id = d.vec_a
+  JOIN vnorm nb ON nb.vec_id = d.vec_b
+  WHERE d.dot / (na.norm * nb.norm) >= {threshold}
+), oriented AS (
+  SELECT vec_a AS v, vec_b AS o FROM dup
+  UNION ALL
+  SELECT vec_b AS v, vec_a AS o FROM dup
+), pruned AS (
+  SELECT DISTINCT p.v
+  FROM oriented p
+  JOIN scored x ON x.vec_id = p.v
+  JOIN scored y ON y.vec_id = p.o
+  WHERE y.cent_cosine < x.cent_cosine
+     OR (y.cent_cosine = x.cent_cosine AND y.vec_id < x.vec_id)
+)
+SELECT s.vec_id, s.label, s.cent_cosine,
+       CAST(CASE WHEN pr.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS pruned
+FROM scored s LEFT JOIN pruned pr ON pr.v = s.vec_id
 """
 
 

@@ -105,6 +105,7 @@ _FIRST = [
     "relational_regional_revenue",  # new: TPC-H Q5-shaped 6-table join
     "relational_streamed_hll",  # new: streamed mergeable-sketch state
     "relational_hll_distinct",  # touched: pairs/finalize refactor
+    "similarity_semantic_dedup",  # new: SemDeDup-style semantic pruning
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -669,6 +670,15 @@ def q_assign_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (one k-means E-step): centroids
     broadcast, scoring shuffle-free, argmax re-agg keyed on vec_id."""
     return similarity.assign_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_semantic_dedup", oracle=similarity.semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within-cluster cosine pairs ≥
+    0.9, prune the member closer to its cluster centroid (keep the
+    atypical one). Centroids broadcast; pair-gen rides the blocked
+    cosine join (LSH buckets at corpus scale)."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("text_stats", oracle=TXT.text_stats_sql())

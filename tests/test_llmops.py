@@ -157,12 +157,43 @@ ORACLED = [
     "dedup_substring_spans",
     "similarity_label_centroids",
     "similarity_assign_centroids",
+    "similarity_semantic_dedup",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, sf_dir, name):
     assert_parity(queries()[name](spark, sf_dir), sf_dir, oracle_sql()[name], rtol=0)
+
+
+def test_semantic_dedup_micro(emb_micro):
+    """SemDeDup domination rule on the planted pair: exactly one of the
+    near-identical pair {0, 1} is pruned — the one CLOSER to the label-0
+    centroid (higher cent_cosine; the atypical member survives) — and
+    vectors with no ≥-threshold neighbor are never pruned."""
+    got = {r["vec_id"]: r for r in similarity.semantic_dedup(emb_micro).collect()}
+    assert set(got) == set(range(30))  # one row per vector, flag included
+    pruned_pair = {v for v in (0, 1) if got[v]["pruned"] == 1}
+    assert len(pruned_pair) == 1
+    loser = pruned_pair.pop()
+    keeper = 1 - loser
+    assert (
+        got[loser]["cent_cosine"] > got[keeper]["cent_cosine"]
+        or (
+            got[loser]["cent_cosine"] == got[keeper]["cent_cosine"]
+            and keeper < loser
+        )
+    )
+    # random 64-dim vectors never reach cosine 0.9 — nothing else pruned
+    assert all(got[v]["pruned"] == 0 for v in range(2, 30))
+    # global invariant: each label group's minimum-cent_cosine member
+    # survives by construction (it has no strictly-more-atypical neighbor)
+    by_label = {}
+    for v, r in got.items():
+        by_label.setdefault(r["label"], []).append(r)
+    for rows in by_label.values():
+        least = min(rows, key=lambda r: (r["cent_cosine"], -r["vec_id"]))
+        assert least["pruned"] == 0
 
 
 def test_ivf_recall(emb_micro):
