@@ -277,3 +277,53 @@ def test_write_sharded_layout_and_determinism(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_write_clustered_skipping_stats(spark, sf_dir, tmp_path):
+    """Range-clustered writer: every output file owns a disjoint ts
+    range (parquet footer min/max — the stats file-level skipping runs
+    on), row groups inside each file are sorted, and a ts predicate on
+    the read is pushed to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_code_spark.sources.bucketing import write_clustered
+    from mapreduce_code_spark.sources.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    write_clustered(events, out, ["ts"], n_files=6)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+        gmins, gmaxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            gmins.append(st.min)
+            gmaxs.append(st.max)
+        # sortWithinPartitions → row-group mins non-decreasing in file order
+        assert gmins == sorted(gmins)
+        ranges.append((min(gmins), max(gmaxs)))
+    assert len(ranges) >= 2  # sf0.001+ events split across several files
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        # repartitionByRange: a value lands in exactly one partition, so
+        # consecutive file ranges never overlap — file-level skipping can
+        # prune every file outside the predicate's window
+        assert hi <= lo
+    total = spark.read.parquet(out).count()
+    assert total == events.count()  # clustering is a pure layout change
+
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1][:200]
