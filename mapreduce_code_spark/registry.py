@@ -106,6 +106,7 @@ _FIRST = [
     "relational_streamed_hll",  # new: streamed mergeable-sketch state
     "relational_hll_distinct",  # touched: pairs/finalize refactor
     "similarity_semantic_dedup",  # new: SemDeDup-style semantic pruning
+    "events_streamed_session",  # new: streamed session-state merge path
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -113,6 +114,7 @@ _LAST = [
     # pure-batch twin is the cheapest budget cut if the round runs tight
     "events_tumbling_window",  # twin of events_streamed_tumbling
     "sampling_stratified_lang",  # twin of sampling_streamed_stratified
+    "events_session_window",  # twin of events_streamed_session
 ]
 
 
@@ -1115,6 +1117,15 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30m-gap session windows (native session_window)."""
     return W.session_windows(load_table(spark, sf_dir, "events"))
+
+
+@register("events_streamed_session", oracle=W.session_windows_sql())
+def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization executed through an actual writeStream —
+    the session-state MERGE path (sessions collapse across micro-batches
+    when a bridging event arrives) earns the oracle row, not just the
+    batch twin."""
+    return W.streamed_session_windows(spark, sf_dir)
 
 
 from mapreduce_code_spark.streaming import joins as SJ  # noqa: E402

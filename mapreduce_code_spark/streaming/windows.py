@@ -230,6 +230,27 @@ def streamed_tumbling_counts(
     )
 
 
+def streamed_session_windows(
+    spark, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """:func:`session_windows` driven through an ACTUAL ``writeStream`` —
+    the hardest stateful windowing mode: unlike tumbling windows, session
+    windows MERGE as events arrive (two separate sessions collapse when a
+    bridging event lands in a later micro-batch), so this exercises the
+    streaming session-state merge path end to end. Complete mode +
+    ``availableNow``: after the final micro-batch the sink holds the
+    fully-merged sessions, which equal the batch/DuckDB gaps-and-islands
+    oracle. At scale: same code with a continuous trigger + watermark
+    (update mode) is the live sessionization pipeline; state is bounded
+    by the watermark horizon there.
+    """
+    return run_available_now(
+        session_windows(stream_events(spark, sf_dir), gap),
+        "events_streamed_session_sink",
+        output_mode="complete",
+    )
+
+
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Watermark for late-data bounds; required for append-mode windowed
     aggregation and state eviction."""

@@ -95,6 +95,38 @@ def test_watermark_append_finalization(spark, tmp_path):
         q.stop()
 
 
+def test_streamed_session_merge_across_batches(spark, tmp_path):
+    """The streaming session-state MERGE path: batch 1 lands two events
+    30+ minutes apart (two separate sessions); batch 2 lands a bridging
+    event between them — the stream must collapse all three into ONE
+    session. This is the behavior that distinguishes session windows
+    from tumbling state, and it only happens on the streaming path."""
+    src = str(tmp_path / "bridge_events")
+    ts = lambda h, m: datetime(2024, 1, 1, h, m)
+    _write_batch(spark, src, [(1, ts(10, 0), 1, "a", 1.0), (2, ts(10, 50), 1, "a", 1.0)])
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    _write_batch(spark, src, [(3, ts(10, 25), 1, "a", 1.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = W.run_to_memory(
+        W.session_windows(stream, gap="30 minutes"),
+        "session_merge_out",
+        output_mode="complete",
+    )
+    try:
+        rows = spark.table("session_merge_out").collect()
+        assert len(rows) == 1  # two sessions + bridge → one merged session
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n"] == 3
+        assert (r["session_start"].hour, r["session_start"].minute) == (10, 0)
+        assert (r["session_end"].hour, r["session_end"].minute) == (11, 20)
+    finally:
+        q.stop()
+
+
 def test_session_window_batch_matches_gaps_and_islands(spark, sf_dir):
     """Native session_window == explicit lag/cumsum sessionization on the
     same Spark data (independent of the DuckDB oracle)."""
