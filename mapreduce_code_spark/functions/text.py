@@ -439,3 +439,93 @@ hits AS (
 SELECT doc_id, count(*) AS n_shared_ngrams
 FROM hits GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------- PII redaction
+
+# Conservative common-subset patterns: no backreferences, no lookaround —
+# identical match semantics in Java regex (Spark, JVM-side) and RE2
+# (DuckDB oracle). Redaction order is fixed (email → phone → IP) and the
+# patterns are mutually non-overlapping on any input (emails need '@',
+# phones need a leading '+', IPs need dotted digits), so the composed
+# rewrite is order-insensitive in practice but deterministic by
+# construction.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass: mask
+    emails, international phone numbers, and IPv4 addresses with typed
+    placeholder tags. Returns ``(doc_id, redacted, n_emails, n_phones,
+    n_ips)`` with counts taken BEFORE redaction.
+
+    Pure built-in column algebra (``regexp_extract_all`` +
+    ``regexp_replace`` — JVM-side, codegen'd, no Python in the hot
+    path); a narrow map over the corpus, no shuffle at any scale.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return spread(documents).select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("bigint").alias("n_ips"),
+    )
+
+
+def plant_pii(documents: DataFrame) -> DataFrame:
+    """Append a deterministic contact line (one email, one phone, one
+    IPv4, all derived from ``doc_id``) to every document. The driver's
+    synthetic corpus contains no PII-shaped strings at all, so a
+    redaction query over the raw table would be vacuously green; the
+    planted line makes the cross-engine check bite — the md5 of the
+    redacted text then proves both engines matched and replaced exactly
+    the same spans."""
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (d % 900 + 100).cast("string"),
+        F.lit("-"),
+        (d % 9000 + 1000).cast("string"),
+        F.lit(" at 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return documents.withColumn("text", planted)
+
+
+def redact_pii_planted_sql() -> str:
+    """DuckDB twin of ``redact_pii(plant_pii(documents))`` with the
+    redacted text collapsed to its md5 (the registered query's shape)."""
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+              || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips
+FROM planted
+"""

@@ -107,6 +107,7 @@ _FIRST = [
     "relational_hll_distinct",  # touched: pairs/finalize refactor
     "similarity_semantic_dedup",  # new: SemDeDup-style semantic pruning
     "events_streamed_session",  # new: streamed session-state merge path
+    "text_redact_pii",  # new: PII scrubbing with planted contact lines
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -734,6 +735,25 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_pred = F.col("doc_id") % 97 == 0
     return TXT.ngram_contamination(
         docs.filter(~eval_pred), docs.filter(eval_pred)
+    )
+
+
+@register("text_redact_pii", oracle=TXT.redact_pii_planted_sql())
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phones / IPv4 → typed tags) over a corpus
+    with a deterministic planted contact line per doc — the synthetic
+    documents carry no PII-shaped strings, so the plant is what makes
+    the cross-engine regex check non-vacuous. The md5 of the redacted
+    text proves both engines matched and replaced identical spans."""
+    red = TXT.redact_pii(
+        TXT.plant_pii(load_table(spark, sf_dir, "documents"))
+    )
+    return red.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
     )
 
 

@@ -415,6 +415,31 @@ def test_int8_topk_recall(emb_micro):
     assert len(exact & quant) / len(exact) >= 0.8
 
 
+def test_redact_pii_hand_checked(spark):
+    """Planted realistic PII redacts to exactly the expected string;
+    counts are per-kind and pre-redaction; clean text passes untouched."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [
+            (
+                0,
+                "reach alice.smith+work@mail.co or bob@sub.example.org, "
+                "call +44-201-555-0199, server 192.168.1.254 down",
+            ),
+            (1, "no pii here, just 1.2 version numbers and a plus + sign"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TXT.redact_pii(docs).collect()}
+    assert out[0]["redacted"] == (
+        "reach <EMAIL> or <EMAIL>, call <PHONE>, server <IP> down"
+    )
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (2, 1, 1)
+    assert out[1]["redacted"] == docs.collect()[1]["text"]
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 0, 0)
+
+
 def test_repetition_stats_hand_checked(spark):
     """Gopher duplicate-n-gram fractions on a crafted doc: 'a b a b a'
     has 2-grams [a b, b a, a b, b a] — all 4 occurrences duplicated,
