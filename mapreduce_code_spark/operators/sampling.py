@@ -359,3 +359,66 @@ SELECT doc_id, lang, {b} AS bucket
 FROM documents
 WHERE {b} < CASE lang {whens} ELSE {default_bp} END
 """
+
+
+def temperature_mix_sample(documents: DataFrame, frac: float = 0.5) -> DataFrame:
+    """Temperature-flattened source mixture (the ``n^alpha`` reweighting
+    LLM mixes use to keep dominant sources from drowning rare ones; this
+    is the alpha = 0.5 member, whose per-source keep rate is
+    ``frac · sqrt(N / n_s)`` capped at 1 — rare sources kept whole,
+    dominant ones downsampled toward sqrt-proportionality). Returns the
+    kept ``(doc_id, source, bucket, threshold)`` rows.
+
+    alpha is pinned at 0.5 deliberately: sqrt is IEEE-correctly-rounded
+    (``pow`` is not), and the threshold avoids any data-ordered float
+    sum (no normalization over per-source weights), so the integer
+    bucket-vs-threshold comparison is bit-identical across engines.
+    Determinism: membership is a pure function of (doc_id, n_s, N), and
+    it moves MONOTONICALLY with the threshold: growing other sources
+    (N up) can only ADD members to this source, growing the source
+    itself (n_s up faster than sqrt(N)) can only drop them — no
+    rerun/reshuffle churn, and a capped (rate-1) source is immune to
+    both until its threshold re-enters (0, 10000).
+
+    Scale shape: per-source counts are a map-side-combined groupBy over
+    (source) — tiny — then broadcast back; the total is one scalar.
+    The corpus itself is a narrow scan + filter, no shuffle of the text
+    columns at any size.
+    """
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = documents.agg(F.count(F.lit(1)).alias("n_total"))
+    thr = F.least(
+        F.lit(BUCKETS).cast("bigint"),
+        F.floor(
+            F.lit(float(BUCKETS))
+            * F.lit(frac)
+            * F.sqrt(F.col("n_total"))
+            / F.sqrt(F.col("n_s"))
+        ).cast("bigint"),
+    )
+    b = key_bucket(F.col("doc_id"), salt="tempmix")
+    return (
+        documents.select("doc_id", "source", b.alias("bucket"))
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn("threshold", thr)
+        .filter(F.col("bucket") < F.col("threshold"))
+        .select("doc_id", "source", "bucket", "threshold")
+    )
+
+
+def temperature_mix_sample_sql(frac: float = 0.5) -> str:
+    """DuckDB twin of :func:`temperature_mix_sample` (same operation
+    order in the threshold expression, same salted bucket)."""
+    b = _bucket_sql("doc_id", salt="tempmix")
+    return f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT count(*) AS n_total FROM documents),
+bk AS (SELECT doc_id, source, {b} AS bucket FROM documents)
+SELECT doc_id, source, bucket,
+       least({BUCKETS}, CAST(floor({float(BUCKETS)} * {frac} * sqrt(n_total)
+                                   / sqrt(n_s)) AS BIGINT)) AS threshold
+FROM bk JOIN c USING (source) CROSS JOIN t
+WHERE bucket < least({BUCKETS}, CAST(floor({float(BUCKETS)} * {frac} * sqrt(n_total)
+                                           / sqrt(n_s)) AS BIGINT))
+"""

@@ -108,6 +108,7 @@ _FIRST = [
     "similarity_semantic_dedup",  # new: SemDeDup-style semantic pruning
     "events_streamed_session",  # new: streamed session-state merge path
     "text_redact_pii",  # new: PII scrubbing with planted contact lines
+    "sampling_temperature_mix",  # new: n^0.5 source mixture flattening
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -831,6 +832,22 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank filter compiles to WindowGroupLimit so hot domains prune
     map-side."""
     return SMP.source_cap_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sampling_temperature_mix",
+    oracle=SMP.temperature_mix_sample_sql(frac=0.1),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (n^0.5 reweighting): rare
+    sources kept whole, dominant ones downsampled toward
+    sqrt-proportionality. Counts broadcast back; the corpus never
+    shuffles. frac=0.1 so the thresholds land strictly inside (0, 1)
+    on the driver's UNIFORM 20-source corpus — at the 0.5 default every
+    per-source rate would cap at 1 and the filter would be vacuous."""
+    return SMP.temperature_mix_sample(
+        load_table(spark, sf_dir, "documents"), frac=0.1
+    )
 
 
 @register("dedup_substring_spans", oracle=dedup.dup_spans_sql())

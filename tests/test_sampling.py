@@ -161,3 +161,40 @@ def test_quality_weighted_rates(spark, sf_dir):
             continue
         frac = kept_tiers.get(q, 0) / n_total
         assert abs(frac - q * 0.8) < 0.25, (q, frac)
+
+
+def test_temperature_mix_flattens_and_is_stable(spark):
+    """sqrt-temperature mixture: the rare source keeps everything
+    (threshold caps at 10000), the dominant source downsamples at
+    exactly floor(10000·frac·sqrt(N)/sqrt(n_s)), and growing the
+    dominant source never resamples the rare one (membership is a pure
+    function of doc_id and the source's own threshold)."""
+    import math
+
+    def corpus(n_big):
+        rows = [(i, "big") for i in range(n_big)]
+        rows += [(10_000 + i, "small") for i in range(16)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = SMP.temperature_mix_sample(corpus(400), frac=0.25)
+    rows = out.collect()
+    thr = {r["source"]: r["threshold"] for r in rows}
+    n_total = 416
+    want_big = math.floor(10000.0 * 0.25 * math.sqrt(n_total) / math.sqrt(400))
+    assert thr["big"] == want_big
+    assert thr["small"] == 10_000  # rare source capped at keep-everything
+    small_kept = {r["doc_id"] for r in rows if r["source"] == "small"}
+    assert small_kept == {10_000 + i for i in range(16)}
+    big_kept = {r["doc_id"] for r in rows if r["source"] == "big"}
+    assert 0 < len(big_kept) < 400  # genuinely downsampled
+    assert all(r["bucket"] < r["threshold"] for r in rows)
+
+    # grow the dominant source: the rare source's membership is untouched,
+    # and big's new threshold only moves by its own formula
+    out2 = SMP.temperature_mix_sample(corpus(800), frac=0.25)
+    rows2 = out2.collect()
+    assert {r["doc_id"] for r in rows2 if r["source"] == "small"} == small_kept
+    thr2 = {r["source"]: r["threshold"] for r in rows2}
+    assert thr2["big"] == math.floor(
+        10000.0 * 0.25 * math.sqrt(816) / math.sqrt(800)
+    )
