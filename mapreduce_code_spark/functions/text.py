@@ -445,11 +445,12 @@ FROM hits GROUP BY doc_id
 
 # Conservative common-subset patterns: no backreferences, no lookaround —
 # identical match semantics in Java regex (Spark, JVM-side) and RE2
-# (DuckDB oracle). Redaction order is fixed (email → phone → IP) and the
-# patterns are mutually non-overlapping on any input (emails need '@',
-# phones need a leading '+', IPs need dotted digits), so the composed
-# rewrite is order-insensitive in practice but deterministic by
-# construction.
+# (DuckDB oracle). Redaction order is fixed (email → phone → IP), which
+# makes the composed rewrite deterministic; the patterns CAN overlap on
+# pathological input (EMAIL_RE's local part may swallow a phone-shaped
+# token like '+1-555-123-4567@x.co', which then redacts as one <EMAIL>),
+# so the pre-redaction per-pattern counts are independent tallies, not a
+# partition of the redacted spans.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"

@@ -409,16 +409,27 @@ def temperature_mix_sample(documents: DataFrame, frac: float = 0.5) -> DataFrame
 
 def temperature_mix_sample_sql(frac: float = 0.5) -> str:
     """DuckDB twin of :func:`temperature_mix_sample` (same operation
-    order in the threshold expression, same salted bucket)."""
+    order in the threshold expression, same salted bucket).
+
+    Every float literal is wrapped in ``CAST(.. AS DOUBLE)``: DuckDB
+    parses bare numeric literals as DECIMAL and evaluates
+    ``10000.0 * 0.07`` EXACTLY (700.0) where Spark's double product is
+    700.0000000000001 — a one-ulp drift that floor() turns into an
+    off-by-one threshold. Casting both factors first forces the same
+    IEEE double multiply on both engines for ANY frac, not just the
+    values that happen to round identically."""
     b = _bucket_sql("doc_id", salt="tempmix")
+    thr = (
+        f"least({BUCKETS}, CAST(floor(CAST({float(BUCKETS)!r} AS DOUBLE)"
+        f" * CAST({float(frac)!r} AS DOUBLE) * sqrt(n_total)"
+        f" / sqrt(n_s)) AS BIGINT))"
+    )
     return f"""
 WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
 t AS (SELECT count(*) AS n_total FROM documents),
 bk AS (SELECT doc_id, source, {b} AS bucket FROM documents)
 SELECT doc_id, source, bucket,
-       least({BUCKETS}, CAST(floor({float(BUCKETS)} * {frac} * sqrt(n_total)
-                                   / sqrt(n_s)) AS BIGINT)) AS threshold
+       {thr} AS threshold
 FROM bk JOIN c USING (source) CROSS JOIN t
-WHERE bucket < least({BUCKETS}, CAST(floor({float(BUCKETS)} * {frac} * sqrt(n_total)
-                                           / sqrt(n_s)) AS BIGINT))
+WHERE bucket < {thr}
 """

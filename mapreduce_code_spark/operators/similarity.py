@@ -721,8 +721,15 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     buckets at 100 TB); the domination join is keyed on vec_id with
     pair-count cardinality, and the final flag join is keyed on vec_id.
     """
+    # scored is consumed three times (both sides of the domination join
+    # and the final flag join); without a persist each action re-scans
+    # the corpus and re-aggregates the centroids 3×. Tracked through the
+    # dedup module's persist list, which the registry/bench/driver_check
+    # all release after every query build.
+    from mapreduce_code_spark.operators.dedup import _persist
+
     cents = _centroid_vectors(embeddings)
-    scored = (
+    scored = _persist(
         spread(embeddings)
         .join(F.broadcast(cents), F.col("label") == F.col("c_label"))
         .select(

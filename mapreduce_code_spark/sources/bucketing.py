@@ -108,7 +108,12 @@ def write_clustered(
     # Spark's default parquet timestamp encoding is legacy INT96, which
     # carries NO min/max statistics — silently defeating the entire point
     # of a stats-clustered layout for time columns. Force the
-    # stats-bearing micros encoding for this write, then restore.
+    # stats-bearing micros encoding for this write, then restore. This
+    # has to be the SESSION conf (the per-write
+    # .option("outputTimestampType", ...) is ignored by the parquet
+    # writer — verified: the file still comes out INT96), so concurrent
+    # writers on the same session during this window would also get
+    # MICROS; run clustered rewrites serially or on their own session.
     key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "TIMESTAMP_MICROS")

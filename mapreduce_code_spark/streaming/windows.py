@@ -240,9 +240,12 @@ def streamed_session_windows(
     streaming session-state merge path end to end. Complete mode +
     ``availableNow``: after the final micro-batch the sink holds the
     fully-merged sessions, which equal the batch/DuckDB gaps-and-islands
-    oracle. At scale: same code with a continuous trigger + watermark
-    (update mode) is the live sessionization pipeline; state is bounded
-    by the watermark horizon there.
+    oracle. At scale: same code with a processing-time trigger +
+    watermark in APPEND mode is the live sessionization pipeline
+    (sessions emit once finalized past the watermark; state is bounded
+    by the horizon). Note update mode is NOT supported for session-
+    window aggregations on this Spark build — append is the streaming
+    production mode, complete the bounded-verification mode used here.
     """
     return run_available_now(
         session_windows(stream_events(spark, sf_dir), gap),

@@ -158,6 +158,8 @@ ORACLED = [
     "similarity_label_centroids",
     "similarity_assign_centroids",
     "similarity_semantic_dedup",
+    "text_redact_pii",
+    "sampling_temperature_mix",
 ]
 
 
@@ -191,8 +193,11 @@ def test_semantic_dedup_micro(emb_micro):
     by_label = {}
     for v, r in got.items():
         by_label.setdefault(r["label"], []).append(r)
+    # the domination rule prunes v on a cosine tie only when the
+    # neighbor has a LOWER vec_id, so the guaranteed survivor is the
+    # min by (cent_cosine, vec_id) — nothing can dominate it
     for rows in by_label.values():
-        least = min(rows, key=lambda r: (r["cent_cosine"], -r["vec_id"]))
+        least = min(rows, key=lambda r: (r["cent_cosine"], r["vec_id"]))
         assert least["pruned"] == 0
 
 

@@ -163,6 +163,22 @@ def test_quality_weighted_rates(spark, sf_dir):
         assert abs(frac - q * 0.8) < 0.25, (q, frac)
 
 
+def test_temperature_mix_parity_adversarial_frac(spark, sf_dir):
+    """frac=0.07: DuckDB's exact-DECIMAL 10000.0*0.07 is 700.0 while the
+    IEEE double product is 700.0000000000001 — floor() turns that ulp
+    into an off-by-one threshold unless the oracle casts its literals to
+    DOUBLE first. Pins the CAST(.. AS DOUBLE) oracle against Spark at a
+    frac where the drift actually bites."""
+    assert_parity(
+        SMP.temperature_mix_sample(
+            load_table(spark, sf_dir, "documents"), frac=0.07
+        ),
+        sf_dir,
+        SMP.temperature_mix_sample_sql(frac=0.07),
+        rtol=0,
+    )
+
+
 def test_temperature_mix_flattens_and_is_stable(spark):
     """sqrt-temperature mixture: the rare source keeps everything
     (threshold caps at 10000), the dominant source downsamples at
