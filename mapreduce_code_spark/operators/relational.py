@@ -1571,3 +1571,60 @@ SELECT e.event_id, e.user_id, e.ts,
 FROM events e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
   USING (event_id, user_id, ts)
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: rows above a per-group statistic
+# ---------------------------------------------------------------------------
+
+def above_avg_orders(orders: DataFrame) -> DataFrame:
+    """Orders priced above 1.5× their customer's average order price —
+    the canonical correlated-scalar-subquery shape (``WHERE o_totalprice
+    > 1.5 * (SELECT avg(..) .. WHERE same custkey)``), written directly
+    in its DECORRELATED form: one window aggregate per customer, one
+    filter. Catalyst decorrelates the subquery spelling to this same
+    agg+join plan; stating it as a window makes the single shuffle
+    (on o_custkey) explicit and keeps the fact table single-scan.
+
+    Exactness: prices are 2-decimal doubles; quantizing to integer
+    cents (module convention) turns the predicate into pure integer
+    math — ``2·n·cents > 3·sum_cents`` ⇔ cents > 1.5·avg — with no
+    double division on either engine. Returns ``(o_orderkey, o_custkey,
+    price_cents, n_orders, custkey_sum_cents)``.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    w = Window.partitionBy("o_custkey")
+    priced = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+        F.sum("price_cents").over(w).alias("custkey_sum_cents"),
+    )
+    return priced.filter(
+        F.lit(2) * F.col("n_orders") * F.col("price_cents")
+        > F.lit(3) * F.col("custkey_sum_cents")
+    )
+
+
+def above_avg_orders_sql() -> str:
+    """DuckDB twin of :func:`above_avg_orders` (same integer-cents
+    predicate)."""
+    return """
+WITH priced AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+agg AS (
+  SELECT o_orderkey, o_custkey, price_cents,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+         CAST(sum(price_cents) OVER (PARTITION BY o_custkey) AS BIGINT)
+           AS custkey_sum_cents
+  FROM priced
+)
+SELECT * FROM agg
+WHERE 2 * n_orders * price_cents > 3 * custkey_sum_cents
+"""

@@ -109,6 +109,7 @@ _FIRST = [
     "events_streamed_session",  # new: streamed session-state merge path
     "text_redact_pii",  # new: PII scrubbing with planted contact lines
     "sampling_temperature_mix",  # new: n^0.5 source mixture flattening
+    "relational_above_avg_orders",  # new: correlated-subquery shape
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1085,6 +1086,14 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN/BETWEEN/LIKE/date predicates + CASE bucket projection."""
     return R.filter_case_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_above_avg_orders", oracle=R.above_avg_orders_sql())
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape in decorrelated window form:
+    orders above 1.5x their customer's average, exact integer-cents
+    predicate, one shuffle on o_custkey."""
+    return R.above_avg_orders(load_table(spark, sf_dir, "orders"))
 
 
 @register("relational_distinct_part_stats", oracle=R.distinct_part_stats_sql())
