@@ -610,6 +610,34 @@ def bloom_membership(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def bloom_semi_reduce(
+    fact: DataFrame, build: DataFrame, fact_key: str, build_key: str
+) -> DataFrame:
+    """Semi-join reduction via the portable Bloom filter: prune ``fact``
+    down to rows whose key is (probably) present in ``build`` BEFORE any
+    join shuffle — the classic big-join reduction at 100 TB, where the
+    fact side is petabytes and the build side's key set fits a filter.
+
+    Plan shape: the set-bit table (≤ m rows) broadcasts; membership is
+    k BROADCAST hash joins on the row's k computed bit columns — the
+    fact table is filtered map-side with NO Exchange (an exploded
+    probe-and-count would re-shuffle the fact on its own row key,
+    defeating the point). Guarantee: no false negatives, so
+    ``reduce-then-join ≡ join``; false positives survive the filter at
+    the designed rate and fall out of the exact join that follows.
+    """
+    distinct_keys = build.select(F.col(build_key).alias("k")).distinct()
+    bits = bloom_bits(distinct_keys, "k")
+    key = F.col(fact_key).cast("string")
+    out = fact
+    for i in range(BLOOM_K):
+        side = F.broadcast(bits.withColumnRenamed("bit", f"_bloom_b{i}"))
+        out = out.join(
+            side, _bloom_bit_col(key, i) == F.col(f"_bloom_b{i}"), "inner"
+        )
+    return out.drop(*[f"_bloom_b{i}" for i in range(BLOOM_K)])
+
+
 def bloom_membership_sql() -> str:
     """DuckDB twin of ``bloom_membership`` — identical md5 slices, mod,
     and distinct-bit counting, so even the false positives match."""

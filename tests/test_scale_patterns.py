@@ -327,3 +327,35 @@ def test_write_clustered_skipping_stats(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_bloom_semi_reduce_equivalence_and_plan(spark, sf_dir):
+    """Bloom semi-join reduction: reduce-then-join equals plain join (no
+    false negatives), the reduction is a strict superset of the true
+    semi-join (false positives only), and membership runs as broadcast
+    hash joins — the fact side sees no Exchange before the filter."""
+    from mapreduce_code_spark.operators import relational as R
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # a selective build side: ~1/8 of parts
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 8 == 0)
+
+    reduced = R.bloom_semi_reduce(lineitem, part, "l_partkey", "p_partkey")
+    true_semi = lineitem.join(
+        part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "left_semi"
+    )
+    n_true, n_reduced, n_fact = true_semi.count(), reduced.count(), lineitem.count()
+    assert n_true <= n_reduced < n_fact  # superset, but genuinely pruning
+
+    # no false negatives: the exact join after reduction loses nothing
+    joined_plain = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+    joined_reduced = reduced.join(part, reduced.l_partkey == part.p_partkey)
+    assert joined_plain.count() == joined_reduced.count()
+
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= R.BLOOM_K
+    # the fact scan flows into the broadcast probes without an exchange:
+    # the only Exchange in the plan belongs to the bit-table build side
+    # (its distinct), never between the fact FileScan and the joins
+    fact_scan_tail = plan[plan.rfind("FileScan") :]
+    assert "Exchange" not in fact_scan_tail or "lineitem" not in fact_scan_tail
