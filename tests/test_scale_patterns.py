@@ -359,3 +359,58 @@ def test_bloom_semi_reduce_equivalence_and_plan(spark, sf_dir):
     # (its distinct), never between the fact FileScan and the joins
     fact_scan_tail = plan[plan.rfind("FileScan") :]
     assert "Exchange" not in fact_scan_tail or "lineitem" not in fact_scan_tail
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join conversion — the runtime half of the skew story
+    (operators/skew.py salting is the planning-time half): a 40:1 hot
+    key under a tight advisory partition size must come out of AQE as
+    SortMergeJoin(skew=true), i.e. the hot partition was split into
+    parallel subtasks instead of serializing one straggler. Uses
+    incompressible padding — shuffle-partition sizes are measured on
+    COMPRESSED bytes, so constant padding never crosses the threshold."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = F.concat(
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+                for i in range(4)
+            ]
+        )
+        left = (
+            spark.range(0, 200_000)
+            .select((F.col("id") * 0).alias("k"), pad.alias("p"))
+            .unionAll(
+                spark.range(0, 5_000).select(
+                    (F.col("id") % 50 + 1).alias("k"), pad.alias("p")
+                )
+            )
+        )
+        right = spark.range(0, 51).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 205_000  # same QueryExecution must run
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
