@@ -110,6 +110,7 @@ _FIRST = [
     "text_redact_pii",  # new: PII scrubbing with planted contact lines
     "sampling_temperature_mix",  # new: n^0.5 source mixture flattening
     "relational_above_avg_orders",  # new: correlated-subquery shape
+    "events_streamed_view_purchase",  # new: real stream-stream writeStream
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -118,6 +119,7 @@ _LAST = [
     "events_tumbling_window",  # twin of events_streamed_tumbling
     "sampling_stratified_lang",  # twin of sampling_streamed_stratified
     "events_session_window",  # twin of events_streamed_session
+    "events_view_purchase_correlation",  # twin of events_streamed_view_purchase
 ]
 
 
@@ -1178,9 +1180,8 @@ from mapreduce_code_spark.streaming import joins as SJ  # noqa: E402
 from mapreduce_code_spark.streaming import stateful as ST  # noqa: E402
 
 
-@register(
-    "events_view_purchase_correlation",
-    oracle="""
+# shared by the batch twin and the actual stream-stream writeStream run
+_VIEW_PURCHASE_SQL = """
 WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
 SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
@@ -1188,7 +1189,12 @@ FROM ev v JOIN ev p
   ON v.user_id = p.user_id
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 600 SECOND
-""",
+"""
+
+
+@register(
+    "events_view_purchase_correlation",
+    oracle=_VIEW_PURCHASE_SQL,
 )
 def q_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→purchase correlation — batch twin of the watermarked
@@ -1198,6 +1204,34 @@ def q_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(ev.event_type == "view"),
         ev.filter(ev.event_type == "purchase"),
         watermark=None,
+    )
+
+
+@register(
+    "events_streamed_view_purchase",
+    oracle=_VIEW_PURCHASE_SQL,
+)
+def q_streamed_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME view→purchase correlation executed as an actual
+    watermarked STREAM-STREAM join through writeStream (two file-stream
+    readers over the events parquet, append mode, availableNow) — the
+    stateful dual-sided join path itself earns the oracle row. Inner
+    stream-stream joins emit each match as both sides arrive; the
+    watermarks + time-range condition exist to bound state, so on a
+    bounded input the append-mode sink holds exactly the batch join."""
+    from mapreduce_code_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    views = stream_events(spark, sf_dir)
+    purchases = stream_events(spark, sf_dir)
+    joined = SJ.view_then_purchase(
+        views.filter(F.col("event_type") == "view"),
+        purchases.filter(F.col("event_type") == "purchase"),
+    )
+    return run_available_now(
+        joined, "events_streamed_view_purchase_sink", output_mode="append"
     )
 
 
