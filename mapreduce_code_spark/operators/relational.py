@@ -1656,3 +1656,83 @@ agg AS (
 SELECT * FROM agg
 WHERE 2 * n_orders * price_cents > 3 * custkey_sum_cents
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality / integrity constraint checks
+# ---------------------------------------------------------------------------
+
+def integrity_checks(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Declarative pipeline health checks — the dbt-style constraint
+    sweep every ingest runs before promoting a snapshot: uniqueness,
+    not-null, and referential integrity, reported as one row per check
+    ``(check_name, n_violations, n_checked)``.
+
+    - ``orders_custkey_fk``: orders whose o_custkey has no customer row
+      (left-anti join — at scale the dim key set broadcasts or the
+      anti-join shuffles on the key, same as any semi-join)
+    - ``customer_key_unique``: c_custkey values appearing more than once
+      (count of EXCESS rows, i.e. total - distinct)
+    - ``orders_totalprice_not_null`` / ``orders_custkey_not_null``:
+      null counts riding ONE aggregate over the fact scan
+    Each check is a tiny aggregate; the union is a report, not a data
+    path — all fact scans aggregate map-side before the union.
+    """
+    n_orders = F.count(F.lit(1))
+    fk = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(n_orders.alias("n_violations"))
+        .crossJoin(orders.agg(n_orders.alias("n_checked")))
+        .select(F.lit("orders_custkey_fk").alias("check_name"),
+                "n_violations", "n_checked")
+    )
+    uniq = customer.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).select(F.lit("customer_key_unique").alias("check_name"),
+             "n_violations", "n_checked")
+    nulls = orders.agg(
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("v1"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("v2"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    null_rows = nulls.select(
+        F.lit("orders_totalprice_not_null").alias("check_name"),
+        F.col("v1").alias("n_violations"),
+        "n_checked",
+    ).unionAll(
+        nulls.select(
+            F.lit("orders_custkey_not_null").alias("check_name"),
+            F.col("v2").alias("n_violations"),
+            "n_checked",
+        )
+    )
+    return fk.unionAll(uniq).unionAll(null_rows)
+
+
+def integrity_checks_sql() -> str:
+    """DuckDB twin of :func:`integrity_checks`."""
+    return """
+SELECT 'orders_custkey_fk' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+UNION ALL
+SELECT 'customer_key_unique',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'orders_totalprice_not_null',
+       CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM orders
+"""

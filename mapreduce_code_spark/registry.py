@@ -111,6 +111,7 @@ _FIRST = [
     "sampling_temperature_mix",  # new: n^0.5 source mixture flattening
     "relational_above_avg_orders",  # new: correlated-subquery shape
     "events_streamed_view_purchase",  # new: real stream-stream writeStream
+    "relational_integrity_checks",  # new: dbt-style constraint sweep
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1096,6 +1097,16 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders above 1.5x their customer's average, exact integer-cents
     predicate, one shuffle on o_custkey."""
     return R.above_avg_orders(load_table(spark, sf_dir, "orders"))
+
+
+@register("relational_integrity_checks", oracle=R.integrity_checks_sql())
+def q_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style constraint sweep (FK orphans via left-anti, key
+    uniqueness, not-null counts) reported one row per check."""
+    return R.integrity_checks(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
 
 
 @register("relational_distinct_part_stats", oracle=R.distinct_part_stats_sql())

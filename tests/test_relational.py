@@ -462,3 +462,30 @@ def test_regional_revenue_parity_and_semantics(spark, sf_dir):
         oracle_sql()["relational_regional_revenue"],
         rtol=0,
     )
+
+
+def test_integrity_checks_planted_violations(spark):
+    """Each constraint catches its planted violation exactly once: one
+    orphan order, one duplicated customer key, one null totalprice."""
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b-dup")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, 100.0),
+            (11, 2, None),      # null totalprice
+            (12, 99, 50.0),     # orphan custkey
+            (13, None, 75.0),   # null custkey (also not an fk violation row?)
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = {
+        r["check_name"]: (r["n_violations"], r["n_checked"])
+        for r in R.integrity_checks(customer, orders).collect()
+    }
+    # null custkey rows do NOT join, so they also count as fk orphans —
+    # the not-null check is what isolates them
+    assert out["orders_custkey_fk"] == (2, 4)
+    assert out["customer_key_unique"] == (1, 3)
+    assert out["orders_totalprice_not_null"] == (1, 4)
+    assert out["orders_custkey_not_null"] == (1, 4)
