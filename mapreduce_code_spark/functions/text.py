@@ -530,3 +530,86 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips
 FROM planted
 """
+
+
+# ------------------------------------------ model-based quality filter
+
+# Fixed linear-model weights in integer micros: z = 2.0·uniq_ratio
+# + 3.0·min(stopword_ratio, 0.2) − 0.2·chars_per_word, keep iff z > 0
+# (calibrated to split the driver corpus near 50%, so both classes are
+# non-trivially populated at every SF). The stopword feature is CAPPED:
+# natural prose earns the reward, but a degenerate all-stopword document
+# must not ride an unbounded stopword term past the uniqueness collapse
+# (hand-checked in tests). Integer weights × integer-quantized features
+# keep the decision EXACT cross-engine — deliberately no sigmoid: exp()
+# is not correctly-rounded and differs between libm implementations, so
+# a probability output could flip the keep bit in the last ulp. The
+# monotone sigmoid adds nothing to a threshold decision.
+QC_W_UNIQ = 2_000_000
+QC_W_STOP = 3_000_000
+QC_STOP_CAP = 0.2
+QC_W_CPW = -200_000
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Model-based quality filtering — the trained-classifier curation
+    stage (GPT-3/LLaMA-style quality model) as a fixed-weight linear
+    scorer over engineered features. Returns ``(doc_id, z_micro, keep)``
+    with ``z_micro = Σ wᵢ·q6(xᵢ)`` (micro² units; sign is what matters)
+    and ``keep`` as BIGINT 0/1.
+
+    Exactness: each feature ratio is one IEEE double division of exact
+    integers, quantized at 1e-6 (``floor(r·1e6 + 0.5)``); the score is
+    then pure int64 arithmetic. Scale: narrow map over the corpus, no
+    shuffle, whole-stage codegen.
+    """
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    q6 = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    r_uniq = F.size(F.array_distinct(words)).cast("double") / n_words
+    r_stop = F.least(
+        _count_in(words, STOPWORDS_EN).cast("double") / n_words,
+        F.lit(QC_STOP_CAP),
+    )
+    cpw = F.length("text").cast("double") / n_words
+    z = (
+        F.lit(QC_W_UNIQ) * q6(r_uniq)
+        + F.lit(QC_W_STOP) * q6(r_stop)
+        + F.lit(QC_W_CPW) * q6(cpw)
+    )
+    return spread(documents).select(
+        "doc_id",
+        z.alias("z_micro"),
+        (z > 0).cast("bigint").alias("keep"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    """DuckDB twin of :func:`quality_classifier` (same divisions, same
+    quantization, same integer weights)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({stop_list}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         {QC_W_UNIQ} * CAST(floor(CAST(n_uniq AS DOUBLE) / n_words
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       + {QC_W_STOP} * CAST(floor(least(CAST(n_stop AS DOUBLE) / n_words,
+             CAST({QC_STOP_CAP!r} AS DOUBLE))
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       + ({QC_W_CPW}) * CAST(floor(CAST(n_chars AS DOUBLE) / n_words
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS z_micro
+  FROM f
+)
+SELECT doc_id, z_micro,
+       CAST(CASE WHEN z_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z
+"""

@@ -112,6 +112,7 @@ _FIRST = [
     "relational_above_avg_orders",  # new: correlated-subquery shape
     "events_streamed_view_purchase",  # new: real stream-stream writeStream
     "relational_integrity_checks",  # new: dbt-style constraint sweep
+    "text_quality_classifier",  # new: model-based quality filter
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -741,6 +742,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.ngram_contamination(
         docs.filter(~eval_pred), docs.filter(eval_pred)
     )
+
+
+@register("text_quality_classifier", oracle=TXT.quality_classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: fixed-weight integer linear scorer
+    (no sigmoid - exp() is libm-dependent; the threshold decision is
+    exact int64 math). Narrow map, no shuffle."""
+    return TXT.quality_classifier(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_redact_pii", oracle=TXT.redact_pii_planted_sql())

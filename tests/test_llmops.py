@@ -160,6 +160,7 @@ ORACLED = [
     "similarity_semantic_dedup",
     "text_redact_pii",
     "sampling_temperature_mix",
+    "text_quality_classifier",
 ]
 
 
@@ -418,6 +419,42 @@ def test_int8_topk_recall(emb_micro):
     }
     assert (0, 1) in quant
     assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_quality_classifier_hand_checked(spark):
+    """z_micro matches the hand-computed integer formula, and the keep
+    bit separates a diverse doc from a degenerate repetition."""
+    import math
+
+    from mapreduce_code_spark.functions import text as TXT
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bad = "the " * 199 + "the"  # 200 identical stopwords
+    docs = spark.createDataFrame(
+        [(0, good), (1, bad.strip())], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TXT.quality_classifier(docs).collect()}
+
+    def z(text):
+        words = text.split(" ")
+        q6 = lambda r: math.floor(r * 1_000_000.0 + 0.5)
+        r_uniq = len(set(words)) / len(words)
+        r_stop = min(
+            sum(w in TXT.STOPWORDS_EN for w in words) / len(words),
+            TXT.QC_STOP_CAP,
+        )
+        cpw = len(text) / len(words)
+        return (
+            TXT.QC_W_UNIQ * q6(r_uniq)
+            + TXT.QC_W_STOP * q6(r_stop)
+            + TXT.QC_W_CPW * q6(cpw)
+        )
+
+    assert out[0]["z_micro"] == z(good) and out[0]["keep"] == 1
+    assert out[1]["z_micro"] == z(bad.strip())
+    # the stopword CAP is what rejects this: uncapped, 200× 'the' would
+    # ride r_stop=1.0 to a positive score despite total uniqueness collapse
+    assert out[1]["keep"] == 0
 
 
 def test_redact_pii_hand_checked(spark):
