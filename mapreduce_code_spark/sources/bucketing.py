@@ -128,6 +128,28 @@ def write_clustered(
             spark.conf.set(key, prev)
 
 
+def overwrite_partitions(df: DataFrame, path: str, *part_cols: str) -> None:
+    """Idempotent partition backfill: write ``df`` into a hive-
+    partitioned dataset replacing ONLY the partitions present in ``df``
+    (``partitionOverwriteMode=dynamic``), leaving every other partition
+    byte-untouched. The standard reprocess-one-day move at 100 TB —
+    static overwrite mode (Spark's default) would silently DELETE the
+    whole dataset and keep only the backfilled slice, which is the
+    classic data-loss footgun this wrapper exists to prevent. Re-running
+    the same backfill is a no-op-equivalent rewrite (idempotent), so a
+    retried job never duplicates rows.
+
+    Unlike the timestamp encoding in :func:`write_clustered`, dynamic
+    overwrite IS honored as a per-write option on this build (verified:
+    untouched partitions survive with the session conf left at its
+    static default), so this writer is concurrency-safe — no session
+    conf is mutated.
+    """
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*part_cols).parquet(path)
+
+
 def write_sharded(
     df: DataFrame, path: str, n_shards: int = 8, key: str = "doc_id"
 ) -> None:

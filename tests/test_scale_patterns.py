@@ -414,3 +414,41 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_overwrite_partitions_is_surgical_and_idempotent(spark, sf_dir, tmp_path):
+    """Dynamic partition backfill: rewriting one lang partition leaves
+    every other partition's FILES byte-identical (not merely re-derived
+    equal rows), and replaying the same backfill never duplicates."""
+    import glob
+    import os
+
+    from mapreduce_code_spark.sources.bucketing import overwrite_partitions
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    out = str(tmp_path / "by_lang")
+    overwrite_partitions(docs, out, "lang")
+
+    def snapshot(skip_lang):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(out + "/lang=*/*.parquet")
+            if f"lang={skip_lang}/" not in f
+        }
+
+    before = snapshot("en")
+    n_before = spark.read.parquet(out).count()
+    # backfill only lang=en with doubled n_chars
+    en = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    overwrite_partitions(en, out, "lang")
+    assert snapshot("en") == before  # other partitions untouched on disk
+    after = spark.read.parquet(out)
+    assert after.count() == n_before  # replaced, not appended
+    got_en = after.filter(F.col("lang") == "en").agg(F.sum("n_chars")).first()[0]
+    want_en = en.agg(F.sum("n_chars")).first()[0]
+    assert got_en == want_en
+    # idempotent replay
+    overwrite_partitions(en, out, "lang")
+    assert spark.read.parquet(out).count() == n_before
