@@ -560,10 +560,13 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
 
     Exactness: each feature ratio is one IEEE double division of exact
     integers, quantized at 1e-6 (``floor(r·1e6 + 0.5)``); the score is
-    then pure int64 arithmetic. Scale: narrow map over the corpus, no
-    shuffle, whole-stage codegen.
+    then pure int64 arithmetic. NULL text coalesces to '' FIRST (both
+    engines) — without it Spark's ``(NULL > 0)`` keep bit is NULL while
+    the SQL twin's CASE yields 0, breaking parity on one null doc.
+    Scale: narrow map over the corpus, no shuffle, whole-stage codegen.
     """
-    words = F.split(F.col("text"), " ")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    words = F.split(text, " ")
     n_words = F.size(words)
     q6 = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
     r_uniq = F.size(F.array_distinct(words)).cast("double") / n_words
@@ -571,7 +574,7 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         _count_in(words, STOPWORDS_EN).cast("double") / n_words,
         F.lit(QC_STOP_CAP),
     )
-    cpw = F.length("text").cast("double") / n_words
+    cpw = F.length(text).cast("double") / n_words
     z = (
         F.lit(QC_W_UNIQ) * q6(r_uniq)
         + F.lit(QC_W_STOP) * q6(r_stop)
@@ -591,11 +594,11 @@ def quality_classifier_sql() -> str:
     return f"""
 WITH f AS (
   SELECT doc_id,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_distinct(string_split(text, ' '))) AS n_uniq,
-         len(list_filter(string_split(text, ' '),
+         len(string_split(coalesce(text, ''), ' ')) AS n_words,
+         len(list_distinct(string_split(coalesce(text, ''), ' '))) AS n_uniq,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
              w -> w IN ({stop_list}))) AS n_stop,
-         length(text) AS n_chars
+         length(coalesce(text, '')) AS n_chars
   FROM documents
 ), z AS (
   SELECT doc_id,

@@ -610,31 +610,66 @@ def bloom_membership(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+# bloom_semi_reduce sizing: the bits table broadcasts as ROWS (≤ k·n
+# set bits ≈ 24·k·n bytes), so the reduction only pays while the build
+# key set is filter-sized. Beyond the cap, return fact unchanged — a
+# saturated filter (or a multi-GB broadcast) is pure overhead with no
+# pruning, the exact failure a fixed demo-sized m would hide.
+SEMI_REDUCE_MAX_KEYS = 4_000_000  # ~100 MB of bit rows at k=3
+SEMI_REDUCE_BITS_PER_KEY = 16  # m = 16·n → FP rate ≈ 0.5% at k=3
+
+
 def bloom_semi_reduce(
-    fact: DataFrame, build: DataFrame, fact_key: str, build_key: str
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Semi-join reduction via the portable Bloom filter: prune ``fact``
     down to rows whose key is (probably) present in ``build`` BEFORE any
     join shuffle — the classic big-join reduction at 100 TB, where the
     fact side is petabytes and the build side's key set fits a filter.
 
-    Plan shape: the set-bit table (≤ m rows) broadcasts; membership is
-    k BROADCAST hash joins on the row's k computed bit columns — the
-    fact table is filtered map-side with NO Exchange (an exploded
+    The filter is SIZED TO THE BUILD SIDE: ``m = 16·n`` bits (one
+    metadata-cheap distinct count; ≈0.5% false positives at k=3) unless
+    ``m_bits`` pins it. If the key set exceeds the broadcast budget the
+    reduction honestly degrades to a no-op (returns ``fact``) instead
+    of shipping a saturated filter that prunes nothing — correctness is
+    unaffected either way because the exact join still follows.
+
+    Plan shape: the set-bit table broadcasts; membership is k BROADCAST
+    hash joins on the row's k computed bit columns — the fact table is
+    filtered map-side with NO shuffle of its own (an exploded
     probe-and-count would re-shuffle the fact on its own row key,
     defeating the point). Guarantee: no false negatives, so
     ``reduce-then-join ≡ join``; false positives survive the filter at
     the designed rate and fall out of the exact join that follows.
     """
     distinct_keys = build.select(F.col(build_key).alias("k")).distinct()
-    bits = bloom_bits(distinct_keys, "k")
+    if m_bits is None:
+        n = distinct_keys.count()
+        if n > SEMI_REDUCE_MAX_KEYS:
+            return fact
+        m_bits = max(BLOOM_M, SEMI_REDUCE_BITS_PER_KEY * n)
     key = F.col(fact_key).cast("string")
+    bkey = F.col("k").cast("string")
     out = fact
     for i in range(BLOOM_K):
-        side = F.broadcast(bits.withColumnRenamed("bit", f"_bloom_b{i}"))
-        out = out.join(
-            side, _bloom_bit_col(key, i) == F.col(f"_bloom_b{i}"), "inner"
+        bit = (
+            F.conv(F.substring(F.md5(bkey), 8 * i + 1, 8), 16, 10)
+            .cast("bigint")
+            % m_bits
         )
+        side = F.broadcast(
+            distinct_keys.select(bit.alias(f"_bloom_b{i}")).distinct()
+        )
+        probe = (
+            F.conv(F.substring(F.md5(key), 8 * i + 1, 8), 16, 10)
+            .cast("bigint")
+            % m_bits
+        )
+        out = out.join(side, probe == F.col(f"_bloom_b{i}"), "inner")
     return out.drop(*[f"_bloom_b{i}" for i in range(BLOOM_K)])
 
 
@@ -1695,9 +1730,17 @@ def integrity_checks(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_checked"),
     ).select(F.lit("customer_key_unique").alias("check_name"),
              "n_violations", "n_checked")
+    # coalesce: sum over ZERO rows is NULL, but the oracle's
+    # count(*) FILTER is 0 — an empty snapshot (exactly the
+    # pre-promotion gate case) must report 0 violations, not NULL
+    zero = F.lit(0).cast("bigint")
     nulls = orders.agg(
-        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("v1"),
-        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("v2"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").isNull().cast("bigint")), zero
+        ).alias("v1"),
+        F.coalesce(
+            F.sum(F.col("o_custkey").isNull().cast("bigint")), zero
+        ).alias("v2"),
         F.count(F.lit(1)).alias("n_checked"),
     )
     null_rows = nulls.select(

@@ -354,11 +354,25 @@ def test_bloom_semi_reduce_equivalence_and_plan(spark, sf_dir):
 
     plan = reduced._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= R.BLOOM_K
-    # the fact scan flows into the broadcast probes without an exchange:
-    # the only Exchange in the plan belongs to the bit-table build side
-    # (its distinct), never between the fact FileScan and the joins
-    fact_scan_tail = plan[plan.rfind("FileScan") :]
-    assert "Exchange" not in fact_scan_tail or "lineitem" not in fact_scan_tail
+    # a regression that shuffles the FACT side would surface as a
+    # sort-merge or shuffled-hash membership join — forbid both (the
+    # only Exchanges allowed are the bit-table build side's distincts,
+    # which feed BroadcastExchange, not a join shuffle)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # oversized build side: the reduction honestly no-ops instead of
+    # shipping a saturated filter
+    import mapreduce_code_spark.operators.relational as RR
+
+    orig = RR.SEMI_REDUCE_MAX_KEYS
+    RR.SEMI_REDUCE_MAX_KEYS = 10
+    try:
+        assert (
+            R.bloom_semi_reduce(lineitem, part, "l_partkey", "p_partkey")
+            is lineitem
+        )
+    finally:
+        RR.SEMI_REDUCE_MAX_KEYS = orig
 
 
 def test_aqe_splits_skewed_join_partition(spark):
