@@ -102,6 +102,8 @@ def main() -> int:
         "dedup_components",
         "dedup_components_starcontract",
         "events_streamed_tumbling",  # runs an actual writeStream at build
+        "events_streamed_session",  # writeStream at build
+        "events_streamed_view_purchase",  # stream-stream writeStream at build
         "dedup_streamed_incremental",  # foreachBatch writeStream at build
         "relational_streamed_hll",  # foreachBatch writeStream at build
         "sampling_streamed_stratified",  # writeStream at build
