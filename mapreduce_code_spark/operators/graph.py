@@ -1,0 +1,330 @@
+"""Graph analytics over event-derived graphs: PageRank and triangle
+counting — the two canonical MapReduce-era graph algorithms (PageRank is
+the motivating example of the original MapReduce paper; the reference
+repo's paradigm), re-expressed as DataFrame plans with *bit-exact*
+cross-engine semantics.
+
+Exactness strategy (house style, cf. ``similarity.label_centroids`` /
+``relational.hll_distinct``): PageRank is computed entirely in quantized
+int64 space — ranks scaled by 1e12, every per-edge contribution an
+integer division ``r div deg``, the damping factor applied as the exact
+rational 17/20 — so the per-iteration sums are order-independent exact
+integers and the final ranks hash-match a DuckDB twin bit for bit. No
+float ever enters the fixpoint; the one IEEE division at the end is
+display-only. Triangle counts are plain integers.
+
+Graph construction: :func:`click_edges` derives a page-transition graph
+from the events table (``props.k`` is the page id; consecutive events of
+one user form an edge). The raw transition graph at any realistic SF is
+near-complete over the ~100 page ids, so edges are sparsified by the
+SAME growth-stable key-hash device as the sampling operators
+(``operators/sampling.py``): an edge survives iff the md5 bucket of
+``"src->dst"`` falls under a basis-point threshold — a pure function of
+the edge identity, so the topology is identical across engines, runs,
+and data growth (new transitions only ever ADD edges, never reassign).
+
+Scale shape (100 TB lens):
+- PageRank: per iteration, one shuffle of the edge list keyed by ``src``
+  (joins rank+degree) and one keyed by ``dst`` (map-side-combined sum of
+  contributions); the rank/degree frames are node-sized, orders of
+  magnitude smaller than the edge list. Pre-partitioning the edge list
+  by ``src`` makes the first join exchange-free and REUSABLE across all
+  iterations. The dangling-mass term is a single-row aggregate joined
+  back by broadcast — no driver round-trip in the plan. Iteration count
+  is fixed (power iteration, not convergence-tested), so lineage depth
+  is bounded; for large ``n_iter`` swap in ``localCheckpoint`` per round
+  exactly as the connected-components loop does (``dedup.py``).
+- Triangles: degree orientation (orient every undirected edge from its
+  lower-(degree, id) endpoint to its higher one) bounds wedge generation
+  by sum-of-squared *out*-degrees = O(m^1.5) instead of the hub-dominated
+  sum of squared degrees — the standard "curse of the last reducer" fix
+  (Suri & Vassilvitskii, WWW'11; Schank & Wagner 2005, both public).
+  Three shuffles total: degree agg, wedge self-join on the center, and
+  the closing-edge join.
+
+Reference parity: the reference engine has no graph operators; this is
+part of the beyond-reference large-scale-pipeline surface (web-graph
+importance for crawl prioritization, cluster-cohesion diagnostics for
+dedup graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_code_spark.operators.sampling import key_bucket, _bucket_sql
+
+SCALE = 1_000_000_000_000  # rank quantization: 1e-12 resolution
+EDGE_SALT = "graph-edge"
+
+
+# ------------------------------------------------------------ edge source
+
+def click_edges(events: DataFrame, keep_bp: int = 1500) -> DataFrame:
+    """Directed page-transition edges ``(src, dst)`` from the events
+    table: per user, consecutive events (ts, event_id order) link
+    ``props.k`` page ids; self-loops dropped, de-duplicated, and
+    hash-sparsified to ``keep_bp`` basis points of edge-identity space
+    (see module docstring). One window shuffle keyed by ``user_id``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    page = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("user_id", "ts", "event_id", page.alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .where(
+            key_bucket(
+                F.concat_ws("->", F.col("src"), F.col("dst")), salt=EDGE_SALT
+            )
+            < keep_bp
+        )
+    )
+
+
+def click_edges_sql(keep_bp: int = 1500) -> str:
+    """DuckDB twin of :func:`click_edges` as a CTE body named ``e``."""
+    bucket = _bucket_sql(
+        "CAST(src AS VARCHAR) || '->' || CAST(dst AS VARCHAR)", salt=EDGE_SALT
+    )
+    return f"""
+pages AS (
+  SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS src
+  FROM events
+),
+nxt AS (
+  SELECT src,
+         lead(src) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM pages
+),
+e AS (
+  SELECT DISTINCT src, dst FROM nxt
+  WHERE dst IS NOT NULL AND src <> dst AND {bucket} < {keep_bp}
+)"""
+
+
+# --------------------------------------------------------------- PageRank
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge set, entirely in
+    quantized int64 arithmetic: ``(node, rank_q, rank)`` where ``rank_q``
+    is the rank scaled by 1e12 and ``rank = rank_q / 1e12`` (one IEEE
+    division, display only).
+
+    Update rule (exact integer form, identical in the DuckDB twin):
+
+        r'(v) = (1-d)·S div N
+                + (d_num · (Σ_{{u→v}} r(u) div deg(u) + dang div N)) div d_den
+
+    where ``S`` = 1e12, ``dang`` = Σ r over dangling nodes (no
+    out-edges) — the standard redistribution so rank mass is conserved
+    up to integer-floor dust. Every operation is an exact integer op on
+    non-negative values, so the result is independent of partitioning,
+    summation order, and engine. ``(1-d)·S`` must divide exactly
+    (asserted) — it does for the textbook d = 17/20 = 0.85.
+    """
+    base_num, rem = divmod(SCALE * (damping_den - damping_num), damping_den)
+    assert rem == 0, "(1-d)*SCALE must be an exact integer"
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    r = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.expr(f"CAST({SCALE} AS BIGINT) div n").alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div deg")).alias("inc"))
+        )
+        dang = r.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias("dang"))
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_num} AS BIGINT) div n"
+                    f" + ({damping_num} * (coalesce(inc, CAST(0 AS BIGINT))"
+                    f" + dang div n)) div {damping_den}"
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        "node",
+        F.col("r").alias("rank_q"),
+        (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
+def pagerank_clicks_sql(
+    keep_bp: int = 1500,
+    n_iter: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> str:
+    """DuckDB twin of ``pagerank(click_edges(events))`` — the power
+    iteration unrolled as chained CTEs (fixed ``n_iter``), using the
+    identical integer update rule. ``//`` on non-negative integers in
+    DuckDB matches Spark's ``div`` exactly."""
+    base_num, rem = divmod(SCALE * (damping_den - damping_num), damping_den)
+    assert rem == 0
+    parts = [
+        "WITH " + click_edges_sql(keep_bp).strip().lstrip(),
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)""".format(
+            scale=SCALE
+        ),
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""inc{i} AS (
+  SELECT e.dst AS node, sum(r.r // d.deg) AS inc
+  FROM e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT coalesce(sum(r.r), 0) AS dang FROM r{i - 1} r
+  WHERE r.node NOT IN (SELECT node FROM deg)
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({base_num} // (SELECT n FROM nn)
+           + ({damping_num} * (coalesce(i.inc, 0)
+              + (SELECT dang FROM dang{i}) // (SELECT n FROM nn)))
+             // {damping_den} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN inc{i} i ON i.node = n.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+SELECT node, r AS rank_q, CAST(r AS DOUBLE) / {float(SCALE)} AS rank
+FROM r{n_iter}"""
+    )
+
+
+# -------------------------------------------------------------- triangles
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected projection of
+    a directed edge set: ``(node, degree, n_triangles)`` — every node of
+    the graph, its undirected degree, and the number of triangles it
+    belongs to (0 for triangle-free nodes).
+
+    Algorithm: degree orientation (see module docstring). Each
+    undirected edge is oriented from its lower (degree, id) endpoint;
+    each triangle then has exactly one vertex with two out-edges inside
+    it, so wedges (u; v, w) over out-neighbor pairs with
+    (deg, id)(v) < (deg, id)(w) enumerate each candidate once, and the
+    closing edge — if present — is necessarily oriented v→w. The DuckDB
+    oracle uses the naive a<b<c three-way join instead: counts are
+    algorithm-independent, which is itself part of what the cross-check
+    verifies (plus a brute-force property test on random graphs)."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    j = und.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b"
+    )
+    # a < b always, so on degree ties the lower id (a) wins the order.
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        F.col("deg_a") == F.col("deg_b")
+    )
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    o1 = o.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
+    o2 = o.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+            "n_triangles"
+        ),
+    )
+
+
+def triangle_clicks_sql(keep_bp: int = 1500) -> str:
+    """DuckDB twin of ``triangle_counts(click_edges(events))`` via the
+    naive ordered three-way join (a < b < c enumerates each triangle
+    exactly once over the a<b undirected edge list)."""
+    return (
+        "WITH "
+        + click_edges_sql(keep_bp).strip()
+        + """,
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+tri AS (
+  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+  FROM und t1
+  JOIN und t2 ON t2.a = t1.b
+  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+),
+tnodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*) AS n_triangles FROM tnodes GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN cnt c USING (node)"""
+    )

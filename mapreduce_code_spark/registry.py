@@ -113,6 +113,8 @@ _FIRST = [
     "events_streamed_view_purchase",  # new: real stream-stream writeStream
     "relational_integrity_checks",  # new: dbt-style constraint sweep
     "text_quality_classifier",  # new: model-based quality filter
+    "graph_pagerank_clicks",  # new: quantized-int64 power iteration
+    "graph_triangle_clicks",  # new: degree-oriented triangle counts
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1266,3 +1268,27 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from props."""
     return W.json_props(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (beyond-reference surface): the canonical MapReduce-era
+# graph algorithms as exact-arithmetic DataFrame plans (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+from mapreduce_code_spark.operators import graph as GR  # noqa: E402
+
+
+@register("graph_pagerank_clicks", oracle=GR.pagerank_clicks_sql())
+def q_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the page-transition graph — 5 power iterations in
+    quantized int64 arithmetic (bit-exact vs the unrolled SQL twin)."""
+    return GR.pagerank(GR.click_edges(load_table(spark, sf_dir, "events")))
+
+
+@register("graph_triangle_clicks", oracle=GR.triangle_clicks_sql())
+def q_triangle_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented per-node triangle counts over the undirected
+    page-transition graph (oracle uses the naive ordered 3-way join)."""
+    return GR.triangle_counts(
+        GR.click_edges(load_table(spark, sf_dir, "events"))
+    )
