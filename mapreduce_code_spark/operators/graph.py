@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_code_spark.operators.dedup import _persist
 from mapreduce_code_spark.operators.sampling import key_bucket, _bucket_sql
 
 SCALE = 1_000_000_000_000  # rank quantization: 1e-12 resolution
@@ -132,13 +133,19 @@ def pagerank(
     """
     base_num, rem = divmod(SCALE * (damping_den - damping_num), damping_den)
     assert rem == 0, "(1-d)*SCALE must be an exact integer"
-    e = edges.select("src", "dst").distinct()
-    nodes = (
+    # The edge/node/degree frames are re-read every iteration (e twice:
+    # contribution join + dangling anti-join feedstock) — persist them
+    # once instead of re-deriving the upstream pipeline 2·n_iter times.
+    # Tracked in dedup's bounded _PERSISTED registry, so the registry /
+    # bench / driver_check release them between queries like every other
+    # shared materialization.
+    e = _persist(edges.select("src", "dst").distinct())
+    nodes = _persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = _persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     r = nodes.crossJoin(F.broadcast(n_row)).select(
@@ -166,6 +173,11 @@ def pagerank(
                     f" + dang div n)) div {damping_den}"
                 ).alias("r"),
             )
+            # Lazy lineage cut per round: r(i) feeds TWO branches of
+            # r(i+1) (contribution join + dangling sum), so without a cut
+            # the logical plan doubles every iteration — same device as
+            # the connected-components loops in dedup.py.
+            .localCheckpoint(eager=False)
         )
     return r.select(
         "node",
