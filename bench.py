@@ -107,6 +107,7 @@ def main() -> int:
         "dedup_streamed_incremental",  # foreachBatch writeStream at build
         "relational_streamed_hll",  # foreachBatch writeStream at build
         "sampling_streamed_stratified",  # writeStream at build
+        "events_streamed_anomaly",  # stream-static join writeStream at build
     }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

@@ -1,0 +1,206 @@
+"""Data-quality monitoring operators over the events stream: statistical
+anomaly detection (z-score outliers) and distribution-drift detection
+(chi-square between a reference and a current period).
+
+A 100 TB ingest pipeline needs continuous monitoring of what it ingests
+— value outliers (broken sensors, fat-finger amounts, unit mismatches)
+and event-mix drift (a source changing its type distribution silently).
+Both are classic streaming-warehouse checks; both are implemented here
+with the repo's exactness discipline so they hash-match a DuckDB twin:
+
+- Sufficient statistics are EXACT integers: the ``value`` column is
+  quantized to cents (``floor(v·100 + 0.5)`` — float→double widening,
+  IEEE multiply/add, exact floor; the synthetic values are 2-decimal so
+  this is lossless), and per-group ``(n, Σv, Σv²)`` are integer sums in
+  decimal(38,0)/HUGEINT space — order-independent, overflow-safe at any
+  scale (Σv² at 1e12 rows of 5-digit cents stays under 1e22 ≪ 1e38).
+- The float transform (mean, σ, z, χ²) is a FIXED sequence of IEEE
+  double ops (+,-,·,/,sqrt — all correctly rounded, no libm
+  transcendentals), identical expression-for-expression in the SQL twin.
+
+Scale shape: each operator aggregates the fact table once with map-side
+partial aggregation into a group-count-sized frame (5 event types), then
+re-touches facts only through a BROADCAST join — the fact table itself
+is never shuffled. The z-score scorer doubles as a stream-static join
+under ``readStream`` (score-online / train-offline), registered as an
+actual writeStream query sharing the batch oracle.
+
+Reference parity: beyond-reference surface (the reference engine has no
+monitoring operators); part of the large-scale-pipeline family alongside
+dedup/sampling/text-quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z_THRESHOLD = "3.0"  # |v - mean| > 3σ flags an anomaly
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact 2-decimal quantization (house device, cf. similarity._q)."""
+    return F.floor(col.cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+
+
+def value_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type exact sufficient statistics of the cent-quantized
+    value: ``(event_type, n, s, ss)`` with ``s``/``ss`` as decimal(38,0)
+    integer sums. One map-side-combined aggregation; output is
+    group-cardinality-sized."""
+    v = _cents(F.col("value"))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,0)")).alias("s"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("ss"),
+    )
+
+
+# The z computation as ONE shared textual expression: mean and variance
+# from the exact sums, population σ, z per row. Both engines evaluate
+# this exact op sequence on identical integer inputs.
+_MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+_VAR = (
+    "((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - {_MEAN} * {_MEAN})"
+)
+_SIGMA = f"sqrt({_VAR})"
+_Z = f"((CAST(vq AS DOUBLE) - {_MEAN}) / {_SIGMA})"
+
+
+def anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Events whose value deviates more than 3σ from their type's mean:
+    ``(event_id, event_type, value_cents, z)``. Stats via
+    :func:`value_stats` (tiny), joined back by broadcast — the fact scan
+    is shuffle-free, so the same plan runs as a stream-static join under
+    ``readStream`` (:func:`anomaly_zscore_streamed` registration)."""
+    return score_zscore(events, value_stats(events))
+
+
+def score_zscore(events: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score ``events`` against precomputed reference ``stats`` (the
+    train-offline/score-online split): a stateless broadcast join +
+    filter, so the identical code path runs over a ``readStream`` as a
+    stream-static join (``events_streamed_anomaly``)."""
+    return (
+        events.select(
+            "event_id", "event_type", _cents(F.col("value")).alias("vq")
+        )
+        .join(F.broadcast(stats), "event_type")
+        .where(F.expr(f"abs({_Z}) > {Z_THRESHOLD}"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vq").alias("value_cents"),
+            F.expr(_Z).alias("z"),
+        )
+    )
+
+
+def anomaly_zscore_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(vq AS HUGEINT)) AS s,
+         sum(CAST(vq * vq AS HUGEINT)) AS ss
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.vq AS value_cents, {_Z} AS z
+FROM q JOIN stats USING (event_type)
+WHERE abs({_Z}) > {Z_THRESHOLD}
+"""
+
+
+def drift_chisq(events: DataFrame) -> DataFrame:
+    """Chi-square drift between the first and second half of the stream
+    (split at the midpoint event_id — an exact integer boundary):
+    ``(event_type, n_ref, n_cur, chisq)`` where ``chisq`` is the type's
+    two-cell contribution ``Σ (o-e)²/e`` with expectations from the
+    contingency margins. Counts are exact integers; the χ² transform is
+    a fixed IEEE sequence. Two map-side-combined aggregations over one
+    scan shape; the midpoint is a single-row broadcast aggregate."""
+    mid = events.agg(
+        F.expr("(max(event_id) + 1) div 2").alias("mid")
+    )
+    counts = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") < F.col("mid"), 1).otherwise(0)
+            ).alias("n_ref"),
+            F.sum(
+                F.when(F.col("event_id") >= F.col("mid"), 1).otherwise(0)
+            ).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+    )
+    chisq = (
+        "(CAST(n_ref AS DOUBLE) - e_ref) * (CAST(n_ref AS DOUBLE) - e_ref)"
+        " / e_ref"
+        " + (CAST(n_cur AS DOUBLE) - e_cur) * (CAST(n_cur AS DOUBLE) - e_cur)"
+        " / e_cur"
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "e_ref",
+            F.expr(
+                "CAST(n_ref + n_cur AS DOUBLE) * CAST(t_ref AS DOUBLE)"
+                " / CAST(t_ref + t_cur AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "e_cur",
+            F.expr(
+                "CAST(n_ref + n_cur AS DOUBLE) * CAST(t_cur AS DOUBLE)"
+                " / CAST(t_ref + t_cur AS DOUBLE)"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr(chisq).alias("chisq"),
+        )
+    )
+
+
+def drift_chisq_sql() -> str:
+    return """
+WITH mid AS (SELECT (max(event_id) + 1) // 2 AS mid FROM events),
+counts AS (
+  SELECT event_type,
+         sum(CASE WHEN event_id < (SELECT mid FROM mid) THEN 1 ELSE 0 END)
+           AS n_ref,
+         sum(CASE WHEN event_id >= (SELECT mid FROM mid) THEN 1 ELSE 0 END)
+           AS n_cur
+  FROM events GROUP BY event_type
+),
+totals AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts),
+expect AS (
+  SELECT c.event_type, CAST(c.n_ref AS BIGINT) AS n_ref,
+         CAST(c.n_cur AS BIGINT) AS n_cur,
+         CAST(c.n_ref + c.n_cur AS DOUBLE) * CAST(t.t_ref AS DOUBLE)
+           / CAST(t.t_ref + t.t_cur AS DOUBLE) AS e_ref,
+         CAST(c.n_ref + c.n_cur AS DOUBLE) * CAST(t.t_cur AS DOUBLE)
+           / CAST(t.t_ref + t.t_cur AS DOUBLE) AS e_cur
+  FROM counts c, totals t
+)
+SELECT event_type, n_ref, n_cur,
+       (CAST(n_ref AS DOUBLE) - e_ref) * (CAST(n_ref AS DOUBLE) - e_ref)
+         / e_ref
+       + (CAST(n_cur AS DOUBLE) - e_cur) * (CAST(n_cur AS DOUBLE) - e_cur)
+         / e_cur AS chisq
+FROM expect
+"""

@@ -115,6 +115,9 @@ _FIRST = [
     "text_quality_classifier",  # new: model-based quality filter
     "graph_pagerank_clicks",  # new: quantized-int64 power iteration
     "graph_triangle_clicks",  # new: degree-oriented triangle counts
+    "events_anomaly_zscore",  # new: exact-stats 3-sigma outliers
+    "events_streamed_anomaly",  # new: stream-static scoring writeStream
+    "events_drift_chisq",  # new: contingency chi-square drift
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1292,3 +1295,44 @@ def q_triangle_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.triangle_counts(
         GR.click_edges(load_table(spark, sf_dir, "events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality monitoring (beyond-reference surface): value-outlier and
+# distribution-drift checks with exact integer sufficient statistics
+# (operators/monitoring.py).
+# ---------------------------------------------------------------------------
+
+from mapreduce_code_spark.operators import monitoring as MON  # noqa: E402
+
+
+@register("events_anomaly_zscore", oracle=MON.anomaly_zscore_sql())
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ value outliers per event type — exact integer (n, Σv, Σv²) in
+    cent-quantized space, broadcast-joined back (fact never shuffles)."""
+    return MON.anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+@register("events_streamed_anomaly", oracle=MON.anomaly_zscore_sql())
+def q_streamed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-score scorer driven through an ACTUAL writeStream as a
+    stream-static join: reference stats from the batch table, the stream
+    scored row-by-row (train-offline / score-online). Stateless filter —
+    append mode lands exactly the batch result, same oracle."""
+    from mapreduce_code_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    stats = MON.value_stats(load_table(spark, sf_dir, "events"))
+    scored = MON.score_zscore(stream_events(spark, sf_dir), stats)
+    return run_available_now(
+        scored, "events_streamed_anomaly_sink", output_mode="append"
+    )
+
+
+@register("events_drift_chisq", oracle=MON.drift_chisq_sql())
+def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type chi-square drift between stream halves — contingency
+    counts exact, χ² a fixed IEEE sequence over the margins."""
+    return MON.drift_chisq(load_table(spark, sf_dir, "events"))
