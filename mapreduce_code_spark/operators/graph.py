@@ -340,3 +340,94 @@ SELECT d.node, d.degree,
        CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
 FROM deg d LEFT JOIN cnt c USING (node)"""
     )
+
+
+# --------------------------------------------------------------- coreness
+
+def coreness(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Per-node coreness (k-core number) of the undirected projection via
+    the h-index fixpoint (Lu, Chen, Zhang, Zhou, Stanley — "The H-index
+    of a network node", Nature Comms 2016, public; re-derived as
+    DataFrame ops): start from h(0) = degree, then repeatedly set h(i+1)
+    = H-index of the neighbors' h(i) — the largest k such that at least
+    k neighbors have h >= k, computed as ``max(least(row_number over
+    h desc, h))``. The sequence is monotone non-increasing and converges
+    to the exact coreness; ``n_rounds`` is FIXED (unrolled identically
+    in the DuckDB twin) so the result is well-defined and cross-engine
+    bit-identical whether or not the fixpoint has been reached —
+    convergence at the shipped round count is pinned by tests, and a
+    production loop would add the same one-scalar-job convergence test
+    as the connected-components loops.
+
+    Ties in neighbor h-values make ``row_number`` order-ambiguous but
+    not the result: permuting equal values permutes equal (rn, h) pairs,
+    leaving ``max(min(rn, h))`` unchanged.
+
+    Scale shape: per round, one edge-keyed shuffle (adjacency join
+    against the node-sized h frame) and one node-keyed window — the same
+    budget as a PageRank round; adjacency persisted once, h frame
+    lineage-cut per round. Returns ``(node, coreness)``."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = _persist(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+    )
+    h = adj.groupBy("node").agg(F.count(F.lit(1)).alias("h"))
+    w = Window.partitionBy("node").orderBy(F.col("v").desc())
+    for _ in range(n_rounds):
+        h = (
+            adj.join(
+                h.select(F.col("node").alias("nbr"), F.col("h").alias("v")),
+                "nbr",
+            )
+            .select("node", "v")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("rn").cast("bigint"), F.col("v"))).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return h.select("node", F.col("h").alias("coreness"))
+
+
+def coreness_clicks_sql(keep_bp: int = 1500, n_rounds: int = 8) -> str:
+    """DuckDB twin of ``coreness(click_edges(events))`` — the h-index
+    iteration unrolled as chained CTEs."""
+    parts = [
+        "WITH " + click_edges_sql(keep_bp).strip(),
+        """und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+h0 AS (SELECT node, count(*) AS h FROM adj GROUP BY node)""",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""h{i} AS (
+  SELECT node, max(least(rn, v)) AS h
+  FROM (
+    SELECT adj.node, p.h AS v,
+           row_number() OVER (PARTITION BY adj.node ORDER BY p.h DESC)
+             AS rn
+    FROM adj JOIN h{i - 1} p ON p.node = adj.nbr
+  )
+  GROUP BY node
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, CAST(h AS BIGINT) AS coreness FROM h{n_rounds}"""
+    )

@@ -118,6 +118,7 @@ _FIRST = [
     "events_anomaly_zscore",  # new: exact-stats 3-sigma outliers
     "events_streamed_anomaly",  # new: stream-static scoring writeStream
     "events_drift_chisq",  # new: contingency chi-square drift
+    "graph_coreness_clicks",  # new: h-index coreness fixpoint
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1336,3 +1337,10 @@ def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type chi-square drift between stream halves — contingency
     counts exact, χ² a fixed IEEE sequence over the margins."""
     return MON.drift_chisq(load_table(spark, sf_dir, "events"))
+
+
+@register("graph_coreness_clicks", oracle=GR.coreness_clicks_sql())
+def q_coreness_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node coreness via the h-index fixpoint (8 unrolled rounds,
+    convergence pinned by tests; bit-exact vs the unrolled SQL twin)."""
+    return GR.coreness(GR.click_edges(load_table(spark, sf_dir, "events")))

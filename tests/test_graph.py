@@ -125,3 +125,50 @@ def test_pagerank_oracle_parity(spark, sf_dir):
 def test_triangles_oracle_parity(spark, sf_dir):
     df = G.triangle_counts(G.click_edges(load_table(spark, sf_dir, "events")))
     assert_parity(df, sf_dir, G.triangle_clicks_sql())
+
+
+def _brute_coreness(pairs):
+    """Textbook peeling: repeatedly remove the min-degree node."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    deg = {n: len(ns) for n, ns in adj.items()}
+    k = 0
+    while deg:
+        n = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[n])
+        core[n] = k
+        for m in adj[n]:
+            if m in deg and m != n:
+                deg[m] -= 1
+        del deg[n]
+        for m in adj[n]:
+            adj.get(m, set()).discard(n)
+    return core
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 10, 18), (12, 15, 45), (13, 25, 90)])
+def test_coreness_matches_peeling(spark, seed, n, m):
+    rng = random.Random(seed)
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    pairs = {p for p in pairs if p[0] != p[1]}
+    got = {
+        r["node"]: r["coreness"]
+        for r in G.coreness(_edges_df(spark, pairs), n_rounds=30).collect()
+    }
+    assert got == _brute_coreness(pairs)
+
+
+def test_coreness_converges_at_shipped_rounds(spark, sf_dir):
+    e = G.click_edges(load_table(spark, sf_dir, "events"))
+    c8 = {r["node"]: r["coreness"] for r in G.coreness(e, n_rounds=8).collect()}
+    c9 = {r["node"]: r["coreness"] for r in G.coreness(e, n_rounds=9).collect()}
+    assert c8 == c9
+
+
+def test_coreness_oracle_parity(spark, sf_dir):
+    df = G.coreness(G.click_edges(load_table(spark, sf_dir, "events")))
+    assert_parity(df, sf_dir, G.coreness_clicks_sql(), rtol=0)
