@@ -106,6 +106,29 @@ e AS (
 )"""
 
 
+# ------------------------------------------------- undirected projection
+
+_UND_SQL = """und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+)"""
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Undirected projection of a directed edge set: distinct
+    ``(a, b)`` with ``a < b`` (self-loops dropped) — shared by the
+    triangle and coreness operators, mirrored by ``_UND_SQL``."""
+    return (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------- PageRank
 
 def pagerank(
@@ -199,7 +222,7 @@ def pagerank_clicks_sql(
     base_num, rem = divmod(SCALE * (damping_den - damping_num), damping_den)
     assert rem == 0
     parts = [
-        "WITH " + click_edges_sql(keep_bp).strip().lstrip(),
+        "WITH " + click_edges_sql(keep_bp).strip(),
         """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
 nn AS (SELECT count(*) AS n FROM nodes),
@@ -255,15 +278,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oracle uses the naive a<b<c three-way join instead: counts are
     algorithm-independent, which is itself part of what the cross-check
     verifies (plus a brute-force property test on random graphs)."""
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
+    # und feeds the wedge join, the closing join, and the degree agg;
+    # deg feeds both endpoint joins and the final output; o feeds three
+    # consumers — persist all three or the whole click_edges derivation
+    # (events scan + user window + distinct + md5 filter) re-runs ~5x
+    und = _persist(_undirected(edges))
+    deg = _persist(
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -275,14 +295,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b"
     )
     # a < b always, so on degree ties the lower id (a) wins the order.
-    a_first = (F.col("deg_a") < F.col("deg_b")) | (
-        F.col("deg_a") == F.col("deg_b")
-    )
-    o = j.select(
+    a_first = F.col("deg_a") <= F.col("deg_b")
+    o = _persist(j.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    )
+    ))
     o1 = o.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
     o2 = o.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
     wedges = o1.join(o2, "u").where(
@@ -314,11 +332,9 @@ def triangle_clicks_sql(keep_bp: int = 1500) -> str:
     return (
         "WITH "
         + click_edges_sql(keep_bp).strip()
+        + ",\n"
+        + _UND_SQL
         + """,
-und AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM e WHERE src <> dst
-),
 tri AS (
   SELECT t1.a AS x, t1.b AS y, t2.b AS z
   FROM und t1
@@ -367,14 +383,7 @@ def coreness(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
     against the node-sized h frame) and one node-keyed window — the same
     budget as a PageRank round; adjacency persisted once, h frame
     lineage-cut per round. Returns ``(node, coreness)``."""
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = _undirected(edges)
     adj = _persist(
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
             und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
@@ -402,10 +411,7 @@ def coreness_clicks_sql(keep_bp: int = 1500, n_rounds: int = 8) -> str:
     iteration unrolled as chained CTEs."""
     parts = [
         "WITH " + click_edges_sql(keep_bp).strip(),
-        """und AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM e WHERE src <> dst
-),
+        _UND_SQL + """,
 adj AS (
   SELECT a AS node, b AS nbr FROM und
   UNION ALL

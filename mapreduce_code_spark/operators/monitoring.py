@@ -50,24 +50,33 @@ def value_stats(events: DataFrame) -> DataFrame:
     value: ``(event_type, n, s, ss)`` with ``s``/``ss`` as decimal(38,0)
     integer sums. One map-side-combined aggregation; output is
     group-cardinality-sized."""
-    v = _cents(F.col("value"))
+    v = _cents(F.col("value")).cast("decimal(38,0)")
+    # square AFTER widening to decimal: an int64 vq*vq overflows (and
+    # under ANSI mode crashes) at vq ~3e9 — exactly the fat-finger
+    # magnitudes the monitor exists to flag
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v.cast("decimal(38,0)")).alias("s"),
+        F.sum(v).alias("s"),
         F.sum((v * v).cast("decimal(38,0)")).alias("ss"),
     )
 
 
 # The z computation as ONE shared textual expression: mean and variance
 # from the exact sums, population σ, z per row. Both engines evaluate
-# this exact op sequence on identical integer inputs.
+# this exact op sequence on identical integer inputs. Two totality
+# guards, identical cross-engine: catastrophic cancellation can round a
+# tiny true variance to a NEGATIVE double (Spark sqrt→NaN, DuckDB
+# sqrt→error) — clamp at 0; and a constant-valued group has σ = 0
+# (Spark ANSI divide→crash) — nullif makes z NULL there, and a NULL
+# comparison is falsy in both engines, so constant groups simply flag
+# nothing instead of crashing or diverging.
 _MEAN = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
 _VAR = (
     "((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE))"
     f" - {_MEAN} * {_MEAN})"
 )
-_SIGMA = f"sqrt({_VAR})"
-_Z = f"((CAST(vq AS DOUBLE) - {_MEAN}) / {_SIGMA})"
+_SIGMA = f"sqrt(greatest({_VAR}, 0.0))"
+_Z = f"((CAST(vq AS DOUBLE) - {_MEAN}) / nullif({_SIGMA}, 0.0))"
 
 
 def anomaly_zscore(events: DataFrame) -> DataFrame:
@@ -109,7 +118,7 @@ WITH q AS (
 stats AS (
   SELECT event_type, count(*) AS n,
          sum(CAST(vq AS HUGEINT)) AS s,
-         sum(CAST(vq * vq AS HUGEINT)) AS ss
+         sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS ss
   FROM q GROUP BY event_type
 )
 SELECT q.event_id, q.event_type, q.vq AS value_cents, {_Z} AS z
@@ -126,8 +135,11 @@ def drift_chisq(events: DataFrame) -> DataFrame:
     contingency margins. Counts are exact integers; the χ² transform is
     a fixed IEEE sequence. Two map-side-combined aggregations over one
     scan shape; the midpoint is a single-row broadcast aggregate."""
+    # midpoint of the OBSERVED id range — (max+1) div 2 alone would dump
+    # every row into one half (t_ref = 0 → χ² division by zero) whenever
+    # ids don't start near 0 (snowflake ids, filtered slices)
     mid = events.agg(
-        F.expr("(max(event_id) + 1) div 2").alias("mid")
+        F.expr("(min(event_id) + max(event_id) + 1) div 2").alias("mid")
     )
     counts = (
         events.crossJoin(F.broadcast(mid))
@@ -145,11 +157,13 @@ def drift_chisq(events: DataFrame) -> DataFrame:
         F.sum("n_ref").alias("t_ref"),
         F.sum("n_cur").alias("t_cur"),
     )
+    # nullif guards the degenerate one-sided split (single distinct id):
+    # chisq is NULL there in BOTH engines instead of an ANSI crash
     chisq = (
         "(CAST(n_ref AS DOUBLE) - e_ref) * (CAST(n_ref AS DOUBLE) - e_ref)"
-        " / e_ref"
+        " / nullif(e_ref, 0.0)"
         " + (CAST(n_cur AS DOUBLE) - e_cur) * (CAST(n_cur AS DOUBLE) - e_cur)"
-        " / e_cur"
+        " / nullif(e_cur, 0.0)"
     )
     return (
         counts.crossJoin(F.broadcast(totals))
@@ -178,7 +192,9 @@ def drift_chisq(events: DataFrame) -> DataFrame:
 
 def drift_chisq_sql() -> str:
     return """
-WITH mid AS (SELECT (max(event_id) + 1) // 2 AS mid FROM events),
+WITH mid AS (
+  SELECT (min(event_id) + max(event_id) + 1) // 2 AS mid FROM events
+),
 counts AS (
   SELECT event_type,
          sum(CASE WHEN event_id < (SELECT mid FROM mid) THEN 1 ELSE 0 END)
@@ -199,8 +215,8 @@ expect AS (
 )
 SELECT event_type, n_ref, n_cur,
        (CAST(n_ref AS DOUBLE) - e_ref) * (CAST(n_ref AS DOUBLE) - e_ref)
-         / e_ref
+         / nullif(e_ref, 0.0)
        + (CAST(n_cur AS DOUBLE) - e_cur) * (CAST(n_cur AS DOUBLE) - e_cur)
-         / e_cur AS chisq
+         / nullif(e_cur, 0.0) AS chisq
 FROM expect
 """

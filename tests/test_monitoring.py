@@ -72,3 +72,49 @@ def test_value_stats_exactness(spark, events):
         for r in MON.value_stats(events).collect()
     }
     assert got == want
+
+
+def _mon_cross_check(spark, rows, sql, columns="event_id BIGINT, event_type STRING, value DOUBLE"):
+    """Run a synthetic events slice through BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    sdf = spark.createDataFrame(rows, columns)
+    con = duckdb.connect()
+    con.register("events", sdf.toPandas())
+    want = con.execute(sql).df()
+    return sdf, want
+
+
+def test_constant_value_group_flags_nothing_both_engines(spark):
+    # sigma = 0: must not crash under ANSI mode, must not diverge from
+    # the oracle (which yields NULL z -> dropped), in either engine
+    rows = [(i, "flatfee", 9.99) for i in range(50)] + [
+        (100 + i, "normal", float(i)) for i in range(50)
+    ] + [(999, "normal", 1e6)]
+    sdf, want = _mon_cross_check(spark, rows, MON.anomaly_zscore_sql())
+    got = MON.anomaly_zscore(sdf).toPandas()
+    assert set(got["event_type"]) == {"normal"} == set(want["event_type"])
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+
+
+def test_huge_outlier_does_not_overflow(spark):
+    # vq ~ 5.6e10 -> vq^2 ~ 3e21 would overflow int64; decimal/HUGEINT
+    # sums must survive AND flag the outlier
+    rows = [(i, "pay", float(i % 7)) for i in range(200)] + [
+        (777, "pay", 560_000_000.21)
+    ]
+    sdf, want = _mon_cross_check(spark, rows, MON.anomaly_zscore_sql())
+    got = MON.anomaly_zscore(sdf).toPandas()
+    assert 777 in set(got["event_id"])
+    assert sorted(got["event_id"]) == sorted(want["event_id"])
+
+
+def test_drift_split_uses_observed_id_range(spark):
+    # snowflake-style ids far from 0: the min-aware midpoint still puts
+    # rows on both sides
+    base = 10**17
+    rows = [(base + i, "click" if i % 2 else "view", 1.0) for i in range(100)]
+    sdf, _ = _mon_cross_check(spark, rows, MON.drift_chisq_sql())
+    out = MON.drift_chisq(sdf).collect()
+    assert all(r["n_ref"] > 0 and r["n_cur"] > 0 for r in out)
