@@ -97,9 +97,11 @@ def topk_cosine(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
-def topk_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
-    """DuckDB twin of :func:`topk_cosine` (identical integer quantization
-    and double derivation; DuckDB's parallel ``unnest`` zips positionally)."""
+def _dense_ranked_sql(n_queries: int, k: int) -> str:
+    """The brute-cosine ranking as a reusable CTE chain ending in
+    ``ranked`` — shared by :func:`topk_cosine_sql` and the hybrid-RRF
+    twin (identical integer quantization and double derivation; DuckDB's
+    parallel ``unnest`` zips positionally)."""
     return f"""
 WITH elems AS (
   SELECT vec_id, unnest(embedding) AS x FROM embeddings
@@ -132,9 +134,18 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
-)
-SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= {k}
+  QUALIFY rank <= {k}
+)"""
+
+
+def topk_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB twin of :func:`topk_cosine`."""
+    return (
+        _dense_ranked_sql(n_queries, k)
+        + """
+SELECT query_id, vec_id, rank, cosine FROM ranked
 """
+    )
 
 
 BROADCAST_VEC_LIMIT = 1_000_000  # ~260 MB of 64-float vectors, well under 8 GB
@@ -905,4 +916,155 @@ def topk_cosine_int8(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def keyword_ranked(
+    documents: DataFrame, n_queries: int = 5, k: int = 20
+) -> DataFrame:
+    """Sparse retrieval leg: rank candidate docs per query doc by the
+    number of DISTINCT shared words — exact integers, ties broken by
+    doc_id. Query docs are ``doc_id < n_queries`` (their text is the
+    query). Returns ``(query_id, doc_id, overlap, rank)``.
+
+    Scale shape: the corpus explodes once into distinct (doc_id, word);
+    the query-side word set is tiny and broadcast, so the corpus never
+    shuffles for the join — only the overlap counts (already filtered to
+    matching candidates) hit a keyed exchange."""
+    words = (
+        spread(documents)
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    qw = words.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "word"
+    )
+    overlap = (
+        words.join(F.broadcast(qw), "word")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("doc_id")
+    )
+    return (
+        overlap.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# the fused score as ONE shared textual expression: a FIXED two-term IEEE
+# sum of exact rationals (1/(60+rank)), so it is bit-identical across
+# engines; a doc missing from one leg contributes 0 from that leg (the
+# standard RRF treatment). CAST(1 AS DOUBLE) everywhere — a bare 1.0
+# literal is DECIMAL in both engines, with engine-specific decimal
+# division rules.
+_RRF = (
+    "(coalesce(CAST(1 AS DOUBLE) / CAST({k} + r_dense AS DOUBLE), "
+    "CAST(0 AS DOUBLE))"
+    " + coalesce(CAST(1 AS DOUBLE) / CAST({k} + r_sparse AS DOUBLE), "
+    "CAST(0 AS DOUBLE)))"
+)
+
+
+def hybrid_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k_leg: int = 20,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009 — public): the brute-cosine
+    top-``k_leg`` (:func:`topk_cosine`) and the keyword-overlap
+    top-``k_leg`` (:func:`keyword_ranked`) are full-outer-joined per
+    (query, doc) and re-ranked by ``Σ 1/(rrf_k + rank)``. Ranks are
+    exact integers and the fusion is a fixed two-division IEEE sum, so
+    the output hash-matches the DuckDB twin exactly — including the
+    tie-break (score desc, doc_id asc). Returns
+    ``(query_id, doc_id, r_dense, r_sparse, rrf_score, rank)``.
+
+    The doc/vec id spaces coincide in the test corpus; in production the
+    dense leg's ANN variant (:func:`topk_lsh` / IVF) slots in for the
+    brute scan — fusion is rank-only, so the operator is agnostic to how
+    each leg was produced."""
+    dense = topk_cosine(embeddings, n_queries, k_leg).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    sparse = keyword_ranked(documents, n_queries, k_leg).select(
+        "query_id", "doc_id", F.col("rank").alias("r_sparse")
+    )
+    score = _RRF.format(k=rrf_k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        dense.join(sparse, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf_score", F.expr(score))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "r_dense", "r_sparse", "rrf_score", "rank")
+    )
+
+
+def hybrid_rrf_sql(
+    n_queries: int = 5, k_leg: int = 20, k: int = 10, rrf_k: int = RRF_K
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf` (dense CTEs shared with
+    :func:`topk_cosine_sql` via :func:`_dense_ranked_sql`)."""
+    score = _RRF.format(k=rrf_k)
+    return (
+        _dense_ranked_sql(n_queries, k_leg)
+        + f""",
+dwords AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+qwords AS (
+  SELECT doc_id AS query_id, word FROM dwords WHERE doc_id < {n_queries}
+),
+ovl AS (
+  SELECT q.query_id, d.doc_id, count(*) AS overlap
+  FROM dwords d JOIN qwords q USING (word)
+  WHERE d.doc_id <> q.query_id
+  GROUP BY q.query_id, d.doc_id
+),
+sranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY overlap DESC, doc_id ASC) AS rank
+  FROM ovl
+  QUALIFY rank <= {k_leg}
+),
+fused AS (
+  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         coalesce(d.vec_id, s.doc_id) AS doc_id,
+         d.rank AS r_dense, s.rank AS r_sparse
+  FROM ranked d
+  FULL OUTER JOIN sranked s
+    ON s.query_id = d.query_id AND s.doc_id = d.vec_id
+),
+rescored AS (
+  SELECT query_id, doc_id, r_dense, r_sparse, {score} AS rrf_score
+  FROM fused
+)
+SELECT query_id, doc_id, r_dense, r_sparse, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM rescored
+QUALIFY rank <= {k}
+"""
     )

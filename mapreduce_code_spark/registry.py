@@ -119,6 +119,7 @@ _FIRST = [
     "events_streamed_anomaly",  # new: stream-static scoring writeStream
     "events_drift_chisq",  # new: contingency chi-square drift
     "graph_coreness_clicks",  # new: h-index coreness fixpoint
+    "similarity_hybrid_rrf",  # new: dense+sparse RRF fusion
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1344,3 +1345,13 @@ def q_coreness_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node coreness via the h-index fixpoint (8 unrolled rounds,
     convergence pinned by tests; bit-exact vs the unrolled SQL twin)."""
     return GR.coreness(GR.click_edges(load_table(spark, sf_dir, "events")))
+
+
+@register("similarity_hybrid_rrf", oracle=similarity.hybrid_rrf_sql())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by reciprocal-rank fusion —
+    exact integer ranks, fixed two-term IEEE fusion, rtol=0 oracle."""
+    return similarity.hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

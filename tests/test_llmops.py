@@ -637,3 +637,66 @@ def test_assign_centroids_matches_bruteforce(emb_micro):
         )
         assert got[vid]["assigned_label"] == best, vid
         assert -1.0 <= got[vid]["cosine"] <= 1.0
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+
+
+def test_hybrid_rrf_oracle_parity_exact(spark, sf_dir):
+    from mapreduce_code_spark.operators import similarity as S
+
+    df = S.hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    assert_parity(df, sf_dir, S.hybrid_rrf_sql(), rtol=0)
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    from mapreduce_code_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = S.hybrid_rrf(docs, embs).collect()
+    # every query emits exactly k=10 ranked rows, ranks 1..10
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+        # scores non-increasing in rank; a doc present in BOTH legs with
+        # better ranks never scores below one with worse ranks in both
+        rows = sorted(rows, key=lambda r: r["rank"])
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # fusion actually mixes: some fused row exists that is missing from
+    # one leg (NULL rank on that side)
+    assert any(r["r_dense"] is None or r["r_sparse"] is None for r in out)
+    assert any(
+        r["r_dense"] is not None and r["r_sparse"] is not None for r in out
+    )
+
+
+def test_keyword_ranked_matches_brute_force(spark, sf_dir):
+    from mapreduce_code_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    vocab = {
+        int(r.doc_id): {w for w in str(r.text).split(" ") if w}
+        for r in pdf.itertuples()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["overlap"]
+        for r in S.keyword_ranked(docs, n_queries=3, k=10**9).collect()
+    }
+    want = {}
+    for q in range(3):
+        for d, ws in vocab.items():
+            if d == q:
+                continue
+            ov = len(vocab[q] & ws)
+            if ov:
+                want[(q, d)] = ov
+    assert got == want
