@@ -220,3 +220,45 @@ SELECT event_type, n_ref, n_cur,
          / nullif(e_cur, 0.0) AS chisq
 FROM expect
 """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, then
+    for each day offset the number of distinct users active again —
+    ``(cohort_day, day_offset, n_users)`` with days as exact epoch-day
+    integers (``unix_micros div 86400e6`` — identical integer arithmetic
+    in the DuckDB twin, no calendar/timezone functions involved).
+
+    Scale shape: everything is keyed by ``user_id`` — the distinct
+    (user, day) reduction, the first-day aggregate, and the join are
+    co-partitionable on one exchange of the deduplicated (user, day)
+    frame (orders of magnitude smaller than the event log; the dedup
+    itself is map-side combined); the final cohort-cell aggregate is
+    cohort×offset-sized. The fact table is scanned once."""
+    d = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(first, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts_sql() -> str:
+    return """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -120,6 +120,7 @@ _FIRST = [
     "events_drift_chisq",  # new: contingency chi-square drift
     "graph_coreness_clicks",  # new: h-index coreness fixpoint
     "similarity_hybrid_rrf",  # new: dense+sparse RRF fusion
+    "events_retention_cohorts",  # new: cohort retention matrix
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1355,3 +1356,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+@register("events_retention_cohorts", oracle=MON.retention_cohorts_sql())
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-active-day cohorts × day offset,
+    exact epoch-day integer arithmetic)."""
+    return MON.retention_cohorts(load_table(spark, sf_dir, "events"))

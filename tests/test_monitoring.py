@@ -118,3 +118,27 @@ def test_drift_split_uses_observed_id_range(spark):
     sdf, _ = _mon_cross_check(spark, rows, MON.drift_chisq_sql())
     out = MON.drift_chisq(sdf).collect()
     assert all(r["n_ref"] > 0 and r["n_cur"] > 0 for r in out)
+
+
+def test_retention_oracle_parity(spark, sf_dir, events):
+    assert_parity(
+        MON.retention_cohorts(events), sf_dir, MON.retention_cohorts_sql(), rtol=0
+    )
+
+
+def test_retention_invariants(spark, events):
+    rows = MON.retention_cohorts(events).collect()
+    cells = {(r["cohort_day"], r["day_offset"]): r["n_users"] for r in rows}
+    assert all(off >= 0 for _, off in cells)
+    # offset-0 cell of each cohort counts the whole cohort, so it is the
+    # max over that cohort's row of the matrix
+    by_cohort = {}
+    for (c, off), n in cells.items():
+        by_cohort.setdefault(c, {})[off] = n
+    for c, row in by_cohort.items():
+        assert 0 in row
+        assert row[0] == max(row.values())
+    # total users across offset-0 cells = distinct users overall
+    assert sum(r[0] for r in by_cohort.values()) == events.select(
+        "user_id"
+    ).distinct().count()
