@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None = None):
 
 # The driver verifies queries in the order this dict yields them and has a
 # finite per-round budget (~50 of the 67 then-registered queries got a
-# round-3 row; 78 registered as of round 4).
+# round-3 row; 94 registered as of round 4).
 # So ordering is part of the contract, and the rule — extended per the
 # round-3 verdict — is: a query goes FIRST if it is (a) new this round,
 # (b) its code was touched this round, or (c) it has no driver row from
