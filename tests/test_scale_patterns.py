@@ -466,3 +466,26 @@ def test_overwrite_partitions_is_surgical_and_idempotent(spark, sf_dir, tmp_path
     # idempotent replay
     overwrite_partitions(en, out, "lang")
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_monitoring_fact_table_never_shuffles(spark, sf_dir):
+    """The z-score scorer's only exchange is the tiny stats aggregate:
+    the event scan itself reaches the output through a broadcast join,
+    so at 100 TB the monitor costs one map-side-combined pass."""
+    from bench import net_shuffles
+    from mapreduce_code_spark.operators import monitoring as MON
+    from mapreduce_code_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert net_shuffles(MON.anomaly_zscore(ev)) == 1
+
+
+def test_retention_copartitions_on_user(spark, sf_dir):
+    """Retention: dedup (user, day), first-day agg, and the final cell
+    agg — three keyed exchanges, none of them the raw event log twice."""
+    from bench import net_shuffles
+    from mapreduce_code_spark.operators import monitoring as MON
+    from mapreduce_code_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert net_shuffles(MON.retention_cohorts(ev)) <= 3
