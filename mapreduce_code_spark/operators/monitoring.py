@@ -138,8 +138,14 @@ def drift_chisq(events: DataFrame) -> DataFrame:
     # midpoint of the OBSERVED id range — (max+1) div 2 alone would dump
     # every row into one half (t_ref = 0 → χ² division by zero) whenever
     # ids don't start near 0 (snowflake ids, filtered slices)
+    # overflow-free midpoint: min + (span+1) div 2 equals
+    # (min+max+1) div 2 exactly (2·min + r divided by 2) but cannot
+    # exceed int64 even for ids near the top of the range
     mid = events.agg(
-        F.expr("(min(event_id) + max(event_id) + 1) div 2").alias("mid")
+        F.expr(
+            "min(event_id)"
+            " + (max(event_id) - min(event_id) + 1) div 2"
+        ).alias("mid")
     )
     counts = (
         events.crossJoin(F.broadcast(mid))
@@ -193,7 +199,9 @@ def drift_chisq(events: DataFrame) -> DataFrame:
 def drift_chisq_sql() -> str:
     return """
 WITH mid AS (
-  SELECT (min(event_id) + max(event_id) + 1) // 2 AS mid FROM events
+  SELECT min(event_id)
+         + (max(event_id) - min(event_id) + 1) // 2 AS mid
+  FROM events
 ),
 counts AS (
   SELECT event_type,

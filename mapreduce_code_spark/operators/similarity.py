@@ -936,20 +936,28 @@ def keyword_ranked(
     the query-side word set is tiny and broadcast, so the corpus never
     shuffles for the join — only the overlap counts (already filtered to
     matching candidates) hit a keyed exchange."""
-    words = (
+    exploded = (
         spread(documents)
         .select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
         )
         .where(F.col("word") != "")
+    )
+    qw = (
+        exploded.where(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "word")
         .distinct()
     )
-    qw = words.where(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("query_id"), "word"
-    )
+    # broadcast-join the RAW exploded corpus against the query vocabulary
+    # BEFORE any distinct: the only rows that ever reach a shuffle are
+    # query-vocabulary matches. Distinct-ing the corpus first would push
+    # the whole (doc, word) vocabulary through an exchange just to be
+    # dropped (Catalyst can't move a broadcast join below an Aggregate).
     overlap = (
-        words.join(F.broadcast(qw), "word")
+        exploded.join(F.broadcast(qw), "word")
         .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "word")
+        .distinct()
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
