@@ -1779,3 +1779,119 @@ SELECT 'orders_custkey_not_null',
        CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT), CAST(count(*) AS BIGINT)
 FROM orders
 """
+
+
+# ------------------------------------------------- robust aggregation
+
+def winsorized_price_stats(
+    orders: DataFrame, lo_bp: int = 500, hi_bp: int = 9500
+) -> DataFrame:
+    """Winsorized mean order value per priority — the robust-statistics
+    counterpart of the plain average: values below the ``lo_bp``/above
+    the ``hi_bp`` basis-point rank are CLAMPED to the boundary value
+    before averaging, so a handful of fat-finger orders can't drag the
+    group mean. Returns ``(o_orderpriority, n, lo_cents, hi_cents,
+    winsorized_mean)``.
+
+    Exactness: prices quantize to cents (exact for 2-decimal money);
+    boundary ranks are pure integer arithmetic ``greatest(1,
+    (n·bp + 9999) div 10000)`` (ceil); the boundary VALUE at a rank is
+    deterministic even under row_number ties (equal values are
+    interchangeable — the sorted multiset fixes the value at every
+    position); the clamped sum is an exact integer sum in decimal(38,0)
+    and the mean one IEEE division. rtol=0 vs the DuckDB twin.
+
+    Scale shape: one per-group sort window ranks the rows, the two
+    boundary rows per group reduce to a group-sized bounds frame joined
+    back by broadcast, and the clamped aggregate is map-side combined —
+    two keyed exchanges of the fact columns total. For groups too large
+    to sort, the repo's mergeable histogram sketch
+    (``histogram_quantiles``) supplies approximate bounds instead; the
+    clamp-and-average stage is unchanged."""
+    vq = F.floor(F.col("o_totalprice").cast("double") * 100.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("vq")
+    ranked = (
+        orders.select(F.col("o_orderpriority"), vq.alias("vq"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+        )
+    )
+    bounds = (
+        ranked.where(
+            (F.col("rn") == F.expr(f"greatest(1, (n * {lo_bp} + 9999) div 10000)"))
+            | (F.col("rn") == F.expr(f"greatest(1, (n * {hi_bp} + 9999) div 10000)"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"greatest(1, (n * {lo_bp} + 9999) div 10000)"),
+                    F.col("vq"),
+                )
+            ).alias("lo_cents"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"greatest(1, (n * {hi_bp} + 9999) div 10000)"),
+                    F.col("vq"),
+                )
+            ).alias("hi_cents"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.expr("greatest(lo_cents, least(hi_cents, vq))").alias("wv"),
+            "lo_cents",
+            "hi_cents",
+        )
+        .groupBy("o_orderpriority", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(wv AS DECIMAL(38,0))) AS DOUBLE)"
+                " / CAST(count(1) AS DOUBLE)"
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "o_orderpriority", "n", "lo_cents", "hi_cents", "winsorized_mean"
+        )
+    )
+
+
+def winsorized_price_stats_sql(lo_bp: int = 500, hi_bp: int = 9500) -> str:
+    lo = f"greatest(1, (n * {lo_bp} + 9999) // 10000)"
+    hi = f"greatest(1, (n * {hi_bp} + 9999) // 10000)"
+    return f"""
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS vq
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, vq,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY vq) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM q
+),
+bounds AS (
+  SELECT o_orderpriority,
+         min(CASE WHEN rn = {lo} THEN vq END) AS lo_cents,
+         max(CASE WHEN rn = {hi} THEN vq END) AS hi_cents
+  FROM ranked
+  WHERE rn = {lo} OR rn = {hi}
+  GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority, count(*) AS n, b.lo_cents, b.hi_cents,
+       CAST(sum(CAST(greatest(b.lo_cents, least(b.hi_cents, r.vq))
+                     AS HUGEINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS winsorized_mean
+FROM ranked r JOIN bounds b USING (o_orderpriority)
+GROUP BY r.o_orderpriority, b.lo_cents, b.hi_cents
+"""

@@ -121,6 +121,7 @@ _FIRST = [
     "graph_coreness_clicks",  # new: h-index coreness fixpoint
     "similarity_hybrid_rrf",  # new: dense+sparse RRF fusion
     "events_retention_cohorts",  # new: cohort retention matrix
+    "relational_winsorized_prices",  # new: robust clamped mean
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1363,3 +1364,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (first-active-day cohorts × day offset,
     exact epoch-day integer arithmetic)."""
     return MON.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@register("relational_winsorized_prices", oracle=R.winsorized_price_stats_sql())
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: winsorized mean order value per priority
+    (exact integer rank bounds + clamped decimal sum, rtol=0)."""
+    return R.winsorized_price_stats(load_table(spark, sf_dir, "orders"))

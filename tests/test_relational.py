@@ -489,3 +489,58 @@ def test_integrity_checks_planted_violations(spark):
     assert out["customer_key_unique"] == (1, 3)
     assert out["orders_totalprice_not_null"] == (1, 4)
     assert out["orders_custkey_not_null"] == (1, 4)
+
+
+# ------------------------------------------------- robust aggregation
+
+
+def test_winsorized_oracle_parity(spark, sf_dir):
+    from mapreduce_code_spark.operators import relational as R
+
+    df = R.winsorized_price_stats(load_table(spark, sf_dir, "orders"))
+    assert_parity(df, sf_dir, R.winsorized_price_stats_sql(), rtol=0)
+
+
+def test_winsorized_clamps_outliers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_code_spark.operators import relational as R
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = {
+        r["o_orderpriority"]: r
+        for r in R.winsorized_price_stats(orders).collect()
+    }
+    plain = {
+        r["o_orderpriority"]: r["m"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    }
+    for prio, r in out.items():
+        assert r["lo_cents"] <= r["winsorized_mean"] <= r["hi_cents"]
+        # clamping at p5/p95 must move the mean less than the clamp span
+        assert abs(r["winsorized_mean"] - plain[prio]) < (
+            r["hi_cents"] - r["lo_cents"]
+        )
+
+
+def test_winsorized_degenerate_tiny_group(spark):
+    # n=1: lo_rank = hi_rank = 1, the single value clamps to itself
+    from mapreduce_code_spark.operators import relational as R
+
+    one = spark.createDataFrame(
+        [("1-URGENT", 123.45)], "o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    r = R.winsorized_price_stats(one).collect()[0]
+    assert (r["n"], r["lo_cents"], r["hi_cents"]) == (1, 12345, 12345)
+    assert r["winsorized_mean"] == 12345.0
