@@ -161,8 +161,12 @@ def pagerank(
     # once instead of re-deriving the upstream pipeline 2·n_iter times.
     # Tracked in dedup's bounded _PERSISTED registry, so the registry /
     # bench / driver_check release them between queries like every other
-    # shared materialization.
-    e = _persist(edges.select("src", "dst").distinct())
+    # shared materialization. The cache is hash-partitioned on the
+    # contribution join's key (src) BEFORE persisting: one extra exchange
+    # at build time, and every iteration's edge-side join then reuses the
+    # cached partitioning instead of re-shuffling the edge list n_iter
+    # times — the dominant per-iteration cost at real edge counts.
+    e = _persist(edges.select("src", "dst").distinct().repartition("src"))
     nodes = _persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -384,10 +388,13 @@ def coreness(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
     budget as a PageRank round; adjacency persisted once, h frame
     lineage-cut per round. Returns ``(node, coreness)``."""
     und = _undirected(edges)
+    # cache hash-partitioned on the per-round join key (nbr): one build
+    # exchange buys back an adjacency re-shuffle every round (cf. the
+    # same device on pagerank's edge cache)
     adj = _persist(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
-            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-        )
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr")
     )
     h = adj.groupBy("node").agg(F.count(F.lit(1)).alias("h"))
     w = Window.partitionBy("node").orderBy(F.col("v").desc())
