@@ -165,8 +165,15 @@ def pagerank(
     # contribution join's key (src) BEFORE persisting: one extra exchange
     # at build time, and every iteration's edge-side join then reuses the
     # cached partitioning instead of re-shuffling the edge list n_iter
-    # times — the dominant per-iteration cost at real edge counts.
-    e = _persist(edges.select("src", "dst").distinct().repartition("src"))
+    # times — the dominant per-iteration cost at real edge counts. The
+    # in-partition sort likewise lets a sort-merge join reuse the cached
+    # ordering instead of re-sorting the edge cache every round.
+    e = _persist(
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+    )
     nodes = _persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -395,6 +402,7 @@ def coreness(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .repartition("nbr")
+        .sortWithinPartitions("nbr")
     )
     h = adj.groupBy("node").agg(F.count(F.lit(1)).alias("h"))
     w = Window.partitionBy("node").orderBy(F.col("v").desc())

@@ -33,6 +33,16 @@ PRICING_CUTOFF = "1998-09-02"
 
 _QTY = "decimal(14,2)"
 _PRICE = "decimal(16,2)"
+
+
+def _cents(col):
+    """Module-convention exact cents quantization of a 2-decimal money
+    double: ``floor(v·100 + 0.5)`` as BIGINT (IEEE multiply/add + exact
+    floor — bit-identical in DuckDB; see monitoring/similarity for the
+    same device at other resolutions)."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col.cast("double") * 100.0 + F.lit(0.5)).cast("bigint")
 _RATE = "decimal(6,4)"  # l_discount / l_tax: small 4-decimal rates
 
 
@@ -1655,7 +1665,7 @@ def above_avg_orders(orders: DataFrame) -> DataFrame:
     double division on either engine. Returns ``(o_orderkey, o_custkey,
     price_cents, n_orders, custkey_sum_cents)``.
     """
-    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    cents = _cents(F.col("o_totalprice"))
     w = Window.partitionBy("o_custkey")
     priced = orders.select(
         "o_orderkey", "o_custkey", cents.alias("price_cents")
@@ -1808,42 +1818,44 @@ def winsorized_price_stats(
     to sort, the repo's mergeable histogram sketch
     (``histogram_quantiles``) supplies approximate bounds instead; the
     clamp-and-average stage is unchanged."""
-    vq = F.floor(F.col("o_totalprice").cast("double") * 100.0 + F.lit(0.5)).cast(
-        "long"
+    q = orders.select(
+        F.col("o_orderpriority"), _cents(F.col("o_totalprice")).alias("vq")
     )
     w = Window.partitionBy("o_orderpriority").orderBy("vq")
+    # boundary ranks computed ONCE as columns — the where-filter and the
+    # agg whens must select the same rows, so the arithmetic lives in one
+    # place (mirrors the lo/hi variables of the SQL twin)
     ranked = (
-        orders.select(F.col("o_orderpriority"), vq.alias("vq"))
-        .withColumn("rn", F.row_number().over(w))
+        q.withColumn("rn", F.row_number().over(w))
         .withColumn(
             "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+        )
+        .withColumn(
+            "lo_rank", F.expr(f"greatest(1, (n * {lo_bp} + 9999) div 10000)")
+        )
+        .withColumn(
+            "hi_rank", F.expr(f"greatest(1, (n * {hi_bp} + 9999) div 10000)")
         )
     )
     bounds = (
         ranked.where(
-            (F.col("rn") == F.expr(f"greatest(1, (n * {lo_bp} + 9999) div 10000)"))
-            | (F.col("rn") == F.expr(f"greatest(1, (n * {hi_bp} + 9999) div 10000)"))
+            (F.col("rn") == F.col("lo_rank")) | (F.col("rn") == F.col("hi_rank"))
         )
         .groupBy("o_orderpriority")
         .agg(
             F.min(
-                F.when(
-                    F.col("rn")
-                    == F.expr(f"greatest(1, (n * {lo_bp} + 9999) div 10000)"),
-                    F.col("vq"),
-                )
+                F.when(F.col("rn") == F.col("lo_rank"), F.col("vq"))
             ).alias("lo_cents"),
             F.max(
-                F.when(
-                    F.col("rn")
-                    == F.expr(f"greatest(1, (n * {hi_bp} + 9999) div 10000)"),
-                    F.col("vq"),
-                )
+                F.when(F.col("rn") == F.col("hi_rank"), F.col("vq"))
             ).alias("hi_cents"),
         )
     )
+    # clamp stage reads the PRE-window projection — joining `ranked`
+    # would evaluate the per-group sort + both window functions a second
+    # time just to discard rn/n
     return (
-        ranked.join(F.broadcast(bounds), "o_orderpriority")
+        q.join(F.broadcast(bounds), "o_orderpriority")
         .select(
             "o_orderpriority",
             F.expr("greatest(lo_cents, least(hi_cents, vq))").alias("wv"),
@@ -1892,6 +1904,6 @@ SELECT r.o_orderpriority, count(*) AS n, b.lo_cents, b.hi_cents,
        CAST(sum(CAST(greatest(b.lo_cents, least(b.hi_cents, r.vq))
                      AS HUGEINT)) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS winsorized_mean
-FROM ranked r JOIN bounds b USING (o_orderpriority)
+FROM q r JOIN bounds b USING (o_orderpriority)
 GROUP BY r.o_orderpriority, b.lo_cents, b.hi_cents
 """

@@ -528,10 +528,28 @@ def test_winsorized_clamps_outliers(spark, sf_dir):
     }
     for prio, r in out.items():
         assert r["lo_cents"] <= r["winsorized_mean"] <= r["hi_cents"]
-        # clamping at p5/p95 must move the mean less than the clamp span
-        assert abs(r["winsorized_mean"] - plain[prio]) < (
-            r["hi_cents"] - r["lo_cents"]
-        )
+        # on this mild corpus the clamp barely moves the mean (sanity
+        # that we're winsorizing, not replacing, the distribution)
+        assert plain[prio] != 0
+        assert abs(r["winsorized_mean"] - plain[prio]) / plain[prio] < 0.25
+
+
+def test_winsorized_neutralizes_planted_outlier(spark):
+    # THE winsorization property: one fat-finger order explodes the
+    # plain mean but barely moves the winsorized one
+    from mapreduce_code_spark.operators import relational as R
+
+    rows = [("3-MEDIUM", 100.0 + i) for i in range(99)] + [
+        ("3-MEDIUM", 10_000_000.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    r = R.winsorized_price_stats(df).collect()[0]
+    plain = (sum(100.0 + i for i in range(99)) + 1e7) * 100.0 / 100
+    assert plain > 5_000_000  # plain mean blown past $50k (in cents)
+    assert r["winsorized_mean"] < 20_000  # winsorized stays near $150
+    assert r["hi_cents"] == 19_400  # p95 boundary = the 95th value, $194
 
 
 def test_winsorized_degenerate_tiny_group(spark):
