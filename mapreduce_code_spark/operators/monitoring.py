@@ -32,7 +32,7 @@ dedup/sampling/text-quality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Z_THRESHOLD = "3.0"  # |v - mean| > 3σ flags an anomaly
@@ -269,4 +269,95 @@ SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
        count(*) AS n_users
 FROM d JOIN f USING (user_id)
 GROUP BY 1, 2
+"""
+
+
+def attribution_last_touch(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the page of
+    the most recent preceding 'view' by the same user within
+    ``window_minutes`` — ``(page, n_purchases, revenue_cents)``.
+
+    One pass: a per-user ordered window carries the last view's page and
+    timestamp forward (two ``last(..., ignorenulls=True)`` columns over
+    the same frame necessarily agree — they null out on the same rows);
+    the gap test is pure integer micros. Revenue is the exact cent sum.
+    Scale shape: one window shuffle keyed by user_id plus the tiny
+    page-level aggregate; the fact table is scanned once.
+
+    Beyond-reference surface (attribution joins funnel/retention in the
+    product-analytics family)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    page = F.get_json_object("props", "$.k").cast("bigint")
+    ev = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        page.alias("page"),
+        _cents(F.col("value")).alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    attr = ev.withColumn(
+        "lv_page",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("page")),
+            ignorenulls=True,
+        ).over(w),
+    ).withColumn(
+        "lv_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("us")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    horizon = window_minutes * 60 * 1_000_000
+    return (
+        attr.where(
+            (F.col("event_type") == "purchase")
+            & F.col("lv_page").isNotNull()
+            & (F.col("us") - F.col("lv_us") <= horizon)
+        )
+        .groupBy(F.col("lv_page").alias("page"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+def attribution_last_touch_sql(window_minutes: int = 30) -> str:
+    horizon = window_minutes * 60 * 1_000_000
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(props->>'k' AS BIGINT) AS page,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents,
+         epoch_us(ts) AS us
+  FROM events
+),
+attr AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'view' THEN page END
+                    IGNORE NULLS) {frame} AS lv_page,
+         last_value(CASE WHEN event_type = 'view' THEN us END
+                    IGNORE NULLS) {frame} AS lv_us
+  FROM ev
+)
+SELECT lv_page AS page, count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attr
+WHERE event_type = 'purchase' AND lv_page IS NOT NULL
+  AND us - lv_us <= {horizon}
+GROUP BY lv_page
 """

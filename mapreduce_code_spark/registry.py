@@ -122,6 +122,7 @@ _FIRST = [
     "similarity_hybrid_rrf",  # new: dense+sparse RRF fusion
     "events_retention_cohorts",  # new: cohort retention matrix
     "relational_winsorized_prices",  # new: robust clamped mean
+    "events_attribution_last_touch",  # new: last-touch attribution
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1371,3 +1372,10 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust aggregation: winsorized mean order value per priority
     (exact integer rank bounds + clamped decimal sum, rtol=0)."""
     return R.winsorized_price_stats(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_attribution_last_touch", oracle=MON.attribution_last_touch_sql())
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution within a 30-minute window —
+    single per-user ordered pass, integer-micros gap test, exact cents."""
+    return MON.attribution_last_touch(load_table(spark, sf_dir, "events"))

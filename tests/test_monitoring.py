@@ -142,3 +142,53 @@ def test_retention_invariants(spark, events):
     assert sum(r[0] for r in by_cohort.values()) == events.select(
         "user_id"
     ).distinct().count()
+
+
+def test_attribution_oracle_parity(spark, sf_dir, events):
+    assert_parity(
+        MON.attribution_last_touch(events),
+        sf_dir,
+        MON.attribution_last_touch_sql(),
+        rtol=0,
+    )
+
+
+def test_attribution_planted_journey(spark):
+    # user 1: view page 7 -> purchase 10 min later (credited);
+    # user 2: view page 3 -> purchase 2 HOURS later (outside window);
+    # user 3: purchase with no view at all (unattributed);
+    # user 4: view page 7 -> view page 9 -> purchase (LAST touch: 9)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, minutes, k, value=10.0):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=minutes),
+            uid,
+            typ,
+            value,
+            '{"k": %d}' % k,
+        )
+
+    rows = [
+        ev(1, 1, "view", 0, 7),
+        ev(2, 1, "purchase", 10, 0, 25.50),
+        ev(3, 2, "view", 0, 3),
+        ev(4, 2, "purchase", 120, 0),
+        ev(5, 3, "purchase", 5, 0),
+        ev(6, 4, "view", 0, 7),
+        ev(7, 4, "view", 1, 9),
+        ev(8, 4, "purchase", 2, 0, 4.99),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    got = {
+        r["page"]: (r["n_purchases"], r["revenue_cents"])
+        for r in MON.attribution_last_touch(df).collect()
+    }
+    assert got == {7: (1, 2550), 9: (1, 499)}
