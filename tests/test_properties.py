@@ -205,3 +205,42 @@ def test_dup_spans_match_bruteforce(spark, docs, n):
         for r in DD.dup_spans(df, n=n).collect()
     }
     assert got == want
+
+
+_prices = st.lists(
+    st.tuples(
+        st.sampled_from(["1-URGENT", "2-HIGH"]),
+        st.integers(0, 10**7),  # cents, up to $100k
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_prices)
+@settings(**_SETTINGS)
+def test_winsorized_laws(spark, rows):
+    """Winsorized mean equals the brute-force clamp: bounds are the
+    values at the ceil(n·bp/10000) ranks of the sorted group, every
+    value clamps into [lo, hi], and the mean is the exact clamped sum
+    over n."""
+    df = spark.createDataFrame(
+        [(p, c / 100.0) for p, c in rows],
+        "o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    got = {
+        r["o_orderpriority"]: r
+        for r in R.winsorized_price_stats(df).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for p, c in rows:
+        groups.setdefault(p, []).append(c)
+    for p, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[max(1, -(-n * 500 // 10000)) - 1]
+        hi = vals[max(1, -(-n * 9500 // 10000)) - 1]
+        clamped = [min(hi, max(lo, v)) for v in vals]
+        r = got[p]
+        assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi)
+        assert r["winsorized_mean"] == sum(clamped) / n
