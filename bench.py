@@ -108,6 +108,7 @@ def main() -> int:
         "relational_streamed_hll",  # foreachBatch writeStream at build
         "sampling_streamed_stratified",  # writeStream at build
         "events_streamed_anomaly",  # stream-static join writeStream at build
+        "events_streamed_attribution",  # stateful writeStream at build
     }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

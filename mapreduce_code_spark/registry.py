@@ -123,6 +123,7 @@ _FIRST = [
     "events_retention_cohorts",  # new: cohort retention matrix
     "relational_winsorized_prices",  # new: robust clamped mean
     "events_attribution_last_touch",  # new: last-touch attribution
+    "events_streamed_attribution",  # new: stateful attribution writeStream
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
@@ -1379,3 +1380,29 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch purchase attribution within a 30-minute window —
     single per-user ordered pass, integer-micros gap test, exact cents."""
     return MON.attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_streamed_attribution", oracle=MON.attribution_last_touch_sql()
+)
+def q_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution driven through an ACTUAL writeStream as a
+    CUSTOM STATEFUL operator (applyInPandasWithState): per-user
+    carry-forward state, append-mode emission of each attributed
+    purchase exactly once; the page aggregate over the sink shares the
+    batch operator's oracle."""
+    from mapreduce_code_spark.streaming.stateful import attribution_stream
+    from mapreduce_code_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+    )
+
+    rows = run_available_now(
+        attribution_stream(stream_events(spark, sf_dir)),
+        "events_streamed_attribution_sink",
+        output_mode="append",
+    )
+    return rows.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -194,3 +194,84 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ------------------------------------------------ streamed attribution
+
+ATTR_OUTPUT_SCHEMA = "page long, cents long"
+ATTR_STATE_SCHEMA = "page long, us long"
+_NO_VIEW = -1  # state sentinel: no view seen yet for this user
+
+
+def _attr_update_factory(horizon_us: int):
+    """Kernel: carry the last view's (page, epoch-us) across micro-
+    batches; within a batch, SORT the user's rows by (ts, event_id) and
+    forward-fill, seeded from state — so a single-batch run is exactly
+    the batch operator, and a time-split multi-batch run agrees as long
+    as micro-batches arrive in event-time order per user (the natural
+    ingest order; a reordering deployment would add a watermark buffer
+    upstream, cf. module docstring)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        page, us = state.get if state.exists else (_NO_VIEW, _NO_VIEW)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        is_view = (pdf["event_type"] == "view").to_numpy()
+        vp = pd.Series(
+            np.where(is_view, pdf["page"].to_numpy(), np.nan)
+        ).ffill()
+        vu = pd.Series(np.where(is_view, ts_us, np.nan)).ffill()
+        if page != _NO_VIEW:
+            vp = vp.fillna(page)
+            vu = vu.fillna(us)
+        attributed = (
+            (pdf["event_type"] == "purchase").to_numpy()
+            & vp.notna().to_numpy()
+            & ((ts_us - vu.fillna(0).astype("int64")) <= horizon_us).to_numpy()
+        )
+        if is_view.any():
+            last = int(np.max(np.nonzero(is_view)[0]))
+            state.update((int(pdf["page"].iloc[last]), int(ts_us.iloc[last])))
+        elif page != _NO_VIEW:
+            state.update((page, us))
+        if attributed.any():
+            yield pd.DataFrame(
+                {
+                    "page": vp[attributed].astype("int64"),
+                    "cents": pdf["cents"][attributed].astype("int64"),
+                }
+            )
+
+    return update
+
+
+def attribution_stream(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Streamed last-touch attribution: per-user carry-forward state via
+    ``applyInPandasWithState`` (append semantics — each attributed
+    purchase is emitted exactly once). Input may be a readStream; the
+    page/cents projection happens before the stateful exchange so only
+    five narrow columns shuffle."""
+    from mapreduce_code_spark.operators.monitoring import _cents
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("page"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _attr_update_factory(window_minutes * 60 * 1_000_000),
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

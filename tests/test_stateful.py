@@ -168,3 +168,115 @@ def test_state_ttl_evicts_idle_users(spark, tmp_path):
         assert fresh.sum_value_micro == 9_000_000  # 9.0 only, not 15.0
     finally:
         q.stop()
+
+
+def test_streamed_attribution_carries_state_across_batches(spark, tmp_path):
+    """A view in micro-batch 1 must attribute a purchase in micro-batch
+    2 (cross-batch carry-forward), and the full replay must equal the
+    batch window operator."""
+    import datetime as dt
+
+    from mapreduce_code_spark.operators import monitoring as MON
+    from mapreduce_code_spark.streaming import stateful as SA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, minutes, k, value=10.0):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=minutes),
+            uid,
+            typ,
+            value,
+            '{"k": %d}' % k,
+        )
+
+    schema_str = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING"
+    )
+    batch1 = [ev(1, 1, "view", 0, 7), ev(2, 2, "view", 1, 3)]
+    batch2 = [
+        ev(3, 1, "purchase", 10, 0, 25.50),  # attributed to 7 (cross-batch)
+        ev(4, 2, "purchase", 120, 0),  # outside 30-min horizon
+        ev(5, 3, "purchase", 12, 0),  # never saw a view
+    ]
+    src = str(tmp_path / "attr_chunks")
+    for chunk in (batch1, batch2):
+        spark.createDataFrame(chunk, schema_str).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = W.run_to_memory(
+        SA.attribution_stream(stream), "attr_xbatch", "append"
+    )
+    try:
+        got = {
+            (r["page"], r["cents"])
+            for r in spark.table("attr_xbatch").collect()
+        }
+        assert got == {(7, 2550)}
+        want = {
+            (r["page"], r["revenue_cents"])
+            for r in MON.attribution_last_touch(
+                spark.createDataFrame(batch1 + batch2, schema_str)
+            ).collect()
+        }
+        assert want == {(7, 2550)}
+    finally:
+        q.stop()
+
+
+def test_streamed_attribution_matches_batch_on_time_split(
+    spark, sf_dir, tmp_path
+):
+    """Corpus replayed as two TIME-ORDERED micro-batches == the batch
+    window operator's page report."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_code_spark.operators import monitoring as MON
+    from mapreduce_code_spark.streaming import stateful as SA
+
+    ev = load_table(spark, sf_dir, "events").persist()
+    mid = ev.agg(
+        F.expr(
+            "min(event_id) + (max(event_id) - min(event_id) + 1) div 2"
+        ).alias("m")
+    ).collect()[0]["m"]
+    src = str(tmp_path / "attr_time_chunks")
+    for part in (ev.where(F.col("event_id") < mid), ev.where(F.col("event_id") >= mid)):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = W.run_to_memory(
+        SA.attribution_stream(stream), "attr_timesplit", "append"
+    )
+    try:
+        got = {
+            (r["page"], r["n"], r["s"])
+            for r in spark.table("attr_timesplit")
+            .groupBy("page")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()
+        }
+        want = {
+            (r["page"], r["n_purchases"], r["revenue_cents"])
+            for r in MON.attribution_last_touch(ev).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+        ev.unpersist()
