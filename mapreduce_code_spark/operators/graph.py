@@ -91,9 +91,12 @@ def click_edges_sql(keep_bp: int = 1500) -> str:
         "CAST(src AS VARCHAR) || '->' || CAST(dst AS VARCHAR)", salt=EDGE_SALT
     )
     return f"""
+ev0 AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
 pages AS (
   SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS src
-  FROM events
+  FROM ev0
 ),
 nxt AS (
   SELECT src,

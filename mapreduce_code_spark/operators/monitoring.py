@@ -303,18 +303,16 @@ def attribution_last_touch(
         _cents(F.col("value")).alias("cents"),
         F.expr("unix_micros(ts)").alias("us"),
     )
+    # a view whose page failed to parse (props null / no k) must refresh
+    # NEITHER column: guarding only the page would let the null-page view
+    # refresh the clock and credit a long-stale page inside the horizon
+    is_view = (F.col("event_type") == "view") & F.col("page").isNotNull()
     attr = ev.withColumn(
         "lv_page",
-        F.last(
-            F.when(F.col("event_type") == "view", F.col("page")),
-            ignorenulls=True,
-        ).over(w),
+        F.last(F.when(is_view, F.col("page")), ignorenulls=True).over(w),
     ).withColumn(
         "lv_us",
-        F.last(
-            F.when(F.col("event_type") == "view", F.col("us")),
-            ignorenulls=True,
-        ).over(w),
+        F.last(F.when(is_view, F.col("us")), ignorenulls=True).over(w),
     )
     horizon = window_minutes * 60 * 1_000_000
     return (
@@ -338,19 +336,24 @@ def attribution_last_touch_sql(window_minutes: int = 30) -> str:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     return f"""
-WITH ev AS (
+WITH ev0 AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+ev AS (
   SELECT user_id, ts, event_id, event_type,
          CAST(props->>'k' AS BIGINT) AS page,
          CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
            AS cents,
          epoch_us(ts) AS us
-  FROM events
+  FROM ev0
 ),
 attr AS (
   SELECT *,
-         last_value(CASE WHEN event_type = 'view' THEN page END
+         last_value(CASE WHEN event_type = 'view' AND page IS NOT NULL
+                         THEN page END
                     IGNORE NULLS) {frame} AS lv_page,
-         last_value(CASE WHEN event_type = 'view' THEN us END
+         last_value(CASE WHEN event_type = 'view' AND page IS NOT NULL
+                         THEN us END
                     IGNORE NULLS) {frame} AS lv_us
   FROM ev
 )

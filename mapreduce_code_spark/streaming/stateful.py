@@ -200,7 +200,6 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
 
 ATTR_OUTPUT_SCHEMA = "page long, cents long"
 ATTR_STATE_SCHEMA = "page long, us long"
-_NO_VIEW = -1  # state sentinel: no view seen yet for this user
 
 
 def _attr_update_factory(horizon_us: int):
@@ -217,16 +216,23 @@ def _attr_update_factory(horizon_us: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        page, us = state.get if state.exists else (_NO_VIEW, _NO_VIEW)
+        # state presence IS the "seen a view" flag — no in-band sentinel
+        # (a legitimate page id could collide with any reserved value)
+        seeded = state.exists
+        page, us = state.get if seeded else (0, 0)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        is_view = (pdf["event_type"] == "view").to_numpy()
-        vp = pd.Series(
-            np.where(is_view, pdf["page"].to_numpy(), np.nan)
-        ).ffill()
+        pages = pdf["page"].to_numpy()
+        # null-page views (props null / unparseable k) refresh NEITHER
+        # the carried page NOR the clock — mirrors the batch operator
+        is_view = (
+            (pdf["event_type"] == "view").to_numpy()
+            & pd.notna(pages)
+        )
+        vp = pd.Series(np.where(is_view, pages, np.nan)).ffill()
         vu = pd.Series(np.where(is_view, ts_us, np.nan)).ffill()
-        if page != _NO_VIEW:
+        if seeded:
             vp = vp.fillna(page)
             vu = vu.fillna(us)
         attributed = (
@@ -236,8 +242,8 @@ def _attr_update_factory(horizon_us: int):
         )
         if is_view.any():
             last = int(np.max(np.nonzero(is_view)[0]))
-            state.update((int(pdf["page"].iloc[last]), int(ts_us.iloc[last])))
-        elif page != _NO_VIEW:
+            state.update((int(pages[last]), int(ts_us.iloc[last])))
+        elif seeded:
             state.update((page, us))
         if attributed.any():
             yield pd.DataFrame(

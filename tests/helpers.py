@@ -43,3 +43,26 @@ def assert_parity(spark_df, sf_dir: str, sql: str, rtol: float = 1e-9) -> None:
             )
         else:
             assert g.astype(str).tolist() == w.astype(str).tolist(), f"values differ in {c}"
+
+
+EVENTS_SCHEMA_STR = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def event_row(eid, uid, typ, minutes, k, value=10.0):
+    """Synthetic events-table row builder shared by the attribution
+    tests; ``k=None`` plants a null-page props payload."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    props = "{}" if k is None else '{"k": %d}' % k
+    return (
+        eid,
+        t0 + dt.timedelta(minutes=minutes),
+        uid,
+        typ,
+        value,
+        props,
+    )

@@ -158,19 +158,7 @@ def test_attribution_planted_journey(spark):
     # user 2: view page 3 -> purchase 2 HOURS later (outside window);
     # user 3: purchase with no view at all (unattributed);
     # user 4: view page 7 -> view page 9 -> purchase (LAST touch: 9)
-    import datetime as dt
-
-    t0 = dt.datetime(2024, 1, 1)
-
-    def ev(eid, uid, typ, minutes, k, value=10.0):
-        return (
-            eid,
-            t0 + dt.timedelta(minutes=minutes),
-            uid,
-            typ,
-            value,
-            '{"k": %d}' % k,
-        )
+    from tests.helpers import EVENTS_SCHEMA_STR, event_row as ev
 
     rows = [
         ev(1, 1, "view", 0, 7),
@@ -182,13 +170,32 @@ def test_attribution_planted_journey(spark):
         ev(7, 4, "view", 1, 9),
         ev(8, 4, "purchase", 2, 0, 4.99),
     ]
-    df = spark.createDataFrame(
-        rows,
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
-        " value DOUBLE, props STRING",
-    )
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA_STR)
     got = {
         r["page"]: (r["n_purchases"], r["revenue_cents"])
         for r in MON.attribution_last_touch(df).collect()
     }
     assert got == {7: (1, 2550), 9: (1, 499)}
+
+
+def test_attribution_null_page_view_refreshes_nothing(spark):
+    # a view whose props carry no page must refresh neither the carried
+    # page nor the clock: the stale page-5 view is outside the horizon,
+    # so the purchase is unattributed (crediting 5 here was a real bug)
+    from tests.helpers import EVENTS_SCHEMA_STR, event_row as ev
+
+    rows = [
+        ev(1, 1, "view", 0, 5),
+        ev(2, 1, "view", 40, None),
+        ev(3, 1, "purchase", 45, 0),
+        # control: same shape inside the horizon still credits page 5
+        ev(4, 2, "view", 0, 5),
+        ev(5, 2, "view", 10, None),
+        ev(6, 2, "purchase", 15, 0, 7.00),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA_STR)
+    got = {
+        r["page"]: (r["n_purchases"], r["revenue_cents"])
+        for r in MON.attribution_last_touch(df).collect()
+    }
+    assert got == {5: (1, 700)}

@@ -174,32 +174,24 @@ def test_streamed_attribution_carries_state_across_batches(spark, tmp_path):
     """A view in micro-batch 1 must attribute a purchase in micro-batch
     2 (cross-batch carry-forward), and the full replay must equal the
     batch window operator."""
-    import datetime as dt
-
     from mapreduce_code_spark.operators import monitoring as MON
     from mapreduce_code_spark.streaming import stateful as SA
+    from tests.helpers import EVENTS_SCHEMA_STR as schema_str
+    from tests.helpers import event_row as ev
 
-    t0 = dt.datetime(2024, 1, 1)
-
-    def ev(eid, uid, typ, minutes, k, value=10.0):
-        return (
-            eid,
-            t0 + dt.timedelta(minutes=minutes),
-            uid,
-            typ,
-            value,
-            '{"k": %d}' % k,
-        )
-
-    schema_str = (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
-        " value DOUBLE, props STRING"
-    )
-    batch1 = [ev(1, 1, "view", 0, 7), ev(2, 2, "view", 1, 3)]
+    batch1 = [
+        ev(1, 1, "view", 0, 7),
+        ev(2, 2, "view", 1, 3),
+        ev(9, 4, "view", 2, -1),  # negative page id is legal
+        ev(10, 5, "view", 0, 6),
+        ev(11, 5, "view", 3, None),  # null-page view: refreshes nothing
+    ]
     batch2 = [
         ev(3, 1, "purchase", 10, 0, 25.50),  # attributed to 7 (cross-batch)
         ev(4, 2, "purchase", 120, 0),  # outside 30-min horizon
         ev(5, 3, "purchase", 12, 0),  # never saw a view
+        ev(12, 4, "purchase", 8, 0, 3.00),  # carried page -1 (no sentinel clash)
+        ev(13, 5, "purchase", 9, 0, 2.00),  # carried page 6 survives null view
     ]
     src = str(tmp_path / "attr_chunks")
     for chunk in (batch1, batch2):
@@ -222,14 +214,14 @@ def test_streamed_attribution_carries_state_across_batches(spark, tmp_path):
             (r["page"], r["cents"])
             for r in spark.table("attr_xbatch").collect()
         }
-        assert got == {(7, 2550)}
+        assert got == {(7, 2550), (-1, 300), (6, 200)}
         want = {
             (r["page"], r["revenue_cents"])
             for r in MON.attribution_last_touch(
                 spark.createDataFrame(batch1 + batch2, schema_str)
             ).collect()
         }
-        assert want == {(7, 2550)}
+        assert want == {(7, 2550), (-1, 300), (6, 200)}
     finally:
         q.stop()
 
