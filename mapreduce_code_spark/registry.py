@@ -87,13 +87,6 @@ _FIRST = [
     "apriori_frequent_itemsets_ordered",  # new: faithful ordered-identity mode
     "text_repetition_gopher",  # new: duplicate-n-gram quality filter
     "text_contamination_ngram",  # new: train/eval overlap scan
-    "dedup_components",  # touched: shared pair materialization
-    "dedup_components_starcontract",  # touched: shared pair materialization
-    "dedup_minhash_lsh",  # touched: conditional corpus repartition
-    "dedup_near_dup_scalable",  # touched: conditional corpus repartition
-    "dedup_simhash",  # touched: conditional corpus repartition
-    "dedup_incremental",  # touched: conditional corpus repartition
-    "similarity_topk_cosine",  # touched: conditional corpus repartition
     "sampling_chunk_documents",  # new: sliding-window chunking
     "sampling_source_cap",  # new: per-source cap (domain balancing)
     "dedup_substring_spans",  # new: span-level exact dedup
@@ -104,7 +97,6 @@ _FIRST = [
     # leads via the r03-unchecked block above)
     "relational_regional_revenue",  # new: TPC-H Q5-shaped 6-table join
     "relational_streamed_hll",  # new: streamed mergeable-sketch state
-    "relational_hll_distinct",  # touched: pairs/finalize refactor
     "similarity_semantic_dedup",  # new: SemDeDup-style semantic pruning
     "events_streamed_session",  # new: streamed session-state merge path
     "text_redact_pii",  # new: PII scrubbing with planted contact lines
@@ -124,6 +116,17 @@ _FIRST = [
     "relational_winsorized_prices",  # new: robust clamped mean
     "events_attribution_last_touch",  # new: last-touch attribution
     "events_streamed_attribution",  # new: stateful attribution writeStream
+    # merely TOUCHED this round (green r03 rows exist; the code deltas
+    # are small and test-covered) — cheapest cut if the budget runs out
+    # before the list does, so they trail every never-verified query
+    "dedup_components",  # touched: shared pair materialization
+    "dedup_components_starcontract",  # touched: shared pair materialization
+    "dedup_minhash_lsh",  # touched: conditional corpus repartition
+    "dedup_near_dup_scalable",  # touched: conditional corpus repartition
+    "dedup_simhash",  # touched: conditional corpus repartition
+    "dedup_incremental",  # touched: conditional corpus repartition
+    "similarity_topk_cosine",  # touched: conditional corpus repartition
+    "relational_hll_distinct",  # touched: pairs/finalize refactor
 ]
 _LAST = [
     # batch twins of the streamed queries (one shared oracle each, parity
