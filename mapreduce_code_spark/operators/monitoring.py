@@ -364,3 +364,137 @@ WHERE event_type = 'purchase' AND lv_page IS NOT NULL
   AND us - lv_us <= {horizon}
 GROUP BY lv_page
 """
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_steps: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Clickstream path analysis: sessionize each user's event stream by
+    inactivity gaps, read off the ordered page path (first ``max_steps``
+    pages), and report the ``k`` most common paths —
+    ``(path, n_sessions, rank)``.
+
+    Determinism: sessionization is pure integer logic (a gap flag
+    cumulative-summed over the (ts, event_id)-ordered per-user stream);
+    the path string is assembled from (step, page) pairs sorted by step,
+    so it is independent of partitioning; ties in the top-k break on the
+    path string. Null-page events are dropped before stepping so both
+    engines see identical sequences.
+
+    Scale shape: one window shuffle keyed by user (sessionize + step),
+    one keyed by (user, session) — collapsed to the same exchange by
+    Catalyst since (user, session) refines user — one path-count
+    aggregate (map-side combined), and a single-partition top-k of an
+    already tiny frame."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    horizon = gap_minutes * 60 * 1_000_000
+    page = F.get_json_object("props", "$.k").cast("bigint")
+    stepped = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            page.alias("page"),
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+        .where(F.col("page").isNotNull())
+        .withColumn("prev_us", F.lag("us").over(w_user))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > horizon),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "step",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sess").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .where(F.col("step") <= max_steps)
+    )
+    paths = (
+        stepped.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("step", "page"))
+                    ),
+                    lambda x: x["page"].cast("string"),
+                ),
+                "->",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+    )
+
+
+def session_paths_sql(
+    gap_minutes: int = 30, max_steps: int = 8, k: int = 20
+) -> str:
+    horizon = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ev0 AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+pages AS (
+  SELECT user_id, ts, event_id,
+         CAST(props->>'k' AS BIGINT) AS page, epoch_us(ts) AS us
+  FROM ev0
+  WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {horizon}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM pages
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sess
+  FROM flagged
+),
+stepped AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS step
+  FROM sessions
+  QUALIFY step <= {max_steps}
+),
+paths AS (
+  SELECT user_id, sess,
+         string_agg(CAST(page AS VARCHAR), '->' ORDER BY step) AS path
+  FROM stepped GROUP BY user_id, sess
+),
+counted AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions,
+       row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+FROM counted
+QUALIFY rank <= {k}
+"""

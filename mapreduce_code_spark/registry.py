@@ -116,6 +116,7 @@ _FIRST = [
     "relational_winsorized_prices",  # new: robust clamped mean
     "events_attribution_last_touch",  # new: last-touch attribution
     "events_streamed_attribution",  # new: stateful attribution writeStream
+    "events_session_paths",  # new: clickstream path analysis
     # merely TOUCHED this round (green r03 rows exist; the code deltas
     # are small and test-covered) — cheapest cut if the budget runs out
     # before the list does, so they trail every never-verified query
@@ -1409,3 +1410,10 @@ def q_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+@register("events_session_paths", oracle=MON.session_paths_sql())
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 clickstream session paths (gap sessionization + ordered
+    page-path assembly, fully deterministic cross-engine)."""
+    return MON.session_paths(load_table(spark, sf_dir, "events"))

@@ -199,3 +199,33 @@ def test_attribution_null_page_view_refreshes_nothing(spark):
         for r in MON.attribution_last_touch(df).collect()
     }
     assert got == {5: (1, 700)}
+
+
+def test_session_paths_oracle_parity(spark, sf_dir, events):
+    assert_parity(
+        MON.session_paths(events), sf_dir, MON.session_paths_sql(), rtol=0
+    )
+
+
+def test_session_paths_planted_sessions(spark):
+    from tests.helpers import EVENTS_SCHEMA_STR, event_row as ev
+
+    rows = [
+        # user 1, session A: 7 -> 9 ; then a 2h gap ; session B: 7 -> 9
+        ev(1, 1, "view", 0, 7),
+        ev(2, 1, "click", 5, 9),
+        ev(3, 1, "view", 180, 7),
+        ev(4, 1, "click", 185, 9),
+        # user 2, one session: 7 -> 9 (same path, third occurrence)
+        ev(5, 2, "view", 0, 7),
+        ev(6, 2, "view", 3, 9),
+        # user 3: lone event (path "4"), plus a null-page event ignored
+        ev(7, 3, "view", 0, 4),
+        ev(8, 3, "error", 1, None),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA_STR)
+    got = {
+        r["path"]: (r["n_sessions"], r["rank"])
+        for r in MON.session_paths(df).collect()
+    }
+    assert got == {"7->9": (3, 1), "4": (1, 2)}
