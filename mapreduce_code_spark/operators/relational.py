@@ -1907,3 +1907,64 @@ SELECT r.o_orderpriority, count(*) AS n, b.lo_cents, b.hi_cents,
 FROM q r JOIN bounds b USING (o_orderpriority)
 GROUP BY r.o_orderpriority, b.lo_cents, b.hi_cents
 """
+
+
+def pointintime_prices(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Point-in-time (bitemporal) join — the canonical warehouse pattern
+    the SCD2 materialization exists FOR: each event is joined to the
+    price interval that was valid AT its timestamp, i.e.
+    ``valid_from <= ts < valid_to`` (open interval = current row).
+    Returns ``(event_id, custkey, ts, orderkey, price_cents)``.
+
+    The SCD2 intervals partition each customer's timeline from the first
+    change onward, so every matching event lands in EXACTLY one row —
+    no dedup needed, and the result is deterministic. Price is exact
+    cents (module convention).
+
+    Scale shape: an equi-join on the customer key with the interval test
+    as a residual predicate — SortMergeJoin + filter, never a cartesian;
+    the dimension side is orders-sized (its intervals come from one
+    window pass, no self-join), and per-key interval counts are bounded
+    by order counts so AQE's skew split handles hot customers."""
+    dim = scd2_customer_prices(orders).select(
+        "custkey",
+        "orderkey",
+        _cents(F.col("price")).alias("price_cents"),
+        "valid_from",
+        "valid_to",
+    )
+    ev = events.select(
+        "event_id", F.col("user_id").alias("custkey"), "ts"
+    )
+    cond = (
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return (
+        ev.join(dim, on=["custkey"], how="inner")
+        .where(cond)
+        .select("event_id", "custkey", "ts", "orderkey", "price_cents")
+    )
+
+
+def pointintime_prices_sql() -> str:
+    return """
+WITH ev0 AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+dim AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS price_cents,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT e.event_id, e.user_id AS custkey, e.ts, d.orderkey, d.price_cents
+FROM ev0 e
+JOIN dim d
+  ON d.custkey = e.user_id
+ AND d.valid_from <= e.ts
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+"""

@@ -117,6 +117,7 @@ _FIRST = [
     "events_attribution_last_touch",  # new: last-touch attribution
     "events_streamed_attribution",  # new: stateful attribution writeStream
     "events_session_paths",  # new: clickstream path analysis
+    "relational_pointintime_prices",  # new: SCD2 point-in-time join
     # merely TOUCHED this round (green r03 rows exist; the code deltas
     # are small and test-covered) — cheapest cut if the budget runs out
     # before the list does, so they trail every never-verified query
@@ -1417,3 +1418,12 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 clickstream session paths (gap sessionization + ordered
     page-path assembly, fully deterministic cross-engine)."""
     return MON.session_paths(load_table(spark, sf_dir, "events"))
+
+
+@register("relational_pointintime_prices", oracle=R.pointintime_prices_sql())
+def q_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of events against SCD2 price validity
+    intervals (equi-key + residual interval predicate)."""
+    return R.pointintime_prices(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )

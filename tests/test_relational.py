@@ -562,3 +562,53 @@ def test_winsorized_degenerate_tiny_group(spark):
     r = R.winsorized_price_stats(one).collect()[0]
     assert (r["n"], r["lo_cents"], r["hi_cents"]) == (1, 12345, 12345)
     assert r["winsorized_mean"] == 12345.0
+
+
+# ------------------------------------------------- point-in-time join
+
+
+def test_pointintime_oracle_parity(spark, sf_dir):
+    from mapreduce_code_spark.operators import relational as R
+
+    df = R.pointintime_prices(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+    assert_parity(df, sf_dir, R.pointintime_prices_sql(), rtol=0)
+
+
+def test_pointintime_one_interval_per_event(spark, sf_dir):
+    from mapreduce_code_spark.operators import relational as R
+
+    df = R.pointintime_prices(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+    assert df.count() == df.select("event_id").distinct().count()
+
+
+def test_pointintime_boundary_semantics(spark):
+    import datetime as dt
+
+    from mapreduce_code_spark.operators import relational as R
+
+    d1 = dt.datetime(2024, 1, 1)
+    d2 = dt.datetime(2024, 2, 1)
+    orders = spark.createDataFrame(
+        [(100, 9, 10.00, d1, "x", "s"), (101, 9, 20.00, d2, "x", "s")],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP, o_orderpriority STRING, o_orderstatus STRING",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, d1, 9),  # exactly at valid_from: first interval
+            (2, d2 - dt.timedelta(seconds=1), 9),  # last tick of interval 1
+            (3, d2, 9),  # boundary: second interval (from <= ts < to)
+            (4, d1 - dt.timedelta(days=1), 9),  # before history: no match
+            (5, d2, 8),  # unknown customer: no match
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT",
+    )
+    got = {
+        r["event_id"]: (r["orderkey"], r["price_cents"])
+        for r in R.pointintime_prices(events, orders).collect()
+    }
+    assert got == {1: (100, 1000), 2: (100, 1000), 3: (101, 2000)}
