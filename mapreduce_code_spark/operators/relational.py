@@ -1948,18 +1948,20 @@ def pointintime_prices(events: DataFrame, orders: DataFrame) -> DataFrame:
 
 
 def pointintime_prices_sql() -> str:
-    return """
+    # the dim CTE COMPOSES the SCD2 oracle (one source of truth for the
+    # interval semantics — a tie-break change there propagates here),
+    # adding only the cents cast on top, mirroring the Spark side's
+    # reuse of scd2_customer_prices()
+    return f"""
 WITH ev0 AS (
   SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
 ),
 dim AS (
-  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+  SELECT custkey, orderkey,
+         CAST(floor(CAST(price AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
            AS price_cents,
-         o_orderdate AS valid_from,
-         lead(o_orderdate) OVER w AS valid_to
-  FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         valid_from, valid_to
+  FROM ({scd2_customer_prices_sql()})
 )
 SELECT e.event_id, e.user_id AS custkey, e.ts, d.orderkey, d.price_cents
 FROM ev0 e
