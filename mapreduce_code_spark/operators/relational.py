@@ -1970,3 +1970,53 @@ JOIN dim d
  AND d.valid_from <= e.ts
  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
 """
+
+
+def returned_order_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders placed in a window that
+    have AT LEAST ONE returned line item, counted by priority —
+    ``(o_orderpriority, n_orders)``. The one classic join shape the
+    surface lacked: a true left-SEMI probe (the anti-join complement of
+    ``idle_high_value_customers``), where the probe side contributes
+    existence only, never multiplicity — an order with five returned
+    lines counts once.
+
+    Scale shape: the date filter pushes to the orders scan; the semi
+    join is a keyed shuffle where the build side is pre-filtered to the
+    returned lines' orderkeys (Spark's LeftSemi never materializes the
+    multiplicity); the priority count is map-side combined. At 100 TB
+    the Bloom semi-join reduction (``bloom_semi_reduce``) slots in front
+    to prune the orders scan before its exchange."""
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    returned = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        window.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def returned_order_counts_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-07-01"
+) -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""

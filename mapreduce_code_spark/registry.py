@@ -118,6 +118,7 @@ _FIRST = [
     "events_streamed_attribution",  # new: stateful attribution writeStream
     "events_session_paths",  # new: clickstream path analysis
     "relational_pointintime_prices",  # new: SCD2 point-in-time join
+    "relational_returned_orders",  # new: EXISTS semi-join (Q4 shape)
     # merely TOUCHED this round (green r03 rows exist; the code deltas
     # are small and test-covered) — cheapest cut if the budget runs out
     # before the list does, so they trail every never-verified query
@@ -1426,4 +1427,14 @@ def q_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals (equi-key + residual interval predicate)."""
     return R.pointintime_prices(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("relational_returned_orders", oracle=R.returned_order_counts_sql())
+def q_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders with >= 1 returned line,
+    counted by priority (existence, not multiplicity)."""
+    return R.returned_order_counts(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
     )

@@ -612,3 +612,47 @@ def test_pointintime_boundary_semantics(spark):
         for r in R.pointintime_prices(events, orders).collect()
     }
     assert got == {1: (100, 1000), 2: (100, 1000), 3: (101, 2000)}
+
+
+# ------------------------------------------------- EXISTS semi-join
+
+
+def test_returned_orders_oracle_parity(spark, sf_dir):
+    from mapreduce_code_spark.operators import relational as R
+
+    df = R.returned_order_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    assert_parity(df, sf_dir, R.returned_order_counts_sql(), rtol=0)
+
+
+def test_returned_orders_counts_existence_not_multiplicity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_code_spark.operators import relational as R
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in R.returned_order_counts(orders, li).collect()
+    }
+    # a plain inner join + distinct gives the same counts (the semi join
+    # must not multiply by returned-line count)
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in window.join(
+            li.where("l_returnflag = 'R'"),
+            window.o_orderkey == li.l_orderkey,
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
