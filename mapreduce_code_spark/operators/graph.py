@@ -455,3 +455,85 @@ h0 AS (SELECT node, count(*) AS h FROM adj GROUP BY node)""",
         + f"""
 SELECT node, CAST(h AS BIGINT) AS coreness FROM h{n_rounds}"""
     )
+
+
+# ------------------------------------------------------------ communities
+
+def lpa_communities(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, public; re-derived): every node starts as its
+    own label; each round, a node adopts the most frequent label among
+    its neighbors AND itself (the self-vote damps the 2-cycle
+    oscillation synchronous LPA is known for), ties broken by the
+    SMALLEST label. Both the argmax and the tie-break are total, so a
+    fixed ``n_rounds`` (unrolled identically in the DuckDB twin) gives a
+    bit-exact cross-engine result regardless of convergence. Communities
+    are structural groupings — distinct from connected components (one
+    component can host many communities). Returns ``(node, community)``.
+
+    Scale shape: per round one edge-keyed join against the node-sized
+    label frame, one (node, label) count, and one node-keyed window —
+    the count and window share an exchange; the self-loop-augmented
+    adjacency is persisted once, partitioned AND sorted on the join key;
+    labels are lineage-cut per round like the other graph loops."""
+    und = _undirected(edges)
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    adj = _persist(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .union(nodes.select("node", F.col("node").alias("nbr")))  # self-vote
+        .repartition("nbr")
+        .sortWithinPartitions("nbr")
+    )
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(n_rounds):
+        lbl = (
+            adj.join(
+                lbl.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return lbl.select("node", F.col("lbl").alias("community"))
+
+
+def lpa_clicks_sql(keep_bp: int = 1500, n_rounds: int = 4) -> str:
+    """DuckDB twin of ``lpa_communities(click_edges(events))`` — the
+    propagation unrolled as chained CTEs."""
+    parts = [
+        "WITH " + click_edges_sql(keep_bp).strip(),
+        _UND_SQL,
+        """nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und
+  UNION ALL SELECT node, node AS nbr FROM nodes
+),
+lbl0 AS (SELECT node, node AS lbl FROM nodes)""",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""lbl{i} AS (
+  SELECT node, lbl FROM (
+    SELECT a.node, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY a.node
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM adj a JOIN lbl{i - 1} l ON l.node = a.nbr
+    GROUP BY a.node, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, lbl AS community FROM lbl{n_rounds}"""
+    )

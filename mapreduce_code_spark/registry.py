@@ -119,6 +119,7 @@ _FIRST = [
     "events_session_paths",  # new: clickstream path analysis
     "relational_pointintime_prices",  # new: SCD2 point-in-time join
     "relational_returned_orders",  # new: EXISTS semi-join (Q4 shape)
+    "graph_lpa_communities",  # new: label-propagation communities
     # merely TOUCHED this round (green r03 rows exist; the code deltas
     # are small and test-covered) — cheapest cut if the budget runs out
     # before the list does, so they trail every never-verified query
@@ -1437,4 +1438,13 @@ def q_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.returned_order_counts(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("graph_lpa_communities", oracle=GR.lpa_clicks_sql())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (deterministic
+    smallest-label tie-break, 4 unrolled rounds, bit-exact twin)."""
+    return GR.lpa_communities(
+        GR.click_edges(load_table(spark, sf_dir, "events"))
     )

@@ -172,3 +172,34 @@ def test_coreness_converges_at_shipped_rounds(spark, sf_dir):
 def test_coreness_oracle_parity(spark, sf_dir):
     df = G.coreness(G.click_edges(load_table(spark, sf_dir, "events")))
     assert_parity(df, sf_dir, G.coreness_clicks_sql(), rtol=0)
+
+
+def test_lpa_separates_planted_cliques(spark):
+    # two 4-cliques joined by ONE bridge edge: propagation keeps them in
+    # different communities (each clique's internal majority dominates)
+    k4a = list(itertools.combinations([0, 1, 2, 3], 2))
+    k4b = list(itertools.combinations([10, 11, 12, 13], 2))
+    pairs = k4a + k4b + [(3, 10)]
+    got = {
+        r["node"]: r["community"]
+        for r in G.lpa_communities(_edges_df(spark, pairs)).collect()
+    }
+    assert {got[n] for n in (0, 1, 2, 3)} == {0}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_lpa_deterministic_under_partitioning(spark):
+    rng = random.Random(21)
+    pairs = {(rng.randrange(40), rng.randrange(40)) for _ in range(150)}
+    e = _edges_df(spark, pairs)
+    a = {r["node"]: r["community"] for r in G.lpa_communities(e).collect()}
+    b = {
+        r["node"]: r["community"]
+        for r in G.lpa_communities(e.repartition(11, "dst")).collect()
+    }
+    assert a == b
+
+
+def test_lpa_oracle_parity(spark, sf_dir):
+    df = G.lpa_communities(G.click_edges(load_table(spark, sf_dir, "events")))
+    assert_parity(df, sf_dir, G.lpa_clicks_sql(), rtol=0)
