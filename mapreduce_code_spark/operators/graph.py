@@ -489,16 +489,27 @@ def lpa_communities(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
         .repartition("nbr")
         .sortWithinPartitions("nbr")
     )
-    lbl = nodes.select("node", F.col("node").alias("lbl"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    # seed labels from the persisted adjacency's self-loop rows — re-deriving
+    # `nodes` here would recompute the whole edge pipeline a second time
+    lbl = adj.where(F.col("node") == F.col("nbr")).select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_cnt = Window.partitionBy("node", "lbl")
+    w_rank = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(n_rounds):
+        # ONE exchange per round: repartition on node; the per-(node,lbl)
+        # count runs as a window (hash(node) co-locates every (node,*)
+        # row, satisfying the (node,lbl) clustering), and the rank-1 row
+        # per node IS a row of the winning label, so no pre-aggregation
+        # or distinct is needed before the argmax filter
         lbl = (
             adj.join(
                 lbl.select(F.col("node").alias("nbr"), "lbl"), "nbr"
             )
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
+            .select("node", "lbl")
+            .repartition("node")
+            .withColumn("c", F.count(F.lit(1)).over(w_cnt))
+            .withColumn("rn", F.row_number().over(w_rank))
             .where(F.col("rn") == 1)
             .select("node", "lbl")
             .localCheckpoint(eager=False)
