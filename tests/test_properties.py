@@ -244,3 +244,60 @@ def test_winsorized_laws(spark, rows):
         r = got[p]
         assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi)
         assert r["winsorized_mean"] == sum(clamped) / n
+
+
+_journeys = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 5000),  # minutes offset
+        st.sampled_from([0, 1, 2, None]),  # page (None = unparseable)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),  # one event per (user, minute)
+)
+
+
+@given(rows=_journeys)
+@settings(**_SETTINGS)
+def test_session_paths_laws(spark, rows):
+    """Session paths equal a brute-force driver sessionizer: 30-min gap
+    cuts, step cap, ordered join of pages, count per path, top-k with
+    (count desc, path asc) ranking."""
+    from collections import Counter
+
+    from mapreduce_code_spark.operators import monitoring as MON
+    from tests.helpers import EVENTS_SCHEMA_STR, event_row
+
+    data = [
+        event_row(i, u, "view", m, k)
+        for i, (u, m, k) in enumerate(sorted(rows))
+    ]
+    df = spark.createDataFrame(data, EVENTS_SCHEMA_STR)
+    got = [
+        (r["path"], r["n_sessions"], r["rank"])
+        for r in sorted(
+            MON.session_paths(df).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    # brute force
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, m, k in sorted(rows):
+        if k is not None:
+            per_user.setdefault(u, []).append((m, k))
+    counts: Counter[str] = Counter()
+    for seq in per_user.values():
+        sess: list[int] = []
+        prev = None
+        for m, k in seq:
+            if prev is not None and m - prev > 30:
+                counts["->".join(map(str, sess[:8]))] += 1
+                sess = []
+            sess.append(k)
+            prev = m
+        if sess:
+            counts["->".join(map(str, sess[:8]))] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [
+        (p, n, i + 1) for i, (p, n) in enumerate(want)
+    ]
