@@ -301,3 +301,51 @@ def test_session_paths_laws(spark, rows):
     assert got == [
         (p, n, i + 1) for i, (p, n) in enumerate(want)
     ]
+
+
+_clickstream = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 200),  # minutes offset
+        st.sampled_from(["view", "purchase", "click"]),
+        st.sampled_from([0, 1, 2, None]),  # page
+        st.integers(0, 10_000),  # value cents
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=_clickstream)
+@settings(**_SETTINGS)
+def test_attribution_laws(spark, rows):
+    """Last-touch attribution equals a brute-force driver replay: the
+    most recent valid-page view within 30 minutes gets the credit."""
+    from collections import defaultdict
+
+    from mapreduce_code_spark.operators import monitoring as MON
+    from tests.helpers import EVENTS_SCHEMA_STR, event_row
+
+    data = [
+        event_row(i, u, typ, m, k, c / 100.0)
+        for i, (u, m, typ, k, c) in enumerate(sorted(rows))
+    ]
+    df = spark.createDataFrame(data, EVENTS_SCHEMA_STR)
+    got = {
+        r["page"]: (r["n_purchases"], r["revenue_cents"])
+        for r in MON.attribution_last_touch(df).collect()
+    }
+    per_user: dict[int, list] = defaultdict(list)
+    for u, m, typ, k, c in sorted(rows):
+        per_user[u].append((m, typ, k, c))
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for seq in per_user.values():
+        lv = None  # (minute, page)
+        for m, typ, k, c in seq:
+            if typ == "view" and k is not None:
+                lv = (m, k)
+            elif typ == "purchase" and lv and m - lv[0] <= 30:
+                agg[lv[1]][0] += 1
+                agg[lv[1]][1] += c
+    assert got == {p: tuple(v) for p, v in agg.items()}
