@@ -110,6 +110,16 @@ def main() -> int:
         "events_streamed_anomaly",  # stream-static join writeStream at build
         "events_streamed_attribution",  # stateful writeStream at build
     }
+    # Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
+    # False): the fresh plan net_shuffles() sees is a checkpoint scan, so
+    # a structural count would read 0 and hide every real per-round
+    # exchange behind the lineage cut — record the same -1 sentinel as
+    # the eager loops ("iterative; not one plan").
+    lineage_cut = {
+        "graph_pagerank_clicks",
+        "graph_coreness_clicks",
+        "graph_lpa_communities",
+    }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     shuffles: dict[str, int] = {}
@@ -129,7 +139,7 @@ def main() -> int:
         # and reused exchanges don't shuffle). Counted structurally on a
         # FRESH unexecuted plan via net_shuffles() — see its docstring
         # for why string-counting the printed plan over-reports.
-        if name in eager:
+        if name in eager or name in lineage_cut:
             shuffles[name] = -1
         else:
             shuffles[name] = net_shuffles(fn(spark, sf_dir))

@@ -472,10 +472,14 @@ def lpa_communities(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
     component can host many communities). Returns ``(node, community)``.
 
     Scale shape: per round one edge-keyed join against the node-sized
-    label frame, one (node, label) count, and one node-keyed window —
-    the count and window share an exchange; the self-loop-augmented
-    adjacency is persisted once, partitioned AND sorted on the join key;
-    labels are lineage-cut per round like the other graph loops."""
+    label frame, a MAP-SIDE-COMBINED (node, label) vote count (the
+    exchange moves partial counts, bounded by distinct labels per map
+    partition — never the raw vote stream, which a hub node would
+    funnel into one reducer), then a node-keyed rank window over the
+    already-aggregated rows (a second, far smaller exchange). The
+    self-loop-augmented adjacency is persisted once, partitioned and
+    sorted on the join key; labels are lineage-cut per round like the
+    other graph loops."""
     und = _undirected(edges)
     nodes = (
         und.select(F.col("a").alias("node"))
@@ -494,21 +498,20 @@ def lpa_communities(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
     lbl = adj.where(F.col("node") == F.col("nbr")).select(
         "node", F.col("node").alias("lbl")
     )
-    w_cnt = Window.partitionBy("node", "lbl")
     w_rank = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(n_rounds):
-        # ONE exchange per round: repartition on node; the per-(node,lbl)
-        # count runs as a window (hash(node) co-locates every (node,*)
-        # row, satisfying the (node,lbl) clustering), and the rank-1 row
-        # per node IS a row of the winning label, so no pre-aggregation
-        # or distinct is needed before the argmax filter
+        # groupBy FIRST: partial aggregation combines votes map-side, so
+        # the exchange carries (node, lbl, partial) rows — a window-count
+        # formulation would shuffle the raw vote stream and funnel a hub
+        # node's entire neighborhood into one reducer ("last reducer"
+        # curse, cf. the triangle docstring). The rank window's second
+        # exchange then moves only the aggregated rows.
         lbl = (
             adj.join(
                 lbl.select(F.col("node").alias("nbr"), "lbl"), "nbr"
             )
-            .select("node", "lbl")
-            .repartition("node")
-            .withColumn("c", F.count(F.lit(1)).over(w_cnt))
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
             .withColumn("rn", F.row_number().over(w_rank))
             .where(F.col("rn") == 1)
             .select("node", "lbl")
