@@ -387,8 +387,10 @@ def session_paths(
     Scale shape: one window shuffle keyed by user (sessionize + step),
     one keyed by (user, session) — collapsed to the same exchange by
     Catalyst since (user, session) refines user — one path-count
-    aggregate (map-side combined), and a single-partition top-k of an
-    already tiny frame."""
+    aggregate (map-side combined), then TakeOrderedAndProject for the
+    global top-k (per-partition heaps, merged on the driver — the
+    path-count frame is never sorted in one task) and a k-row broadcast
+    self-join to number the survivors."""
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     horizon = gap_minutes * 60 * 1_000_000
     page = F.get_json_object("props", "$.k").cast("bigint")
@@ -442,10 +444,30 @@ def session_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
-    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    # Top-k FIRST via orderBy+limit — compiles to TakeOrderedAndProject
+    # (per-partition heap top-k, merged on the driver), so the path-count
+    # frame is never globally sorted in one task: distinct-path
+    # cardinality grows with session count, and a single-partition
+    # row_number window over it would be a corpus-sized sort on one core
+    # at 100x scale. Rank is then derived over only the k surviving rows
+    # WITHOUT a global window (a foldable partition key gets pruned by
+    # Catalyst, resurrecting the partitionless WindowExec): rank = 1 +
+    # the number of surviving rows that sort strictly ahead, via a
+    # broadcast self-join of the k-row frame — O(k^2) on k rows, and the
+    # ordering key (n_sessions desc, path asc) is total because path is
+    # the group key, so this is exactly row_number.
+    top = paths.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
+    ahead = top.select(
+        F.col("n_sessions").alias("a_n"), F.col("path").alias("a_path")
+    )
+    strictly_ahead = (F.col("a_n") > F.col("n_sessions")) | (
+        (F.col("a_n") == F.col("n_sessions"))
+        & (F.col("a_path") < F.col("path"))
+    )
     return (
-        paths.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= k)
+        top.join(F.broadcast(ahead), strictly_ahead, "left")
+        .groupBy("path", "n_sessions")
+        .agg((F.count("a_path") + F.lit(1)).cast("int").alias("rank"))
     )
 
 

@@ -114,6 +114,45 @@ def test_spread_is_noop_on_well_partitioned_input(spark, sf_dir):
     assert plan.count("RoundRobinPartitioning") == 1, plan
 
 
+# Queries allowed a PARTITIONLESS unbounded WindowExec because the window
+# input is bounded by construction (never the data): the ~100 histogram
+# bins. Everything else must either partition its windows or bound the
+# input first (e.g. session_paths ranks only the k rows surviving a
+# TakeOrderedAndProject, and declares that via a literal partition key).
+BOUNDED_GLOBAL_WINDOW_OK = ("relational_histogram_quantiles",)
+
+
+def _window_nodes(df):
+    """Yield (simpleName, partitionSpec_size) for every window-family
+    exec node in the compiled physical plan, via the JVM tree walk (the
+    toString form elides the empty-partition case ambiguously)."""
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec"):
+            yield name, node.partitionSpec().size()
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        # AQE wraps the real plan; descend into the input plan too
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.inputPlan())
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(queries()) - set(BOUNDED_GLOBAL_WINDOW_OK))
+)
+def test_no_partitionless_unbounded_window(spark, sf_dir, name):
+    """A WindowExec with an empty partition spec sorts its ENTIRE input
+    in one task — a corpus-sized frame there is the classic silent
+    scale-killer (round-4 verdict finding #1). Whitelist only windows
+    whose input is bounded by construction."""
+    df = queries()[name](spark, sf_dir)
+    bad = [n for n, psize in _window_nodes(df) if psize == 0]
+    assert not bad, f"{name}: partitionless window exec(s) {bad}"
+
+
 def test_rotation_lists_name_real_queries():
     """Every name in the _FIRST/_LAST rotation lists must exist in the
     registry — a typo would silently drop the driver-budget ordering the
