@@ -119,6 +119,7 @@ def main() -> int:
         "graph_pagerank_clicks",
         "graph_coreness_clicks",
         "graph_lpa_communities",
+        "text_bpe_merges",  # merge rounds end in localCheckpoint
     }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}

@@ -616,3 +616,156 @@ SELECT doc_id, z_micro,
        CAST(CASE WHEN z_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (round-5 verdict #4): the canonical
+# MapReduce-shaped iterative text algorithm — per-round corpus-wide pair
+# counts feeding a greedy merge — and the real version of the tokenizer
+# that TOKEN_RE (text_stats' BPE-ish regex proxy, SURVEY §8.3) stubs out.
+# Reference parity: the reference's iterative jobs chain map-side counts
+# into a driver-picked argmax exactly like apriori's support loop
+# (apriori_final.java:233-295); BPE itself is public (Sennrich et al.
+# 2016, "Neural Machine Translation of Rare Words with Subword Units"),
+# re-derived here as DataFrame ops.
+# ---------------------------------------------------------------------------
+
+# Word pre-tokenization for BPE: lowercase ASCII letter/digit runs only,
+# so symbol strings and tie-breaks are pure-ASCII and cross-engine
+# collation cannot diverge.
+BPE_WORD_RE = "[a-z0-9]+"
+BPE_MERGES = 8
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding vocabulary training: learn the first
+    ``n_merges`` merge rules over the corpus word-frequency dictionary.
+    Returns one row per merge round: ``(merge_round, lhs, rhs, merged,
+    pair_cnt)`` — pair_cnt is the EXACT integer corpus frequency of the
+    winning adjacent symbol pair at that round (ties break on the
+    lexicographically smallest (lhs, rhs), so the sequence is
+    deterministic and bit-identical cross-engine).
+
+    Representation: each distinct word is a "spaced symbol string" —
+    every symbol wrapped in single spaces, so adjacent symbols meet at a
+    double space (``"abc"`` → ``" a  b  c "``). Applying a merge is then
+    ONE literal string ``replace`` of ``" l  r "`` with ``" lr "``:
+    left-to-right non-overlapping replacement is exactly BPE's greedy
+    merge order, and Spark's ``replace`` and DuckDB's ``replace`` agree
+    on it. No regex in the loop, no Python, no UDF.
+
+    Scale shape: the only corpus-sized stage is the initial word-count
+    (one explode + one map-side-combined shuffle); every round after
+    operates on the word-FREQUENCY dictionary (vocab-sized, Zipf-small
+    relative to the corpus). Per round: one pair-explode + one
+    map-side-combined pair-count shuffle, a top-1 via orderBy+limit(1)
+    (TakeOrderedAndProject — never a global sort), and a broadcast
+    single-row crossJoin carrying the winning pair into a shuffle-free
+    column-level replace. Loop inputs are persisted and lineage-cut per
+    round (``localCheckpoint(eager=False)``) like the graph fixpoints.
+    At 100 TB the dictionary still fits executor memory in aggregate;
+    nothing in the loop ever re-touches the raw corpus."""
+    from mapreduce_code_spark.operators.dedup import _persist
+
+    words = _persist(
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_WORD_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", r"(.)", " $1 ").alias("spaced"), "freq"
+        )
+    )
+    tops = []
+    for i in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("spaced")), "  ")
+        # adjacent pairs: element j zipped with element j+1 (1-based
+        # element_at); transform's index arg is 0-based
+        pairs = F.transform(
+            F.slice(syms, 1, F.size(syms) - 1),
+            lambda x, j: F.struct(
+                x.alias("lhs"),
+                F.element_at(syms, j + F.lit(2)).alias("rhs"),
+            ),
+        )
+        top = (
+            words.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        tops.append(
+            top.select(
+                F.lit(i).alias("merge_round"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "cnt",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(F.replace(F.col("spaced"), pat, rep).alias("spaced"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "merge_round", "lhs", "rhs", "merged", F.col("cnt").alias("pair_cnt")
+    )
+
+
+def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the merge loop unrolled as
+    chained CTEs (same spaced-symbol representation, same literal
+    replace, same (cnt desc, lhs, rhs) tie-break)."""
+    parts = [
+        f"""WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS word
+  FROM documents
+),
+words_0 AS (
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS spaced,
+         count(*) AS freq
+  FROM tok GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""syms_{i} AS (
+  SELECT string_split(trim(spaced), '  ') AS s, freq FROM words_{i - 1}
+),
+pairs_{i} AS (
+  SELECT s[j] AS lhs, s[j + 1] AS rhs, freq
+  FROM syms_{i}, UNNEST(generate_series(1, len(s) - 1)) AS t(j)
+),
+top_{i} AS (
+  SELECT lhs, rhs, cnt FROM (
+    SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs_{i} GROUP BY lhs, rhs)
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+words_{i} AS (
+  SELECT replace(spaced,
+                 (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top_{i}),
+                 (SELECT ' ' || lhs || rhs || ' ' FROM top_{i})) AS spaced,
+         freq
+  FROM words_{i - 1}
+)""")
+        # words_{n_merges} is generated but unused — harmless, and keeping
+        # the loop uniform keeps the twin trivially diffable per round
+    selects = [
+        f"SELECT {i} AS merge_round, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS pair_cnt FROM top_{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

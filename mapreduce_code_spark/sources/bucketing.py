@@ -184,3 +184,47 @@ def write_sharded(
     sharded.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+
+
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    key: str = "doc_id",
+    salt: str = "epoch0",
+) -> None:
+    """Deterministic global training-order shuffle writer: the on-disk
+    complement of :func:`operators.sampling.shuffle_order`. Rows land in
+    ``shard=N/`` hive directories (one file per shard) physically sorted
+    by the 60-bit md5 ``ord_key``; shard N holds the N-th contiguous
+    high-bit range of the hash space, so a loader reading shards
+    ``0..n-1`` sequentially (or shard-parallel with per-shard order)
+    replays ONE reproducible global permutation — the same permutation
+    every rewrite, on any cluster layout, with sources interleaved
+    (the hash ignores ``source``). A different ``salt`` writes an
+    independent permutation: per-epoch reshuffle without a new data
+    semantic. Resumability falls out: a loader checkpoint is just
+    (shard, pos).
+
+    Scale shape: one narrow hash map + one shard-keyed exchange aligned
+    with the output partitioning (each shard = exactly one task writing
+    one sorted file, cf. :func:`write_sharded`); raise ``n_shards``
+    until a shard fits the loader. The helper columns are dropped
+    before the write — the layout IS the order, and ord_key is
+    recomputable from (salt, key) by construction."""
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    ordered = shuffle_order(df, key=key, salt=salt, n_shards=n_shards)
+    (
+        ordered.drop("pos")
+        .repartition("shard")
+        # shard leads the sort so the partitioned-file writer's required
+        # ordering (partition cols first) is already satisfied — without
+        # it the writer inserts its own Sort(shard), destroying the
+        # ord_key order this layout exists to provide
+        .sortWithinPartitions("shard", "ord_key", key)
+        .drop("ord_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -700,3 +700,58 @@ def test_keyword_ranked_matches_brute_force(spark, sf_dir):
             if ov:
                 want[(q, d)] = ov
     assert got == want
+
+
+def test_bpe_merges_sennrich_example(spark):
+    """The classic corpus from Sennrich et al. 2016 (low×5, lower×2,
+    newest×6, widest×3, no end-of-word marker): first four merges are
+    hand-computable — (e,s)@9, (es,t)@9, then the 7-count tie between
+    (l,o) and (o,w) breaks to the lexicographically smaller (l,o), then
+    (lo,w)@7."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["merged"], r["pair_cnt"])
+        for r in TXT.bpe_merges(docs, n_merges=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_merges_greedy_overlap_and_tiebreak(spark):
+    """'aaa aaaa': round 1 counts the OVERLAPPING (a,a) pairs (2+3=5)
+    but applies the merge greedily left-to-right (aaa→[aa,a],
+    aaaa→[aa,aa]); round 2's 1-count tie between (aa,a) and (aa,aa)
+    breaks on the smaller rhs."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(0, "aaa aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["merged"], r["pair_cnt"])
+        for r in TXT.bpe_merges(docs, n_merges=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [(1, "a", "a", "aa", 5), (2, "aa", "a", "aaa", 1)]
+
+
+def test_bpe_merges_matches_oracle(spark, sf_dir):
+    from mapreduce_code_spark.functions import text as TXT
+
+    assert_parity(
+        TXT.bpe_merges(load_table(spark, sf_dir, "documents")),
+        sf_dir,
+        TXT.bpe_merges_sql(),
+    )

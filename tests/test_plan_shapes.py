@@ -16,9 +16,16 @@ from __future__ import annotations
 
 import pytest
 
-from mapreduce_code_spark.registry import queries
+from mapreduce_code_spark.registry import _RETIRED, queries
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def _query(name):
+    """Resolve a query by name from the driver-visible surface or the
+    retired set — retirement (a driver-budget decision) must not lose
+    the plan pins below."""
+    return queries().get(name) or _RETIRED[name]
 
 
 @pytest.mark.parametrize("name", sorted(queries()))
@@ -44,7 +51,7 @@ TOPK = (
 
 @pytest.mark.parametrize("name", TOPK)
 def test_topk_uses_window_group_limit(spark, sf_dir, name):
-    plan = queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = _query(name)(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, f"{name}: rank filter lost WindowGroupLimit"
 
 
@@ -77,7 +84,7 @@ PUSHDOWN = (
 def test_filters_reach_the_scan(spark, sf_dir, name):
     import re
 
-    plan = queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = _query(name)(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PushedFilters: \[[^\]]", plan), (
         f"{name}: no non-empty PushedFilters on any scan"
     )
@@ -118,7 +125,7 @@ def test_spread_is_noop_on_well_partitioned_input(spark, sf_dir):
 # input is bounded by construction (never the data): the ~100 histogram
 # bins. Everything else must either partition its windows or bound the
 # input first (e.g. session_paths ranks only the k rows surviving a
-# TakeOrderedAndProject, and declares that via a literal partition key).
+# TakeOrderedAndProject, via a broadcast self-count — window-free).
 BOUNDED_GLOBAL_WINDOW_OK = ("relational_histogram_quantiles",)
 
 
@@ -151,6 +158,21 @@ def test_no_partitionless_unbounded_window(spark, sf_dir, name):
     df = queries()[name](spark, sf_dir)
     bad = [n for n, psize in _window_nodes(df) if psize == 0]
     assert not bad, f"{name}: partitionless window exec(s) {bad}"
+
+
+def test_retired_twins_still_match_their_oracles(spark, sf_dir):
+    """The four batch twins retired from the driver surface (registry
+    ``_RETIRED``, round-4 verdict #3) keep their DuckDB oracle parity
+    HERE — retirement was a driver-budget decision, not a correctness
+    waiver. Their kernels also earn driver rows via the streamed twins
+    sharing the same oracle SQL."""
+    from mapreduce_code_spark.registry import _RETIRED_ORACLES
+
+    from tests.helpers import assert_parity
+
+    assert set(_RETIRED) == set(_RETIRED_ORACLES) != set()
+    for name, fn in _RETIRED.items():
+        assert_parity(fn(spark, sf_dir), sf_dir, _RETIRED_ORACLES[name])
 
 
 def test_rotation_lists_name_real_queries():

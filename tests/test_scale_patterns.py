@@ -489,3 +489,80 @@ def test_retention_copartitions_on_user(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     assert net_shuffles(MON.retention_cohorts(ev)) <= 3
+
+
+def test_write_shuffled_global_order(spark, sf_dir, tmp_path):
+    """Deterministic training-order shuffle writer: per-shard files are
+    physically sorted by the md5 ord_key (so reading shards 0..n-1 in
+    order replays the global ascending-hash permutation), the order is
+    byte-stable across rewrites, sources interleave within every shard,
+    and a different salt yields a genuinely different permutation."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from mapreduce_code_spark.sources.bucketing import write_shuffled
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shuf")
+    write_shuffled(docs, out, n_shards=4)
+
+    def shard_orders(path):
+        orders = {}
+        for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+            files = [f for f in glob.glob(os.path.join(d, "*")) if f.endswith(".parquet")]
+            assert len(files) == 1  # one sorted file per shard
+            pdf = pd.read_parquet(files[0])  # file row order, no shuffle
+            orders[os.path.basename(d)] = list(
+                zip(pdf["doc_id"], pdf["source"])
+            )
+        return orders
+
+    first = shard_orders(out)
+    assert sorted(first) == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    # the physical row order within each file IS ascending ord_key —
+    # recompute the hash in duckdb and check both the within-shard sort
+    # and that shard ranges partition the hash space contiguously
+    import duckdb
+
+    hashes = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, ('0x' || substr(md5('shuffle|epoch0|' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    prev_max = -1
+    for d in sorted(first):
+        hs = [hashes[doc] for doc, _ in first[d]]
+        assert hs == sorted(hs), f"{d}: file rows not in ord_key order"
+        if hs:
+            assert hs[0] > prev_max, "shard hash ranges overlap"
+            prev_max = hs[-1]
+
+    # sources interleaved: every shard sees several sources, and no shard
+    # is a single contiguous source block
+    for d, rows in first.items():
+        srcs = [s for _, s in rows]
+        assert len(set(srcs)) >= 2, f"{d}: single-source shard"
+        assert len({s for s in srcs[: len(srcs) // 2]}) >= 2
+
+    # rewrite-stable: identical per-shard row order, byte-for-byte
+    out2 = str(tmp_path / "shuf2")
+    write_shuffled(docs, out2, n_shards=4)
+    assert shard_orders(out2) == first
+
+    # a new salt (epoch reshuffle) is a different permutation of the
+    # same rows
+    out3 = str(tmp_path / "shuf3")
+    write_shuffled(docs, out3, n_shards=4, salt="epoch1")
+    third = shard_orders(out3)
+    assert sorted(r for rows in third.values() for r in rows) == sorted(
+        r for rows in first.values() for r in rows
+    )
+    assert third != first
