@@ -88,8 +88,11 @@ def main() -> int:
         return 2
     # SPARK_GRAFT_BENCH_REPEATS>1 records the fastest of N runs per query
     # — the machine is noisy, and min-of-N isolates engine time from
-    # contention. Default 1 keeps the driver's per-round cost unchanged.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # contention. Default 2 (round-4 verdict #8): rounds 1-4 showed the
+    # driver's one-shot run regularly lands host-contended (117 s vs a
+    # clean 84 s min-of-6 in r4), so the driver-invoked path now pays
+    # one repeat to report engine time instead of neighbor noise.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     # Queries whose fn() runs work EAGERLY at DataFrame-construction time
     # (driver iteration loops: SGD fits, label propagation). For these a
     # second fn() call to build a "fresh plan" for shuffle counting would

@@ -260,6 +260,11 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
 
 
 def retention_cohorts_sql() -> str:
+    # No ev0 microsecond-truncation CTE here, deliberately: every other
+    # ts-sensitive twin truncates ns→us before comparing, but this query
+    # only ever uses ts through integer DAY division (86400000000 us),
+    # and flooring nanos to micros cannot move an epoch-day boundary —
+    # floor(floor(ns/1000)/86400e6) == floor(ns/86400e9) for ns >= 0.
     return """
 WITH d AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events

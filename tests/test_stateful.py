@@ -237,13 +237,19 @@ def test_streamed_attribution_matches_batch_on_time_split(
     from mapreduce_code_spark.streaming import stateful as SA
 
     ev = load_table(spark, sf_dir, "events").persist()
+    # Split on EVENT TIME, not event_id: the kernel's multi-batch
+    # correctness precondition is that batches arrive time-ordered per
+    # user, and a ts midpoint makes that precondition hold by
+    # construction instead of riding on the corpus's incidental
+    # event_id/ts alignment.
     mid = ev.agg(
         F.expr(
-            "min(event_id) + (max(event_id) - min(event_id) + 1) div 2"
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
         ).alias("m")
     ).collect()[0]["m"]
+    ts_us = F.expr("unix_micros(ts)")
     src = str(tmp_path / "attr_time_chunks")
-    for part in (ev.where(F.col("event_id") < mid), ev.where(F.col("event_id") >= mid)):
+    for part in (ev.where(ts_us < mid), ev.where(ts_us >= mid)):
         part.coalesce(1).write.mode("append").parquet(src)
         time.sleep(1.1)
 

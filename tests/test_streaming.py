@@ -419,3 +419,25 @@ def test_foreach_batch_helpers_empty_source(spark, tmp_path):
     )
     assert state.columns == ["l_returnflag", "l_orderkey"]
     assert state.count() == 0
+
+
+def test_stream_declares_against_empty_dir(spark, tmp_path):
+    """A stream may legitimately be DECLARED before any data lands in the
+    monitored directory (ADVICE r4 item 2): the events ts-type probe is a
+    batch footer read that cannot succeed yet, so it must fall back to
+    the long-nanos default instead of refusing to define the stream —
+    and the declared frame must be a real streaming DataFrame with the
+    table schema."""
+    from pyspark.sql import types as T
+
+    from mapreduce_code_spark.sources.io import load_table_stream
+
+    empty = tmp_path / "not_yet_landed"
+    empty.mkdir()
+    df = load_table_stream(spark, str(empty), "events")
+    assert df.isStreaming
+    # fallback declares long-nanos, then the shared normalization still
+    # lands the same canonical ts type the batch reader produces
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    # non-probed tables declare against an empty dir too
+    assert load_table_stream(spark, str(empty), "documents").isStreaming
