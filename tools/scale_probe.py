@@ -1,0 +1,120 @@
+"""10x scale probe for the round-4 operator families (round-4 verdict #7).
+
+Blows the sf0.1 tables up 10x with REMAPPED identities (new users / docs
+/ vectors, so distinct-cardinality actually grows 10x - duplicating rows
+verbatim would collapse under the queries' own distincts) and times three
+registered queries at 1x vs 10x on local[32], min-of-N. Expected shapes:
+
+- graph_pagerank_clicks: the EVENT-linear stage is edge derivation (per-
+  user window + distinct); the fixpoint loop runs on the page graph,
+  whose node/edge count is growth-stable by construction (hash-sparsified
+  edge identity over a fixed page vocabulary) => ratio well under 10x.
+- events_retention_cohorts: distinct (user, day) and the per-user min
+  both scale with users => user-linear work, ratio ~10x at most (partial
+  aggs and fixed overheads pull it down).
+- similarity_hybrid_rrf: both legs scan the corpus once (linear) but all
+  join/fusion work after the per-query top-k is query-bounded => ratio
+  ~corpus-scan-linear, never pair-quadratic.
+
+Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies]
+Writes the blowup to /tmp/scale{copies}x (reused if present), prints one
+JSON line with per-query 1x/Nx min times and ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+USER_STRIDE = 100_000_000
+EVENT_STRIDE = 10**13
+DOC_STRIDE = 10**9
+
+
+def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    specs = {
+        # remap identities per copy; keep everything else byte-identical
+        "events": (
+            "SELECT event_id + {i}::BIGINT * {es} AS event_id, ts,"
+            " user_id + {i}::BIGINT * {us} AS user_id, event_type, value, props"
+            " FROM src"
+        ),
+        "documents": (
+            "SELECT doc_id + {i}::BIGINT * {ds} AS doc_id, text, lang, source,"
+            " n_chars FROM src"
+        ),
+        "embeddings": (
+            "SELECT vec_id + {i}::BIGINT * {ds} AS vec_id, embedding, label"
+            " FROM src"
+        ),
+    }
+    for table, tpl in specs.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT *"
+            f" FROM read_parquet('{sf_dir}/{table}.parquet')"
+        )
+        union = "\nUNION ALL\n".join(
+            tpl.format(i=i, es=EVENT_STRIDE, us=USER_STRIDE, ds=DOC_STRIDE)
+            for i in range(copies)
+        )
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    out_dir = f"/tmp/scale{copies}x"
+    build_blowup(sf_dir, out_dir, copies)
+
+    from pyspark.sql import SparkSession
+
+    from mapreduce_code_spark.registry import queries
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    names = (
+        "graph_pagerank_clicks",
+        "events_retention_cohorts",
+        "similarity_hybrid_rrf",
+    )
+    qs = queries()
+    result = {}
+    for name in names:
+        times = {}
+        for label, d in (("1x", sf_dir), (f"{copies}x", out_dir)):
+            best = None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                df = qs[name](spark, d)
+                n = df.count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 3)
+            times[f"rows_{label}"] = n
+        times["ratio"] = round(times[f"{copies}x"] / times["1x"], 2)
+        result[name] = times
+    print(json.dumps({"copies": copies, "queries": result}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
