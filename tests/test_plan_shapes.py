@@ -28,9 +28,15 @@ def _query(name):
     return queries().get(name) or _RETIRED[name]
 
 
-@pytest.mark.parametrize("name", sorted(queries()))
+# Both audits cover the retired batch twins too — their batch plans
+# differ from the streamed twins' and must not rot just because the
+# driver budget no longer pays for them.
+ALL_NAMES = sorted(set(queries()) | set(_RETIRED))
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
 def test_no_scale_antipatterns(spark, sf_dir, name):
-    df = queries()[name](spark, sf_dir)
+    df = _query(name)(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in FORBIDDEN:
         assert marker not in plan, f"{name}: {marker} in physical plan"
@@ -132,7 +138,9 @@ BOUNDED_GLOBAL_WINDOW_OK = ("relational_histogram_quantiles",)
 def _window_nodes(df):
     """Yield (simpleName, partitionSpec_size) for every window-family
     exec node in the compiled physical plan, via the JVM tree walk (the
-    toString form elides the empty-partition case ambiguously)."""
+    toString form elides the empty-partition case ambiguously). Descends
+    through AQE wrappers and into cached (InMemoryTableScan) subtrees so
+    persisted intermediates don't hide their windows."""
     stack = [df._jdf.queryExecution().executedPlan()]
     while stack:
         node = stack.pop()
@@ -145,17 +153,27 @@ def _window_nodes(df):
         # AQE wraps the real plan; descend into the input plan too
         if name == "AdaptiveSparkPlanExec":
             stack.append(node.inputPlan())
+        elif name == "InMemoryTableScanExec":
+            stack.append(node.relation().cachedPlan())
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(queries()) - set(BOUNDED_GLOBAL_WINDOW_OK))
+    "name", sorted((set(queries()) | set(_RETIRED)) - set(BOUNDED_GLOBAL_WINDOW_OK))
 )
 def test_no_partitionless_unbounded_window(spark, sf_dir, name):
     """A WindowExec with an empty partition spec sorts its ENTIRE input
     in one task — a corpus-sized frame there is the classic silent
     scale-killer (round-4 verdict finding #1). Whitelist only windows
-    whose input is bounded by construction."""
-    df = queries()[name](spark, sf_dir)
+    whose input is bounded by construction.
+
+    Honest coverage note: this audits the POST-HOC plan the query hands
+    back. For the eager/streamed queries and the iterative loops that
+    end rounds in localCheckpoint, that plan is a checkpoint/memory-sink
+    scan — windows INSIDE the loop body or stream are invisible here and
+    are instead covered by their kernels' own plan/parity tests (the
+    cached-subtree descent above closes the persist() case, not the
+    checkpoint one)."""
+    df = _query(name)(spark, sf_dir)
     bad = [n for n, psize in _window_nodes(df) if psize == 0]
     assert not bad, f"{name}: partitionless window exec(s) {bad}"
 

@@ -76,7 +76,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    out_dir = f"/tmp/scale{copies}x"
+    # cache key includes the SOURCE dir — a blowup of a different sf_dir
+    # must never be silently reused (the ratios would be meaningless)
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out_dir = f"/tmp/scale{copies}x_{tag}"
     build_blowup(sf_dir, out_dir, copies)
 
     from pyspark.sql import SparkSession
