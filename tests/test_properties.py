@@ -349,3 +349,99 @@ def test_attribution_laws(spark, rows):
                 agg[lv[1]][0] += 1
                 agg[lv[1]][1] += c
     assert got == {p: tuple(v) for p, v in agg.items()}
+
+
+_bpe_corpus = st.lists(
+    st.text("ab", min_size=1, max_size=6),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_bpe(word_list, k):
+    """Brute-force reference BPE (Sennrich alg. 1 semantics): overlapping
+    adjacent pair counts, max count with lexicographically-smallest
+    (lhs, rhs) tie-break, greedy left-to-right merge application."""
+    from collections import Counter
+
+    words: Counter[tuple[str, ...]] = Counter(
+        tuple(w) for w in word_list
+    )
+    merges = []
+    for _ in range(k):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        l, r = min(p for p, c in pairs.items() if c == top)
+        merges.append((l, r, l + r, top))
+        nxt: Counter[tuple[str, ...]] = Counter()
+        for syms, f in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        words = nxt
+    return merges
+
+
+@given(word_list=_bpe_corpus, k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_bpe_merges_match_bruteforce(spark, word_list, k):
+    """The DataFrame BPE (spaced-symbol replace loop) equals the
+    reference algorithm on ANY corpus — including merge-exhaustion
+    (fewer feasible merges than rounds → fewer output rows, both
+    sides)."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(word_list))], "doc_id long, text string"
+    )
+    got = [
+        (r["lhs"], r["rhs"], r["merged"], r["pair_cnt"])
+        for r in TXT.bpe_merges(docs, n_merges=k)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _ref_bpe(word_list, k)
+
+
+_shuffle_ids = st.lists(
+    st.integers(0, 10**9), min_size=1, max_size=40, unique=True
+)
+
+
+@given(ids=_shuffle_ids, n_shards=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_shuffle_order_laws(spark, ids, n_shards):
+    """shuffle_order is a bijective, hash-faithful layout: every row
+    keeps exactly one (shard, pos); pos is 1..count(shard) within each
+    shard; shards hold contiguous ascending hash ranges, so the
+    (shard, pos) lexicographic order IS the global ascending-ord_key
+    permutation."""
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, source string")
+    rows = shuffle_order(df, n_shards=n_shards).collect()
+    assert len(rows) == len(ids)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        assert 0 <= shard < n_shards
+        assert sorted(r["pos"] for r in rs) == list(range(1, len(rs) + 1))
+    replay = [
+        r["ord_key"]
+        for shard in sorted(by_shard)
+        for r in sorted(by_shard[shard], key=lambda r: r["pos"])
+    ]
+    assert replay == sorted(r["ord_key"] for r in rows)
