@@ -60,3 +60,45 @@ s AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents)
 SELECT doc_id, q.quality, l.pred_lang, s.n_words
 FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN s USING (doc_id)
 """
+
+
+def materialize_training_set(
+    documents: DataFrame,
+    path: str,
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> None:
+    """The full corpus-build composed to BYTES ON DISK: curate
+    (exact-dedup + quality gate + language ID), chunk into overlapping
+    context windows, and write in the deterministic global training
+    order (`sources/bucketing.write_shuffled`) keyed by
+    ``(doc_id, chunk_id)`` — so two runs of this function produce
+    byte-identical training shards, a loader reads one reproducible
+    source-interleaved permutation of chunks, and ``salt`` reshuffles
+    per epoch without re-curating.
+
+    Everything up to the write is ONE lazy Catalyst plan (curation
+    joins + a narrow chunk explode); the only shuffles are the dedup
+    window, the curation joins (doc_id-keyed, collapsible), and the
+    final shard exchange aligned with the output layout. At 100 TB
+    nothing here materializes an intermediate corpus."""
+    from mapreduce_code_spark.operators.sampling import chunk_documents
+    from mapreduce_code_spark.sources.bucketing import write_shuffled
+
+    curated = curated_corpus(documents, min_quality=min_quality)
+    kept = documents.join(curated.select("doc_id", "pred_lang"), "doc_id")
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"), size=chunk_size, stride=chunk_stride
+    ).join(kept.select("doc_id", "pred_lang"), "doc_id")
+    # the shuffle key must identify a CHUNK (doc_id alone would glue a
+    # document's chunks together — the opposite of a shuffle)
+    keyed = chunks.withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+    )
+    write_shuffled(
+        keyed, path, n_shards=n_shards, key="chunk_key", salt=salt
+    )

@@ -566,3 +566,87 @@ def test_write_shuffled_global_order(spark, sf_dir, tmp_path):
         r for rows in first.values() for r in rows
     )
     assert third != first
+
+
+def test_materialize_training_set_end_to_end(spark, sf_dir, tmp_path):
+    """The composed corpus build (curate -> chunk -> deterministic
+    shuffle write) lands a training set that is: exactly the curated
+    corpus's chunks (no loss, no leaks of gated docs), byte-stable
+    across rewrites, document-scattered (a doc's chunks do NOT sit
+    together - the shuffle key is the chunk), and re-salted into a
+    different permutation per epoch."""
+    import glob
+
+    import pandas as pd
+
+    from mapreduce_code_spark.operators.sampling import chunk_documents
+    from mapreduce_code_spark.plans.pipeline import (
+        curated_corpus,
+        materialize_training_set,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "train_set")
+    materialize_training_set(docs, out, n_shards=4)
+
+    def read_orders(path):
+        per_shard = []
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            f = [p for p in glob.glob(f"{d}/*") if p.endswith(".parquet")]
+            assert len(f) == 1
+            per_shard.append(pd.read_parquet(f[0]))
+        return per_shard
+
+    shards = read_orders(out)
+    got = pd.concat(shards, ignore_index=True)
+
+    # exactness: the landed chunk set == chunk_documents over the
+    # curated survivors, nothing more, nothing less
+    kept_ids = {
+        r["doc_id"] for r in curated_corpus(docs).select("doc_id").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(
+            docs.where(F.col("doc_id").isin(kept_ids)).select(
+                "doc_id", "text"
+            )
+        ).collect()
+    }
+    assert {
+        (r.doc_id, r.chunk_id, r.chunk_text) for r in got.itertuples()
+    } == want
+    assert set(got["doc_id"]) == kept_ids
+
+    # scatter: multi-chunk docs must not have all chunks adjacent in the
+    # replay order (the shuffle key is the chunk, not the doc)
+    replay = [
+        (r.doc_id, r.chunk_id)
+        for pdf in shards
+        for r in pdf.itertuples()
+    ]
+    multi = got.groupby("doc_id").size()
+    multi = set(multi[multi >= 2].index)
+    assert multi, "fixture corpus should produce multi-chunk docs"
+    adjacent_runs = sum(
+        1
+        for (a, _), (b, _) in zip(replay, replay[1:])
+        if a == b
+    )
+    assert adjacent_runs < len(replay) / 4, "chunks still doc-clumped"
+
+    # rewrite-stable; re-salt -> same rows, different order
+    out2 = str(tmp_path / "train_set2")
+    materialize_training_set(docs, out2, n_shards=4)
+    assert [p.to_dict("list") for p in read_orders(out2)] == [
+        p.to_dict("list") for p in shards
+    ]
+    out3 = str(tmp_path / "train_set3")
+    materialize_training_set(docs, out3, n_shards=4, salt="epoch1")
+    replay3 = [
+        (r.doc_id, r.chunk_id)
+        for pdf in read_orders(out3)
+        for r in pdf.itertuples()
+    ]
+    assert sorted(replay3) == sorted(replay) and replay3 != replay
