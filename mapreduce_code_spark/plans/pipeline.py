@@ -90,15 +90,24 @@ def materialize_training_set(
 
     curated = curated_corpus(documents, min_quality=min_quality)
     kept = documents.join(curated.select("doc_id", "pred_lang"), "doc_id")
+    # pred_lang rides the chunk rows from `curated` directly — joining
+    # through `kept` again would embed a SECOND copy of the curation
+    # subtree plus another full documents scan in the plan
     chunks = chunk_documents(
         kept.select("doc_id", "text"), size=chunk_size, stride=chunk_stride
-    ).join(kept.select("doc_id", "pred_lang"), "doc_id")
+    ).join(curated.select("doc_id", "pred_lang"), "doc_id")
     # the shuffle key must identify a CHUNK (doc_id alone would glue a
-    # document's chunks together — the opposite of a shuffle)
+    # document's chunks together — the opposite of a shuffle); it is
+    # derived, so the writer drops it after sorting
     keyed = chunks.withColumn(
         "chunk_key",
         F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
     )
     write_shuffled(
-        keyed, path, n_shards=n_shards, key="chunk_key", salt=salt
+        keyed,
+        path,
+        n_shards=n_shards,
+        key="chunk_key",
+        salt=salt,
+        drop_key=True,
     )

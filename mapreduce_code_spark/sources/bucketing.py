@@ -192,6 +192,7 @@ def write_shuffled(
     n_shards: int = 8,
     key: str = "doc_id",
     salt: str = "epoch0",
+    drop_key: bool = False,
 ) -> None:
     """Deterministic global training-order shuffle writer: the on-disk
     complement of :func:`operators.sampling.shuffle_order`. Rows land in
@@ -211,11 +212,14 @@ def write_shuffled(
     one sorted file, cf. :func:`write_sharded`); raise ``n_shards``
     until a shard fits the loader. The helper columns are dropped
     before the write — the layout IS the order, and ord_key is
-    recomputable from (salt, key) by construction."""
+    recomputable from (salt, key) by construction. ``drop_key=True``
+    additionally drops the key column itself: for a DERIVED key (e.g. a
+    concat of id columns built just for this write) keeping it would
+    persist redundant bytes into every training shard."""
     from mapreduce_code_spark.operators.sampling import shuffle_order
 
     ordered = shuffle_order(df, key=key, salt=salt, n_shards=n_shards)
-    (
+    sorted_rows = (
         ordered.drop("pos")
         .repartition("shard")
         # shard leads the sort so the partitioned-file writer's required
@@ -223,8 +227,10 @@ def write_shuffled(
         # it the writer inserts its own Sort(shard), destroying the
         # ord_key order this layout exists to provide
         .sortWithinPartitions("shard", "ord_key", key)
-        .drop("ord_key")
-        .write.mode("overwrite")
+        .drop(*(["ord_key", key] if drop_key else ["ord_key"]))
+    )
+    (
+        sorted_rows.write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )

@@ -491,6 +491,28 @@ def test_retention_copartitions_on_user(spark, sf_dir):
     assert net_shuffles(MON.retention_cohorts(ev)) <= 3
 
 
+def _read_shards(path):
+    """Read a write_shuffled layout back in FILE ROW ORDER: sorted
+    shard=* dirs, exactly one parquet file per shard (the writer's
+    aligned-exchange invariant), returned as {shard_dir: DataFrame}.
+    Shared by the layout tests so the one-file-per-shard reading
+    convention lives in one place."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    shards = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        files = [
+            f for f in glob.glob(os.path.join(d, "*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d  # one sorted file per shard
+        shards[os.path.basename(d)] = pd.read_parquet(files[0])
+    return shards
+
+
 def test_write_shuffled_global_order(spark, sf_dir, tmp_path):
     """Deterministic training-order shuffle writer: per-shard files are
     physically sorted by the md5 ord_key (so reading shards 0..n-1 in
@@ -510,15 +532,10 @@ def test_write_shuffled_global_order(spark, sf_dir, tmp_path):
     write_shuffled(docs, out, n_shards=4)
 
     def shard_orders(path):
-        orders = {}
-        for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
-            files = [f for f in glob.glob(os.path.join(d, "*")) if f.endswith(".parquet")]
-            assert len(files) == 1  # one sorted file per shard
-            pdf = pd.read_parquet(files[0])  # file row order, no shuffle
-            orders[os.path.basename(d)] = list(
-                zip(pdf["doc_id"], pdf["source"])
-            )
-        return orders
+        return {
+            d: list(zip(pdf["doc_id"], pdf["source"]))
+            for d, pdf in _read_shards(path).items()
+        }
 
     first = shard_orders(out)
     assert sorted(first) == ["shard=0", "shard=1", "shard=2", "shard=3"]
@@ -591,12 +608,7 @@ def test_materialize_training_set_end_to_end(spark, sf_dir, tmp_path):
     materialize_training_set(docs, out, n_shards=4)
 
     def read_orders(path):
-        per_shard = []
-        for d in sorted(glob.glob(f"{path}/shard=*")):
-            f = [p for p in glob.glob(f"{d}/*") if p.endswith(".parquet")]
-            assert len(f) == 1
-            per_shard.append(pd.read_parquet(f[0]))
-        return per_shard
+        return list(_read_shards(path).values())
 
     shards = read_orders(out)
     got = pd.concat(shards, ignore_index=True)
