@@ -89,12 +89,17 @@ def materialize_training_set(
     from mapreduce_code_spark.sources.bucketing import write_shuffled
 
     curated = curated_corpus(documents, min_quality=min_quality)
-    kept = documents.join(curated.select("doc_id", "pred_lang"), "doc_id")
-    # pred_lang rides the chunk rows from `curated` directly — joining
-    # through `kept` again would embed a SECOND copy of the curation
-    # subtree plus another full documents scan in the plan
+    # Chunk the RAW corpus (a narrow map — no shuffle) and prune with a
+    # single doc_id join against the curated frame, which also carries
+    # pred_lang onto the chunk rows. Catalyst does not de-duplicate
+    # common subplans across joins, so referencing `curated` (or a
+    # documents-join-curated frame) twice would execute the whole
+    # curation subtree — dedup window included — twice; chunking a few
+    # percent of doomed docs costs far less than a second curation pass.
     chunks = chunk_documents(
-        kept.select("doc_id", "text"), size=chunk_size, stride=chunk_stride
+        documents.select("doc_id", "text"),
+        size=chunk_size,
+        stride=chunk_stride,
     ).join(curated.select("doc_id", "pred_lang"), "doc_id")
     # the shuffle key must identify a CHUNK (doc_id alone would glue a
     # document's chunks together — the opposite of a shuffle); it is
