@@ -67,11 +67,10 @@ FROM documents
 """
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Marker-word language-ID heuristic: count marker hits per language,
-    CJK characters decide 'zh', ties break en > de > fr > es. Returns
-    ``(doc_id, lang, pred_lang, c_en, c_de, c_fr, c_es, c_zh)`` so
-    accuracy vs the generator's ``lang`` label is measurable."""
+def _lang_parts():
+    """The language-ID expressions over ``text`` — exposed separately so
+    single-scan compositions (``plans/pipeline.curated_corpus``) can
+    inline ``pred`` without a join. Returns (marker_counts, c_zh, pred)."""
     words = F.split(F.col("text"), " ")
     c = {ln: _count_in(words, ms) for ln, ms in MARKERS.items()}
     c_zh = F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_RE), 0))
@@ -82,6 +81,15 @@ def lang_id(documents: DataFrame) -> DataFrame:
         .when(c["fr"] >= c["es"], "fr")
         .otherwise("es")
     )
+    return c, c_zh, pred
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic: count marker hits per language,
+    CJK characters decide 'zh', ties break en > de > fr > es. Returns
+    ``(doc_id, lang, pred_lang, c_en, c_de, c_fr, c_es, c_zh)`` so
+    accuracy vs the generator's ``lang`` label is measurable."""
+    c, c_zh, pred = _lang_parts()
     return documents.select(
         "doc_id",
         "lang",
@@ -115,11 +123,11 @@ FROM documents
 """
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic quality gate from integer indicator functions (each 0/1,
-    summed and scaled — exact arithmetic): length in range, word shape
-    sane, stopword density plausible, vocabulary not degenerate.
-    Returns ``(doc_id, q_len, q_shape, q_stop, q_vocab, quality)``."""
+def _quality_parts():
+    """The quality-gate expressions over ``text`` — exposed separately so
+    single-scan compositions can inline ``quality`` without a join.
+    Returns (q_len, q_shape, q_stop, q_vocab, quality) Columns, built in
+    the exact textual order the oracle SQL mirrors."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_stop = _count_in(words, STOPWORDS_EN)
@@ -131,6 +139,15 @@ def quality_score(documents: DataFrame) -> DataFrame:
     q_stop = ((sr >= 0.05) & (sr <= 0.6)).cast("int")
     q_vocab = ((n_uniq * 2) >= n_words).cast("int")
     quality = (q_len + q_shape + q_stop + q_vocab) / F.lit(4.0)
+    return q_len, q_shape, q_stop, q_vocab, quality
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality gate from integer indicator functions (each 0/1,
+    summed and scaled — exact arithmetic): length in range, word shape
+    sane, stopword density plausible, vocabulary not degenerate.
+    Returns ``(doc_id, q_len, q_shape, q_stop, q_vocab, quality)``."""
+    q_len, q_shape, q_stop, q_vocab, quality = _quality_parts()
     return documents.select(
         "doc_id",
         q_len.alias("q_len"),

@@ -2,13 +2,12 @@
 the way a real corpus build uses them: exact-dedup → quality gate →
 language ID → stats, in ONE lazy plan.
 
-This is the "switch to this repo" story: every stage is an existing
-operator (`operators/dedup.py`, `functions/text.py`) joined on doc_id,
-and because everything is declarative Catalyst fuses the pipeline —
-the document scan happens once per aggregation branch, filters push
-down, and no intermediate corpus is materialized unless the caller
-persists it. The whole composition stays SQL-expressible, so the
-pipeline has a full DuckDB oracle (not just its stages).
+This is the "switch to this repo" story: every stage is the same
+expression code the standalone operators use (`operators/dedup.py`,
+`functions/text.py`), composed into ONE scan + one dedup-window shuffle
+— filters push down, and no intermediate corpus is materialized unless
+the caller persists it. The whole composition stays SQL-expressible, so
+the pipeline has a full DuckDB oracle (not just its stages).
 """
 
 from __future__ import annotations
@@ -17,30 +16,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_code_spark.functions import text as TXT
-from mapreduce_code_spark.operators import dedup
 
 MIN_QUALITY = 0.75
 
 
 def curated_corpus(documents: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
     """Surviving docs with their curation metadata:
-    ``(doc_id, pred_lang, quality, n_words)`` — exact-dup losers removed,
-    low-quality docs gated out."""
-    keepers = (
-        dedup.exact_dedup(documents)
-        .filter(~F.col("is_dup"))
-        .select("doc_id")
-    )
-    quality = (
-        TXT.quality_score(documents)
-        .filter(F.col("quality") >= min_quality)
-        .select("doc_id", "quality")
-    )
-    lang = TXT.lang_id(documents).select("doc_id", "pred_lang")
-    stats = TXT.text_stats(documents).select("doc_id", "n_words")
-    # keepers is already one unique doc_id per surviving document — start
-    # the join chain there (no redundant base-table join)
-    return keepers.join(quality, "doc_id").join(lang, "doc_id").join(stats, "doc_id")
+    ``(doc_id, quality, pred_lang, n_words)`` — exact-dup losers removed,
+    low-quality docs gated out.
+
+    ONE corpus scan (round 5 — was four): every stage except the dedup
+    keeper decision is a row-level expression over ``text``
+    (``TXT._quality_parts`` / ``TXT._lang_parts``), so they all ride the
+    same projection; the keeper flag is the one window (sha2-keyed
+    shuffle) and the gates collapse to a single filter. Same rows, same
+    values, same oracle as the four-branch join formulation — the
+    expressions are built by the same code in the same textual order."""
+    from pyspark.sql import Window
+
+    _, _, _, _, quality = TXT._quality_parts()
+    _, _, pred_lang = TXT._lang_parts()
+    w = Window.partitionBy("content_hash")
+    enriched = documents.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        quality.alias("quality"),
+        pred_lang.alias("pred_lang"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    ).withColumn("keeper_id", F.min("doc_id").over(w))
+    return enriched.filter(
+        (F.col("doc_id") == F.col("keeper_id"))
+        & (F.col("quality") >= min_quality)
+    ).select("doc_id", "quality", "pred_lang", "n_words")
 
 
 def curated_corpus_sql(min_quality: float = MIN_QUALITY) -> str:

@@ -72,7 +72,11 @@ PUSHDOWN = (
     "events_sliding_window",
     "events_tumbling_window",
     "events_view_purchase_correlation",
-    "pipeline_curated_corpus",
+    # pipeline_curated_corpus dropped (round 5): the single-scan rewrite
+    # computes every gate from the one projection and filters on
+    # window-derived columns (keeper_id needs ALL rows of a hash group),
+    # so there is no longer any scan-level predicate to push — the same
+    # trade the relational_hll_distinct single-scan rewrite made below
     "relational_events_close_pairs",
     "relational_filter_case_orders",
     # relational_hll_distinct dropped: its single-scan rewrite removed the
