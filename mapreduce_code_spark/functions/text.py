@@ -786,3 +786,57 @@ words_{i} AS (
         for i in range(1, n_merges + 1)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:
+    """Tokenize documents with a trained BPE merge table — the apply
+    half of :func:`bpe_merges` (Sennrich et al. 2016). ``merges`` is the
+    training output ``(merge_round, lhs, rhs, ...)``; rules are applied
+    in training order, each as the same ONE literal replace over the
+    spaced-symbol representation (`` l  r `` → `` lr ``, greedy
+    left-to-right), so encode and train agree exactly on merge
+    semantics. Returns the corpus token stream ``(doc_id, pos, token)``
+    — ``pos`` is the 0-based token position within the document; docs
+    with no ``BPE_WORD_RE`` words emit no rows.
+
+    Scale shape: the merge table folds into ONE array in a single-row
+    broadcast (rule count is a config constant, like IVF centroids; the
+    only exchange anywhere is that bounded single-row aggregate), and
+    encoding is a per-row ``aggregate`` fold of literal replaces inside
+    one projection — one corpus scan, zero corpus-side shuffles, no
+    Python, no per-rule join. Merges never cross word boundaries because
+    each word is spaced and folded independently inside ``transform``."""
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_round", "lhs", "rhs"))
+        ).alias("_bpe_rules")
+    )
+    rules = F.col("_bpe_rules")
+
+    def enc_word(w):
+        spaced = F.regexp_replace(w, r"(.)", " $1 ")
+        folded = F.aggregate(
+            rules,
+            spaced,
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(
+                    F.lit(" "), m["lhs"], F.lit("  "), m["rhs"], F.lit(" ")
+                ),
+                F.concat(F.lit(" "), m["lhs"], m["rhs"], F.lit(" ")),
+            ),
+        )
+        return F.split(F.trim(folded), "  ")
+
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_WORD_RE), 0
+    )
+    return (
+        documents.crossJoin(F.broadcast(marr))
+        .select(
+            "doc_id",
+            F.posexplode(F.flatten(F.transform(words, enc_word))).alias(
+                "pos", "token"
+            ),
+        )
+    )

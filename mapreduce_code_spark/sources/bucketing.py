@@ -14,8 +14,32 @@ larger table is a few hundred MB at target scale (bucket ≈ task).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _micros_timestamps(spark: SparkSession):
+    """Force the stats-bearing TIMESTAMP_MICROS parquet encoding for the
+    duration of a layout write. Spark's default INT96 carries NO min/max
+    statistics — silently defeating a stats-clustered layout for time
+    columns — and the per-write ``outputTimestampType`` option is
+    ignored by the parquet writer (verified: the file still comes out
+    INT96), so this has to be the SESSION conf; concurrent writers on
+    the same session during this window would also get MICROS — run
+    clustered rewrites serially or on their own session."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def save_bucketed(
@@ -104,28 +128,79 @@ def write_clustered(
     workload, plain range clustering skips strictly better than a
     Z-curve.
     """
-    spark = df.sparkSession
-    # Spark's default parquet timestamp encoding is legacy INT96, which
-    # carries NO min/max statistics — silently defeating the entire point
-    # of a stats-clustered layout for time columns. Force the
-    # stats-bearing micros encoding for this write, then restore. This
-    # has to be the SESSION conf (the per-write
-    # .option("outputTimestampType", ...) is ignored by the parquet
-    # writer — verified: the file still comes out INT96), so concurrent
-    # writers on the same session during this window would also get
-    # MICROS; run clustered rewrites serially or on their own session.
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
+    with _micros_timestamps(df.sparkSession):
         df.repartitionByRange(
             n_files, *[F.col(c) for c in cols]
         ).sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Morton (Z-curve) interleaved-bit sort key over ``cols`` — the
+    multi-column counterpart of :func:`write_clustered`'s single-range
+    clustering (public technique; cf. Delta Lake OSS ``OPTIMIZE ZORDER
+    BY``). Each column is normalized to a ``bits``-bit fixed-point
+    bucket against its global min/max, and the buckets' bits are
+    interleaved (column i gets bit positions ``b*k + (k-1-i)``), so rows
+    close in EVERY dimension get close z-values and each output file's
+    min/max footer stats stay tight on ALL the clustered columns at
+    once, not just the leading one.
+
+    Returns ``(df_with_key, key_col_name)``. Scale shape: one bounded
+    min/max aggregate broadcast back via a single-row crossJoin (no
+    driver collect), then pure bit-algebra in one projection. Linear
+    min/max bucketing is skew-sensitive (a heavy-hitter value crowds one
+    bucket) — for skewed columns, pre-transform (log, rank-bucket)
+    before clustering; range-sampled bucket boundaries are what table
+    formats use and slot in here without changing the interleave."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_clustered")
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_zmin{i}"), F.max(v).alias(f"_zmax{i}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    hi = (1 << bits) - 1
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        lo_c, hi_c = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
+        bucket = F.when(hi_c == lo_c, F.lit(0)).otherwise(
+            F.floor((v - lo_c) * hi / (hi_c - lo_c))
+        ).cast("bigint")
+        out = out.withColumn(f"_zb{i}", bucket)
+        for b in range(bits):
+            bit = F.shiftright(F.col(f"_zb{i}"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + (k - 1 - i)))
+    out = out.withColumn("_zkey", z).drop(
+        *[f"_zmin{i}" for i in range(k)],
+        *[f"_zmax{i}" for i in range(k)],
+        *[f"_zb{i}" for i in range(k)],
+    )
+    return out, "_zkey"
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 12
+) -> None:
+    """Z-order-clustered parquet layout: range-partition and sort by the
+    Morton key from :func:`zorder_key`, so a selective predicate on ANY
+    of ``cols`` prunes files by footer min/max — where
+    :func:`write_clustered` only skips on its leading column. Use for
+    the two-to-three-column selective-scan workload (e.g. events
+    filtered by ts AND user bucket); for one-column predicates plain
+    range clustering skips strictly better. The helper key column is
+    dropped before the write: the layout IS the key."""
+    keyed, zcol = zorder_key(df, cols, bits)
+    with _micros_timestamps(df.sparkSession):
+        (
+            keyed.repartitionByRange(n_files, F.col(zcol))
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
 
 
 def overwrite_partitions(df: DataFrame, path: str, *part_cols: str) -> None:

@@ -747,6 +747,39 @@ def test_bpe_merges_greedy_overlap_and_tiebreak(spark):
     assert got == [(1, "a", "a", "aa", 5), (2, "aa", "a", "aaa", 1)]
 
 
+def test_bpe_encode_sennrich_example(spark):
+    """Encoding with the 4 merges trained on the Sennrich corpus:
+    'lowest' folds to [low, est] (es→est→lo→low apply in training
+    order), 'newest'/'widest' keep their unmergeable prefixes, 'low'
+    is a single token; pos numbers the doc-wide token stream."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame(
+        [(0, corpus)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(7, "lowest newest widest low"), (8, "???"), (9, "")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["pos"], r["token"])
+        for r in TXT.bpe_encode(docs, TXT.bpe_merges(train, n_merges=4))
+        .orderBy("doc_id", "pos")
+        .collect()
+    ]
+    want_tokens = [
+        "low", "est",            # lowest
+        "n", "e", "w", "est",    # newest
+        "w", "i", "d", "est",    # widest
+        "low",                   # low
+    ]
+    # docs 8 and 9 have no BPE words -> no rows
+    assert got == [(7, i, t) for i, t in enumerate(want_tokens)]
+
+
 def test_bpe_merges_matches_oracle(spark, sf_dir):
     from mapreduce_code_spark.functions import text as TXT
 

@@ -415,6 +415,48 @@ def test_bpe_merges_match_bruteforce(spark, word_list, k):
     assert got == _ref_bpe(word_list, k)
 
 
+def _ref_bpe_encode(word_list, merges):
+    """Brute-force encode: apply the trained merges in training order,
+    each greedily left-to-right within each word (same while-loop as
+    :func:`_ref_bpe`'s application step)."""
+    out = []
+    for w in word_list:
+        syms = list(w)
+        for l, r, _merged, _cnt in merges:
+            nxt: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    nxt.append(l + r)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+@given(word_list=_bpe_corpus, k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_bpe_encode_matches_bruteforce(spark, word_list, k):
+    """Round-tripping the corpus through train+encode equals the
+    reference encoder on ANY corpus, and the tokens concatenate back to
+    the original words (no symbol lost or invented)."""
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(word_list))], "doc_id long, text string"
+    )
+    merges = TXT.bpe_merges(docs, n_merges=k)
+    got = [
+        r["token"]
+        for r in TXT.bpe_encode(docs, merges).orderBy("pos").collect()
+    ]
+    assert got == _ref_bpe_encode(word_list, _ref_bpe(word_list, k))
+    assert "".join(got) == "".join(word_list)
+
+
 _shuffle_ids = st.lists(
     st.integers(0, 10**9), min_size=1, max_size=40, unique=True
 )

@@ -329,6 +329,63 @@ def test_write_clustered_skipping_stats(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1][:200]
 
 
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout on a 64x64 (x, y) grid: a selective slice on
+    EITHER dimension overlaps only a minority of file footers (Morton
+    locality), whereas the x-leading range-clustered layout cannot prune
+    a y-slice at all (every file spans all of y). Also pins rewrite
+    determinism: same per-file stats across rewrites."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_code_spark.sources.bucketing import (
+        write_clustered,
+        write_zordered,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            st = [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    zpath, cpath = str(tmp_path / "zord"), str(tmp_path / "clus")
+    write_zordered(grid, zpath, ["x", "y"], n_files=16, bits=6)
+    write_clustered(grid, cpath, ["x", "y"], n_files=16)
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
+
+    zx, zy = file_ranges(zpath, "x"), file_ranges(zpath, "y")
+    cy = file_ranges(cpath, "y")
+    n_z = len(zx)
+    assert n_z >= 8  # the grid actually split across files
+    # a 1/8-wide slice on EITHER dimension prunes most z-ordered files
+    assert overlapping(zx, 0, 7) <= n_z // 2
+    assert overlapping(zy, 0, 7) <= n_z // 2
+    # the x-leading range layout spans all of y in every file: no pruning
+    assert overlapping(cy, 0, 7) == len(cy)
+    # pure layout change + deterministic rewrite
+    assert spark.read.parquet(zpath).count() == 64 * 64
+    write_zordered(grid, zpath, ["x", "y"], n_files=16, bits=6)
+    assert file_ranges(zpath, "x") == zx and file_ranges(zpath, "y") == zy
+
+
 def test_bloom_semi_reduce_equivalence_and_plan(spark, sf_dir):
     """Bloom semi-join reduction: reduce-then-join equals plain join (no
     false negatives), the reduction is a strict superset of the true
