@@ -55,14 +55,23 @@ def _bucket_sql(key: str, salt: str = "") -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT % 10000"
 
 
-def train_val_split(documents: DataFrame, val_bp: int = 1000) -> DataFrame:
+def train_val_split(
+    documents: DataFrame, val_bp: int = 1000, key: str = "doc_id"
+) -> DataFrame:
     """Assign every document to 'train' or 'val' by key hash:
     ``(doc_id, bucket, split)`` with ``val_bp`` basis points (default
-    10%) going to 'val'. The assignment is a pure function of doc_id —
+    10%) going to 'val'. The assignment is a pure function of the key —
     rerunning, reshuffling, or appending data never moves a document
     across the split (the leakage guarantee fine-tuning pipelines
-    need)."""
-    b = key_bucket(F.col("doc_id"), salt="split")
+    need).
+
+    ``key`` names the hashed column; pass a GROUP column (e.g.
+    ``source``) for a group-aware split: every row of a group hashes
+    identically, so correlated near-duplicates inside a group (same
+    domain, same crawl seed) can never straddle the boundary — the
+    group-leakage guard. Still a narrow per-row map: no shuffle, no
+    group materialization."""
+    b = key_bucket(F.col(key), salt="split")
     return documents.select(
         "doc_id",
         b.alias("bucket"),

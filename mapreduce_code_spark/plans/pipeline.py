@@ -87,11 +87,11 @@ def materialize_training_set(
     source-interleaved permutation of chunks, and ``salt`` reshuffles
     per epoch without re-curating.
 
-    Everything up to the write is ONE lazy Catalyst plan (curation
-    joins + a narrow chunk explode); the only shuffles are the dedup
-    window, the curation joins (doc_id-keyed, collapsible), and the
-    final shard exchange aligned with the output layout. At 100 TB
-    nothing here materializes an intermediate corpus."""
+    Everything up to the write is ONE lazy Catalyst plan (the
+    single-scan curation projection + a narrow chunk explode); the only
+    shuffles are the dedup keeper window, the chunk↔curated doc_id
+    join, and the final shard exchange aligned with the output layout.
+    At 100 TB nothing here materializes an intermediate corpus."""
     from mapreduce_code_spark.operators.sampling import chunk_documents
     from mapreduce_code_spark.sources.bucketing import write_shuffled
 
@@ -122,4 +122,70 @@ def materialize_training_set(
         key="chunk_key",
         salt=salt,
         drop_key=True,
+    )
+
+
+def quality_filter_features(documents: DataFrame) -> DataFrame:
+    """Continuous text-shape features for MODEL-BASED quality filtering
+    (the fastText-classifier pattern of CCNet / LLaMA data pipelines,
+    public) — the learned sibling of ``TXT.quality_score``'s fixed
+    gates. Returns ``(row_id, features array<double>)`` with the bias
+    pre-injected at ``features[0]`` — the shape
+    :func:`operators.regression.sgd_fit` consumes. Features are bounded
+    ratios of the same integer counts the heuristic gates use (word
+    count capped/scaled, chars-per-word, stopword density, vocabulary
+    diversity); a narrow per-row map, no shuffle, no Python."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = TXT._count_in(words, TXT.STOPWORDS_EN)
+    n_uniq = F.size(F.array_distinct(words))
+    d = F.greatest(n_words, F.lit(1)).cast("double")
+    return documents.select(
+        F.col("doc_id").alias("row_id"),
+        F.array(
+            F.lit(1.0),
+            F.least(n_words, F.lit(2000)) / 2000.0,
+            F.least(F.length("text") / d, F.lit(20.0)) / 20.0,
+            n_stop / d,
+            n_uniq / d,
+        ).cast("array<double>").alias("features"),
+    )
+
+
+def fit_quality_filter(documents: DataFrame, labels: DataFrame, **kw):
+    """Train the quality filter: join ``labels`` (``doc_id, y`` with y
+    in {0.0, 1.0}) onto :func:`quality_filter_features` and fit logistic
+    SGD by the reference's iterate-average loop
+    (`logisticreg.java:144-220` semantics via
+    :func:`operators.regression.sgd_fit`). Returns the
+    :class:`SGDResult` whose ``theta`` feeds
+    :func:`score_quality_filter`. Labels are the small side at scale
+    (human/LLM-annotated sample) — broadcast-joined so the corpus never
+    shuffles for the label attach."""
+    from mapreduce_code_spark.operators.regression import sgd_fit
+
+    pts = quality_filter_features(documents).join(
+        F.broadcast(labels.select(F.col("doc_id").alias("row_id"), "y")),
+        "row_id",
+    )
+    return sgd_fit(pts, link="logistic", **kw)
+
+
+def score_quality_filter(documents: DataFrame, theta) -> DataFrame:
+    """Apply a trained filter to the whole corpus:
+    ``(doc_id, margin)`` where ``margin = θ·x`` — the logit, monotone in
+    the keep-probability, so thresholding margin IS thresholding the
+    sigmoid without evaluating it (no libm in the scoring path). The
+    coefficient vector rides in as one array literal; scoring is a
+    single zip-multiply-sum projection over the feature map — one
+    corpus scan, zero shuffles."""
+    feats = quality_filter_features(documents)
+    th = F.array(*[F.lit(float(t)) for t in theta])
+    margin = F.aggregate(
+        F.zip_with(F.col("features"), th, lambda x, t: x * t),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return feats.select(
+        F.col("row_id").alias("doc_id"), margin.alias("margin")
     )

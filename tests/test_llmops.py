@@ -747,6 +747,37 @@ def test_bpe_merges_greedy_overlap_and_tiebreak(spark):
     assert got == [(1, "a", "a", "aa", 5), (2, "aa", "a", "aaa", 1)]
 
 
+def test_quality_filter_train_and_score_separates(spark):
+    """End-to-end model-based quality filter: train logistic SGD on a
+    planted labeled sample (clean English prose vs degenerate token
+    spam), score the full corpus with the learned theta, and the margin
+    separates the classes perfectly — and monotonically agrees with the
+    labels the trainer saw."""
+    from mapreduce_code_spark.plans import pipeline as P
+
+    good = [
+        "the quick brown fox jumps over a lazy dog and the day is "
+        "bright in the field of tall grass where the birds sing to "
+        "the morning sun that rises over the hill"
+        + f" extra words number {i} pad the text a bit more"
+        for i in range(20)
+    ]
+    bad = [" ".join(["zzz"] * (30 + i)) for i in range(20)]
+    rows = [(i, t) for i, t in enumerate(good)] + [
+        (100 + i, t) for i, t in enumerate(bad)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(i, 1.0) for i in range(20)] + [(100 + i, 0.0) for i in range(20)],
+        "doc_id long, y double",
+    )
+    res = P.fit_quality_filter(docs, labels, max_iter=30)
+    scored = P.score_quality_filter(docs, res.theta).toPandas()
+    g = scored[scored.doc_id < 100]["margin"]
+    b = scored[scored.doc_id >= 100]["margin"]
+    assert g.min() > b.max()  # perfect separation on the planted corpus
+
+
 def test_bpe_encode_sennrich_example(spark):
     """Encoding with the 4 merges trained on the Sennrich corpus:
     'lowest' folds to [low, est] (es→est→lo→low apply in training

@@ -52,6 +52,34 @@ def test_split_proportions(spark, sf_dir):
     assert 0.15 < frac < 0.35  # 25% ± sampling noise at corpus size
 
 
+def test_group_split_no_leakage_across_groups(spark, sf_dir):
+    """key='source' makes the split group-aware: every document of a
+    group lands on ONE side (the domain-leakage guard), the decision is
+    a pure function of the group key (doc additions never flip a
+    group), and the plan stays a narrow map — no Exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = SMP.train_val_split(
+        docs.select("doc_id", "source"), val_bp=2500, key="source"
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(split.select("doc_id", "split"), "doc_id")
+        .toPandas()
+    )
+    sides = joined.groupby("source")["split"].nunique()
+    assert (sides == 1).all()
+    # group decision is key-pure: recompute one group's bucket by hand
+    import hashlib
+
+    for src, side in joined.drop_duplicates("source")[
+        ["source", "split"]
+    ].itertuples(index=False):
+        b = int(hashlib.md5(f"split|{src}".encode()).hexdigest()[:15], 16) % 10000
+        assert ("val" if b < 2500 else "train") == side
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_stratified_nested_rates_monotone(spark, sf_dir):
     """A higher-rate sample is a superset of a lower-rate one."""
     docs = load_table(spark, sf_dir, "documents")
