@@ -123,15 +123,25 @@ FROM documents
 """
 
 
+def _shape_counts():
+    """The integer text-shape counts both the heuristic quality gates
+    and the learned quality filter's features are built from — ONE
+    builder so a change to word splitting or the stopword list can
+    never drift the two apart. Returns (words, n_words, n_stop,
+    n_uniq) Columns."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = _count_in(words, STOPWORDS_EN)
+    n_uniq = F.size(F.array_distinct(words))
+    return words, n_words, n_stop, n_uniq
+
+
 def _quality_parts():
     """The quality-gate expressions over ``text`` — exposed separately so
     single-scan compositions can inline ``quality`` without a join.
     Returns (q_len, q_shape, q_stop, q_vocab, quality) Columns, built in
     the exact textual order the oracle SQL mirrors."""
-    words = F.split(F.col("text"), " ")
-    n_words = F.size(words)
-    n_stop = _count_in(words, STOPWORDS_EN)
-    n_uniq = F.size(F.array_distinct(words))
+    words, n_words, n_stop, n_uniq = _shape_counts()
     q_len = ((n_words >= 20) & (n_words <= 2000)).cast("int")
     cpw = F.length("text") / n_words
     q_shape = ((cpw >= 3.0) & (cpw <= 12.0)).cast("int")

@@ -134,11 +134,9 @@ def quality_filter_features(documents: DataFrame) -> DataFrame:
     :func:`operators.regression.sgd_fit` consumes. Features are bounded
     ratios of the same integer counts the heuristic gates use (word
     count capped/scaled, chars-per-word, stopword density, vocabulary
-    diversity); a narrow per-row map, no shuffle, no Python."""
-    words = F.split(F.col("text"), " ")
-    n_words = F.size(words)
-    n_stop = TXT._count_in(words, TXT.STOPWORDS_EN)
-    n_uniq = F.size(F.array_distinct(words))
+    diversity — `TXT._shape_counts`, the one shared builder); a narrow
+    per-row map, no shuffle, no Python."""
+    _, n_words, n_stop, n_uniq = TXT._shape_counts()
     d = F.greatest(n_words, F.lit(1)).cast("double")
     return documents.select(
         F.col("doc_id").alias("row_id"),
@@ -150,6 +148,13 @@ def quality_filter_features(documents: DataFrame) -> DataFrame:
             n_uniq / d,
         ).cast("array<double>").alias("features"),
     )
+
+
+# feature arity of quality_filter_features (bias + 4 shape ratios):
+# score_quality_filter validates theta against it because zip_with pads
+# a shorter array with NULL — a stale theta would silently null every
+# margin instead of erroring
+N_QUALITY_FEATURES = 5
 
 
 def fit_quality_filter(documents: DataFrame, labels: DataFrame, **kw):
@@ -179,8 +184,15 @@ def score_quality_filter(documents: DataFrame, theta) -> DataFrame:
     coefficient vector rides in as one array literal; scoring is a
     single zip-multiply-sum projection over the feature map — one
     corpus scan, zero shuffles."""
+    theta = [float(t) for t in theta]
+    if len(theta) != N_QUALITY_FEATURES:
+        raise ValueError(
+            f"score_quality_filter: theta has {len(theta)} coefficients, "
+            f"features have {N_QUALITY_FEATURES} — a mismatched fold "
+            "would NULL every margin"
+        )
     feats = quality_filter_features(documents)
-    th = F.array(*[F.lit(float(t)) for t in theta])
+    th = F.array(*[F.lit(t) for t in theta])
     margin = F.aggregate(
         F.zip_with(F.col("features"), th, lambda x, t: x * t),
         F.lit(0.0),

@@ -151,10 +151,45 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     min/max bucketing is skew-sensitive (a heavy-hitter value crowds one
     bucket) — for skewed columns, pre-transform (log, rank-bucket)
     before clustering; range-sampled bucket boundaries are what table
-    formats use and slot in here without changing the interleave."""
+    formats use and slot in here without changing the interleave.
+    NULL values bucket to 0 per column (they cluster with that column's
+    minimum instead of nulling the whole key)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        TimestampType,
+    )
+
     k = len(cols)
     if k < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_clustered")
+    if bits * k > 63:
+        # shiftleft on BIGINT masks the shift count mod 64: an
+        # out-of-range bit position would silently fold a column's high
+        # bucket bits into the LOW bits of the key (or hit the sign bit
+        # and invert the curve) — fail fast instead
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} exceeds the 63 usable BIGINT "
+            f"bits; lower bits (e.g. {63 // k}) or cluster fewer columns"
+        )
+    ok = (NumericType, TimestampType, DateType, BooleanType)
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, ok):
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-orderable-as-number "
+                f"type {df.schema[c].dataType.simpleString()}; cast or "
+                "bucket it to a numeric first"
+            )
+    helper = {"_zkey", *(f"_zb{i}" for i in range(k)),
+              *(f"_zmin{i}" for i in range(k)),
+              *(f"_zmax{i}" for i in range(k))}
+    clash = helper & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_key: input already has reserved helper column(s) "
+            f"{sorted(clash)}; rename them first"
+        )
     aggs = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
@@ -166,7 +201,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
         lo_c, hi_c = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
-        bucket = F.when(hi_c == lo_c, F.lit(0)).otherwise(
+        bucket = F.when(
+            v.isNull() | (hi_c == lo_c), F.lit(0)
+        ).otherwise(
             F.floor((v - lo_c) * hi / (hi_c - lo_c))
         ).cast("bigint")
         out = out.withColumn(f"_zb{i}", bucket)

@@ -385,6 +385,27 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     write_zordered(grid, zpath, ["x", "y"], n_files=16, bits=6)
     assert file_ranges(zpath, "x") == zx and file_ranges(zpath, "y") == zy
 
+    # guards: bit overflow, non-numeric column, helper-name collision
+    import pytest
+
+    from mapreduce_code_spark.sources.bucketing import zorder_key
+
+    with pytest.raises(ValueError, match="63 usable"):
+        zorder_key(grid, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="non-orderable"):
+        zorder_key(grid.withColumn("s", F.lit("a")), ["x", "s"])
+    with pytest.raises(ValueError, match="reserved helper"):
+        zorder_key(grid.withColumn("_zkey", F.lit(1)), ["x", "y"])
+    # NULLs bucket to 0 instead of nulling the whole key: a null-x row
+    # still carries y's bits (same key as x=0 at that y)
+    withnull = spark.createDataFrame(
+        [(None, 5), (0, 5)], "x int, y int"
+    ).unionAll(grid.select(F.col("x").cast("int"), F.col("y").cast("int")))
+    keyed, zc = zorder_key(withnull, ["x", "y"], bits=6)
+    pair = keyed.filter((F.col("y") == 5) & (F.col("x").isNull() | (F.col("x") == 0)))
+    zvals = {r[zc] for r in pair.collect()}
+    assert len(zvals) == 1  # null-x == x-min, key not NULL
+
 
 def test_bloom_semi_reduce_equivalence_and_plan(spark, sf_dir):
     """Bloom semi-join reduction: reduce-then-join equals plain join (no
