@@ -16,9 +16,11 @@ registered queries at 1x vs 10x on local[32], min-of-N. Expected shapes:
   join/fusion work after the per-query top-k is query-bounded => ratio
   ~corpus-scan-linear, never pair-quadratic.
 
-Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies]
-Writes the blowup to /tmp/scale{copies}x (reused if present), prints one
-JSON line with per-query 1x/Nx min times and ratios.
+Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies] [names]
+``names`` is a comma-separated list of registered queries (default: the
+three round-4 families). Writes the blowup to /tmp/scale{copies}x
+(reused if present), prints one JSON line with per-query 1x/Nx min
+times and ratios.
 """
 
 from __future__ import annotations
@@ -97,9 +99,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     names = (
-        "graph_pagerank_clicks",
-        "events_retention_cohorts",
-        "similarity_hybrid_rrf",
+        sys.argv[4].split(",")
+        if len(sys.argv) > 4
+        else (
+            "graph_pagerank_clicks",
+            "events_retention_cohorts",
+            "similarity_hybrid_rrf",
+        )
     )
     qs = queries()
     result = {}
