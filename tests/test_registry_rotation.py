@@ -1,0 +1,69 @@
+"""Driver-budget rotation invariants (SURVEY §8 / registry ordering
+contract): the driver verifies ~50 queries per round in registry order,
+so (a) the surface must fit the 2-round coverage ceiling, (b) any query
+without a row in the two newest CORRECTNESS files must sit inside the
+budget prefix (new/unchecked queries lead), and (c) the _FIRST/_LAST
+ordering lists must actually name registered queries — a typo there
+silently falls out of `queries()`'s ordering instead of erroring."""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+BUDGET = 50
+
+
+def _correctness_rows() -> list[set[str]]:
+    """Names with rows in each CORRECTNESS_r*.json, newest first."""
+    files = sorted(
+        ROOT.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        reverse=True,
+    )
+    return [set(json.loads(p.read_text())) for p in files]
+
+
+def test_ordering_lists_name_registered_queries():
+    from mapreduce_code_spark import registry
+
+    reg = set(registry.queries())
+    missing_first = [n for n in registry._FIRST if n not in reg]
+    missing_last = [n for n in registry._LAST if n not in reg]
+    assert not missing_first, f"_FIRST names unregistered: {missing_first}"
+    assert not missing_last, f"_LAST names unregistered: {missing_last}"
+
+
+def test_surface_fits_two_round_budget():
+    from mapreduce_code_spark import registry
+
+    n = len(registry.queries())
+    assert n <= 2 * BUDGET, (
+        f"{n} registered queries exceed the {2 * BUDGET} two-round "
+        "coverage ceiling — retire a query (registry.retired) or the "
+        "rotation guarantee breaks"
+    )
+
+
+def test_unchecked_queries_lead_the_order():
+    """Every query with no row in the two newest driver CORRECTNESS
+    files must sit inside the budget prefix, so the next driver run
+    covers it — the 'nothing sits unchecked two rounds in a row'
+    contract, checkable at any point in the round cycle."""
+    from mapreduce_code_spark import registry
+
+    rows = _correctness_rows()
+    if len(rows) < 2:
+        return  # round 1: no history to rotate against
+    recent = rows[0] | rows[1]
+    order = list(registry.queries())
+    stale = [
+        (i, n) for i, n in enumerate(order) if n not in recent and i >= BUDGET
+    ]
+    assert not stale, (
+        "queries with no driver row in the last two rounds sit beyond "
+        f"the {BUDGET}-row budget prefix (position, name): {stale} — "
+        "move them into registry._FIRST"
+    )
