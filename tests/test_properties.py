@@ -457,6 +457,58 @@ def test_bpe_encode_matches_bruteforce(spark, word_list, k):
     assert "".join(got) == "".join(word_list)
 
 
+_zpoints = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+    min_size=2,
+    max_size=60,
+)
+
+
+def _ref_morton(points, bits):
+    """Brute-force Morton keys: min/max-normalize each dimension to
+    ``bits``-bit buckets, interleave (x gets the higher bit of each
+    pair)."""
+    xs, ys = [p[0] for p in points], [p[1] for p in points]
+    hi = (1 << bits) - 1
+
+    def bucket(v, lo, up):
+        import math
+
+        return 0 if up == lo else math.floor((v - lo) * hi / (up - lo))
+
+    out = []
+    for x, y in points:
+        bx = bucket(float(x), float(min(xs)), float(max(xs)))
+        by = bucket(float(y), float(min(ys)), float(max(ys)))
+        z = 0
+        for b in range(bits):
+            z |= ((bx >> b) & 1) << (2 * b + 1)
+            z |= ((by >> b) & 1) << (2 * b)
+        out.append(z)
+    return out
+
+
+@given(points=_zpoints, bits=st.integers(1, 12))
+@settings(**_SETTINGS)
+def test_zorder_key_matches_bruteforce(spark, points, bits):
+    """The column-algebra Morton key equals the reference interleave on
+    ANY point set (including constant dimensions and negatives) — same
+    normalization, same bit placement, double math both sides."""
+    from mapreduce_code_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame(points, "x long, y long")
+    keyed, zc = zorder_key(df, ["x", "y"], bits=bits)
+    got = [
+        r[zc] for r in keyed.orderBy("x", "y").collect()
+    ]
+    want = [
+        z for _, _, z in sorted(
+            (x, y, z) for (x, y), z in zip(points, _ref_morton(points, bits))
+        )
+    ]
+    assert got == want
+
+
 _shuffle_ids = st.lists(
     st.integers(0, 10**9), min_size=1, max_size=40, unique=True
 )
