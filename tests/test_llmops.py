@@ -778,6 +778,44 @@ def test_quality_filter_train_and_score_separates(spark):
     assert g.min() > b.max()  # perfect separation on the planted corpus
 
 
+def test_quality_filter_scores_streams(spark, sf_dir, tmp_path):
+    """score_quality_filter is a stateless projection, so a trained
+    theta scores an incoming document STREAM unchanged — the filter
+    drops straight into an ingest pipeline; streamed margins equal the
+    batch margins exactly."""
+    from mapreduce_code_spark.plans import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    theta = [0.5, -1.0, 2.0, 3.0, -0.25]  # any valid arity works
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        P.score_quality_filter(stream, theta)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qf_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.table("qf_stream")
+            .toPandas()
+            .set_index("doc_id")["margin"]
+            .sort_index()
+        )
+    finally:
+        q.stop()
+    want = (
+        P.score_quality_filter(docs, theta)
+        .toPandas()
+        .set_index("doc_id")["margin"]
+        .sort_index()
+    )
+    assert (got == want).all()
+
+
 def test_bpe_encode_sennrich_example(spark):
     """Encoding with the 4 merges trained on the Sennrich corpus:
     'lowest' folds to [low, est] (es→est→lo→low apply in training
