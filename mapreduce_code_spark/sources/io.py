@@ -140,6 +140,33 @@ def load_table_stream(
     return df
 
 
+def read_evolving(
+    spark: SparkSession, path: str, target_schema
+) -> DataFrame:
+    """Read a parquet dataset whose files span SCHEMA GENERATIONS and
+    normalize every row to ``target_schema`` — the standard 100 TB
+    ingest reality, where years of writers left files with missing
+    columns, extra columns, and widened numeric types side by side.
+
+    The REQUESTED-schema read does all the work: Spark's parquet reader
+    given an explicit schema fills columns a file predates with typed
+    NULLs, silently drops columns the target doesn't name, and widens
+    compatible numeric types (int32 → int64, float → double) per file —
+    no ``mergeSchema`` footer-union pass (which besides costing a
+    pre-scan of every footer REFUSES to merge widened types:
+    CANNOT_MERGE_SCHEMAS). The result is exactly ``target_schema``
+    regardless of which generations the scan touched, so downstream
+    plans never vary with file vintage.
+
+    Supported evolution is the parquet-native set: additive columns,
+    dropped columns, numeric widening. An INCOMPATIBLE change (a column
+    re-typed string → long) fails at scan time with the file path in
+    the error — fail fast, never silently coerce. Column pruning and
+    filter pushdown reach the scan as usual (the requested schema IS
+    the scan schema)."""
+    return spark.read.schema(target_schema).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several tables at once; all tables if none named."""
     use = names or TABLES

@@ -194,6 +194,61 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 25
 
 
+def test_read_evolving_normalizes_schema_generations(spark, tmp_path):
+    """Three parquet generations in one directory (column added, type
+    widened int→long, a column no generation ever had): read_evolving
+    returns EXACTLY the target schema — old rows fill with typed NULLs,
+    values survive the casts, and column pruning still reaches the
+    parquet ReadSchema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "one")], "doc_id int, text string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "two", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "three", "de", 0.5)],
+        "doc_id long, text string, lang string, score double",
+    ).write.mode("append").parquet(d)
+
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("score", DoubleType()),
+            StructField("never_written", StringType()),
+        ]
+    )
+    out = io.read_evolving(spark, d, target)
+    assert out.schema == target
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[1] == {
+        "doc_id": 1, "text": "one", "lang": None,
+        "score": None, "never_written": None,
+    }
+    assert rows[2]["lang"] == "en" and rows[2]["score"] is None
+    assert rows[3]["score"] == 0.5
+    # pruning: a 2-column projection reaches the scan's ReadSchema
+    plan = (
+        out.select("doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    read = plan.split("ReadSchema:", 1)[1][:120]
+    assert "doc_id" in read and "text" not in read
+
+
 def test_basket_datasource_round_trip(spark, tx, tmp_path_factory):
     """The Spark 4 Python Data Source speaks the same format as the
     column-op reader: write via the datasource, read back via BOTH paths
