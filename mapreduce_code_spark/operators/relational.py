@@ -1707,6 +1707,43 @@ WHERE 2 * n_orders * price_cents > 3 * custkey_sum_cents
 # Data-quality / integrity constraint checks
 # ---------------------------------------------------------------------------
 
+def profile(df: DataFrame) -> DataFrame:
+    """Single-pass column profiler — the summary every ingest wants
+    before promoting a snapshot: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct_approx, min_str, max_str)``.
+
+    ONE aggregate over ONE scan regardless of column count: every
+    per-column statistic is an expression in the same ``agg`` (all
+    map-side combined, one exchange of a single row), then the wide
+    row unpivots to the per-column report via ``stack`` — the report
+    stays a driver-sized frame at any corpus size. Distinct counts are
+    HyperLogLog-approximate (``approx_count_distinct``) because exact
+    per-column distincts cannot share one pass; min/max are cast to
+    string so mixed column types fit one report schema."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n_rows")]
+    for c in df.columns:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            F.approx_count_distinct(col).alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}"
+        for c in df.columns
+    )
+    return wide.selectExpr(
+        "_n_rows AS n_rows",
+        f"stack({len(df.columns)}, {stack}) AS "
+        "(column, n_nulls, n_distinct_approx, min_str, max_str)",
+    ).select(
+        "column", "n_rows", "n_nulls", "n_distinct_approx", "min_str", "max_str"
+    )
+
+
 def integrity_checks(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Declarative pipeline health checks — the dbt-style constraint
     sweep every ingest runs before promoting a snapshot: uniqueness,

@@ -464,6 +464,29 @@ def test_regional_revenue_parity_and_semantics(spark, sf_dir):
     )
 
 
+def test_profile_single_pass_exact_stats(spark):
+    """The profiler reports hand-checkable stats for every column, and
+    the whole report is ONE aggregate over ONE scan (exactly one
+    shuffle Exchange in the plan, no second FileScan/LocalTableScan
+    pass)."""
+    from mapreduce_code_spark.operators.relational import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 5.0), (4, "a", 7.5)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r.asDict() for r in profile(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["id"]["n_nulls"] == 0 and got["id"]["min_str"] == "1"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["max_str"] == "b"
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct_approx"] == 2
+    # small exact cardinalities: HLL is exact at this size
+    assert got["id"]["n_distinct_approx"] == 4
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
 def test_integrity_checks_planted_violations(spark):
     """Each constraint catches its planted violation exactly once: one
     orphan order, one duplicated customer key, one null totalprice."""
