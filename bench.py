@@ -64,6 +64,38 @@ def net_shuffles(df) -> int:
     return walk(df._jdf.queryExecution().executedPlan())
 
 
+# Queries whose fn() runs work EAGERLY at DataFrame-construction time
+# (driver iteration loops: SGD fits, label propagation). For these a
+# second fn() call to build a "fresh plan" for shuffle counting would
+# re-run the whole computation untimed, and the returned frame's plan
+# is a checkpoint/createDataFrame scan anyway — record the sentinel
+# -1 ("iterative; not one plan") instead.
+EAGER = {
+    "regression_sgd_linear",
+    "regression_sgd_logistic",
+    "dedup_components",
+    "dedup_components_starcontract",
+    "events_streamed_tumbling",  # runs an actual writeStream at build
+    "events_streamed_session",  # writeStream at build
+    "events_streamed_view_purchase",  # stream-stream writeStream at build
+    "dedup_streamed_incremental",  # foreachBatch writeStream at build
+    "relational_streamed_hll",  # foreachBatch writeStream at build
+    "sampling_streamed_stratified",  # writeStream at build
+    "events_streamed_anomaly",  # stream-static join writeStream at build
+    "events_streamed_attribution",  # stateful writeStream at build
+}
+# Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
+# False): the fresh plan net_shuffles() sees is a checkpoint scan, so
+# a structural count would read 0 and hide every real per-round
+# exchange behind the lineage cut — record the same -1 sentinel as
+# the eager loops ("iterative; not one plan").
+LINEAGE_CUT = {
+    "graph_pagerank_clicks",
+    "graph_coreness_clicks",
+    "graph_lpa_communities",
+    "text_bpe_merges",  # merge rounds end in localCheckpoint
+}
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,37 +125,6 @@ def main() -> int:
     # clean 84 s min-of-6 in r4), so the driver-invoked path now pays
     # one repeat to report engine time instead of neighbor noise.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    # Queries whose fn() runs work EAGERLY at DataFrame-construction time
-    # (driver iteration loops: SGD fits, label propagation). For these a
-    # second fn() call to build a "fresh plan" for shuffle counting would
-    # re-run the whole computation untimed, and the returned frame's plan
-    # is a checkpoint/createDataFrame scan anyway — record the sentinel
-    # -1 ("iterative; not one plan") instead.
-    eager = {
-        "regression_sgd_linear",
-        "regression_sgd_logistic",
-        "dedup_components",
-        "dedup_components_starcontract",
-        "events_streamed_tumbling",  # runs an actual writeStream at build
-        "events_streamed_session",  # writeStream at build
-        "events_streamed_view_purchase",  # stream-stream writeStream at build
-        "dedup_streamed_incremental",  # foreachBatch writeStream at build
-        "relational_streamed_hll",  # foreachBatch writeStream at build
-        "sampling_streamed_stratified",  # writeStream at build
-        "events_streamed_anomaly",  # stream-static join writeStream at build
-        "events_streamed_attribution",  # stateful writeStream at build
-    }
-    # Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
-    # False): the fresh plan net_shuffles() sees is a checkpoint scan, so
-    # a structural count would read 0 and hide every real per-round
-    # exchange behind the lineage cut — record the same -1 sentinel as
-    # the eager loops ("iterative; not one plan").
-    lineage_cut = {
-        "graph_pagerank_clicks",
-        "graph_coreness_clicks",
-        "graph_lpa_communities",
-        "text_bpe_merges",  # merge rounds end in localCheckpoint
-    }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     shuffles: dict[str, int] = {}
@@ -143,7 +144,7 @@ def main() -> int:
         # and reused exchanges don't shuffle). Counted structurally on a
         # FRESH unexecuted plan via net_shuffles() — see its docstring
         # for why string-counting the printed plan over-reports.
-        if name in eager or name in lineage_cut:
+        if name in EAGER or name in LINEAGE_CUT:
             shuffles[name] = -1
         else:
             shuffles[name] = net_shuffles(fn(spark, sf_dir))

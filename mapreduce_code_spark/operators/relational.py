@@ -1719,26 +1719,60 @@ def profile(df: DataFrame) -> DataFrame:
     stays a driver-sized frame at any corpus size. Distinct counts are
     HyperLogLog-approximate (``approx_count_distinct``) because exact
     per-column distincts cannot share one pass; min/max are cast to
-    string so mixed column types fit one report schema."""
+    string so mixed column types fit one report schema. Unorderable
+    columns (maps) report nulls-only — min/max/distinct are typed NULL
+    rather than failing the whole report. Column names are never
+    interpolated into SQL text (index-based aliases + ``F.stack`` with
+    Column args), so spaces/dots/quotes in names are fine."""
+    from pyspark.sql.types import MapType
+
+    names = [f_.name for f_ in df.schema.fields]
+    # positional rename to generated identifiers: F.col()/df[...] parse
+    # dots as struct-field access and choke on quotes/backticks, so the
+    # aggregation never references a user-supplied name
+    df = df.toDF(*[f"_c{i}" for i in range(len(names))])
     n = F.count(F.lit(1))
     aggs = [n.alias("_n_rows")]
-    for c in df.columns:
-        col = F.col(c)
+    for i, f_ in enumerate(df.schema.fields):
+        col = F.col(f"_c{i}")
+        orderable = not isinstance(f_.dataType, MapType)
         aggs += [
-            F.sum(col.isNull().cast("bigint")).alias(f"_nulls_{c}"),
-            F.approx_count_distinct(col).alias(f"_dist_{c}"),
-            F.min(col).cast("string").alias(f"_min_{c}"),
-            F.max(col).cast("string").alias(f"_max_{c}"),
+            # sum() over zero rows is NULL — an empty snapshot must
+            # still report 0 nulls, not NULL nulls
+            F.coalesce(
+                F.sum(col.isNull().cast("bigint")), F.lit(0)
+            ).alias(f"_nulls_{i}"),
+            (
+                F.approx_count_distinct(col)
+                if orderable
+                else F.lit(None).cast("bigint")
+            ).alias(f"_dist_{i}"),
+            (
+                F.min(col).cast("string")
+                if orderable
+                else F.lit(None).cast("string")
+            ).alias(f"_min_{i}"),
+            (
+                F.max(col).cast("string")
+                if orderable
+                else F.lit(None).cast("string")
+            ).alias(f"_max_{i}"),
         ]
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}"
-        for c in df.columns
-    )
-    return wide.selectExpr(
-        "_n_rows AS n_rows",
-        f"stack({len(df.columns)}, {stack}) AS "
-        "(column, n_nulls, n_distinct_approx, min_str, max_str)",
+    parts = []
+    for i, name in enumerate(names):
+        parts += [
+            F.lit(name),
+            F.col(f"_nulls_{i}"),
+            F.col(f"_dist_{i}"),
+            F.col(f"_min_{i}"),
+            F.col(f"_max_{i}"),
+        ]
+    return wide.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.stack(F.lit(len(df.schema.fields)), *parts).alias(
+            "column", "n_nulls", "n_distinct_approx", "min_str", "max_str"
+        ),
     ).select(
         "column", "n_rows", "n_nulls", "n_distinct_approx", "min_str", "max_str"
     )

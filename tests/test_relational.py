@@ -486,6 +486,25 @@ def test_profile_single_pass_exact_stats(spark):
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
 
+    # hostile column names (spaces/dots/quotes) never touch SQL text
+    odd = df.withColumnRenamed("s", "user id").withColumnRenamed(
+        "v", "it's.v"
+    )
+    got_odd = {r["column"] for r in profile(odd).collect()}
+    assert got_odd == {"id", "user id", "it's.v"}
+    # unorderable map column: nulls-only row instead of a failed report
+    withmap = df.withColumn("m", F.create_map(F.lit("k"), F.col("id")))
+    m = {r["column"]: r.asDict() for r in profile(withmap).collect()}["m"]
+    assert m["n_nulls"] == 0 and m["min_str"] is None
+    assert m["n_distinct_approx"] is None
+    # empty frame: 0 nulls, not NULL nulls
+    empty = {
+        r["column"]: r.asDict() for r in profile(df.limit(0)).collect()
+    }
+    assert all(
+        r["n_rows"] == 0 and r["n_nulls"] == 0 for r in empty.values()
+    )
+
 
 def test_integrity_checks_planted_violations(spark):
     """Each constraint catches its planted violation exactly once: one

@@ -99,15 +99,21 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     names = (
-        sys.argv[4].split(",")
+        [n.strip() for n in sys.argv[4].split(",") if n.strip()]
         if len(sys.argv) > 4
-        else (
+        else [
             "graph_pagerank_clicks",
             "events_retention_cohorts",
             "similarity_hybrid_rrf",
-        )
+        ]
     )
     qs = queries()
+    unknown = sorted(set(names) - set(qs))
+    if unknown:
+        # fail BEFORE any timing work, with the valid names in hand
+        raise SystemExit(
+            f"unknown queries: {unknown}; registered: {sorted(qs)}"
+        )
     result = {}
     for name in names:
         times = {}
