@@ -694,6 +694,12 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     nothing in the loop ever re-touches the raw corpus."""
     from mapreduce_code_spark.operators.dedup import _persist
 
+    if n_merges < 1:
+        raise ValueError(
+            f"n_merges must be >= 1, got {n_merges}: a BPE vocabulary "
+            "with zero merge rounds has no merge table to return"
+        )
+
     words = _persist(
         documents.select(
             F.explode(

@@ -1724,7 +1724,19 @@ def profile(df: DataFrame) -> DataFrame:
     rather than failing the whole report. Column names are never
     interpolated into SQL text (index-based aliases + ``F.stack`` with
     Column args), so spaces/dots/quotes in names are fine."""
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _contains_map(dt) -> bool:
+        # orderability is recursive: struct<map<...>>, array<map<...>>,
+        # and deeper nestings are just as unorderable as a top-level map
+        # (min/max raise INVALID_ORDERING_TYPE), so walk the whole type
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
 
     names = [f_.name for f_ in df.schema.fields]
     # positional rename to generated identifiers: F.col()/df[...] parse
@@ -1735,7 +1747,7 @@ def profile(df: DataFrame) -> DataFrame:
     aggs = [n.alias("_n_rows")]
     for i, f_ in enumerate(df.schema.fields):
         col = F.col(f"_c{i}")
-        orderable = not isinstance(f_.dataType, MapType)
+        orderable = not _contains_map(f_.dataType)
         aggs += [
             # sum() over zero rows is NULL — an empty snapshot must
             # still report 0 nulls, not NULL nulls

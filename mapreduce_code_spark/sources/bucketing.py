@@ -153,10 +153,19 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     before clustering; range-sampled bucket boundaries are what table
     formats use and slot in here without changing the interleave.
     NULL values bucket to 0 per column (they cluster with that column's
-    minimum instead of nulling the whole key)."""
+    minimum instead of nulling the whole key).
+
+    Integral columns bucket in EXACT decimal(38,0) arithmetic (``div``
+    integral divide — never a double round-trip): 60-bit hash ids, the
+    kind this repo writes elsewhere, sit far beyond the 2^53 range where
+    doubles stop distinguishing adjacent BIGINTs, and a silent collapse
+    of distinct ids into one bucket is exactly the wrong failure mode
+    for a layout key. Fractional/temporal columns keep the double path
+    (their type already concedes that precision)."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
+        IntegralType,
         NumericType,
         TimestampType,
     )
@@ -182,6 +191,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
                 "bucket it to a numeric first"
             )
     helper = {"_zkey", *(f"_zb{i}" for i in range(k)),
+              *(f"_zn{i}" for i in range(k)),
+              *(f"_zd{i}" for i in range(k)),
               *(f"_zmin{i}" for i in range(k)),
               *(f"_zmax{i}" for i in range(k))}
     clash = helper & set(df.columns)
@@ -190,23 +201,41 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
             f"zorder_key: input already has reserved helper column(s) "
             f"{sorted(clash)}; rename them first"
         )
+    exact = [isinstance(df.schema[c].dataType, IntegralType) for c in cols]
     aggs = []
     for i, c in enumerate(cols):
-        v = F.col(c).cast("double")
+        v = F.col(c).cast("decimal(38,0)" if exact[i] else "double")
         aggs += [F.min(v).alias(f"_zmin{i}"), F.max(v).alias(f"_zmax{i}")]
     bounds = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(bounds))
     hi = (1 << bits) - 1
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
-        v = F.col(c).cast("double")
         lo_c, hi_c = F.col(f"_zmin{i}"), F.col(f"_zmax{i}")
-        bucket = F.when(
-            v.isNull() | (hi_c == lo_c), F.lit(0)
-        ).otherwise(
-            F.floor((v - lo_c) * hi / (hi_c - lo_c))
-        ).cast("bigint")
-        out = out.withColumn(f"_zb{i}", bucket)
+        if exact[i]:
+            # exact integral divide via generated numerator/denominator
+            # columns: (v-lo) <= 2^64 (20 digits) times hi <= 2^63 bits'
+            # worth of scale still fits decimal(38,0); `div` truncates
+            # toward zero == floor on the non-negative numerator
+            v = F.col(c).cast("decimal(38,0)")
+            out = (
+                out.withColumn(f"_zn{i}", (v - lo_c) * F.lit(hi))
+                .withColumn(f"_zd{i}", hi_c - lo_c)
+            )
+            bucket = F.when(
+                v.isNull() | (hi_c == lo_c), F.lit(0)
+            ).otherwise(F.expr(f"_zn{i} div _zd{i}")).cast("bigint")
+            out = out.withColumn(f"_zb{i}", bucket).drop(
+                f"_zn{i}", f"_zd{i}"
+            )
+        else:
+            v = F.col(c).cast("double")
+            bucket = F.when(
+                v.isNull() | (hi_c == lo_c), F.lit(0)
+            ).otherwise(
+                F.floor((v - lo_c) * hi / (hi_c - lo_c))
+            ).cast("bigint")
+            out = out.withColumn(f"_zb{i}", bucket)
         for b in range(bits):
             bit = F.shiftright(F.col(f"_zb{i}"), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * k + (k - 1 - i)))

@@ -747,6 +747,18 @@ def test_bpe_merges_greedy_overlap_and_tiebreak(spark):
     assert got == [(1, "a", "a", "aa", 5), (2, "aa", "a", "aaa", 1)]
 
 
+def test_bpe_merges_rejects_zero_rounds(spark):
+    """n_merges=0 has no merge table to return — a descriptive
+    ValueError, not an IndexError from the union fold."""
+    import pytest
+
+    from mapreduce_code_spark.functions import text as TXT
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        TXT.bpe_merges(docs, n_merges=0)
+
+
 def test_quality_filter_train_and_score_separates(spark):
     """End-to-end model-based quality filter: train logistic SGD on a
     planted labeled sample (clean English prose vs degenerate token

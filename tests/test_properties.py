@@ -457,8 +457,14 @@ def test_bpe_encode_matches_bruteforce(spark, word_list, k):
     assert "".join(got) == "".join(word_list)
 
 
+# mixes the small range with 60-bit-scale ids: integral columns bucket
+# in exact decimal arithmetic, so values far beyond double's 2^53
+# whole-number range must still land in exact-rational buckets
+_zcoord = st.one_of(
+    st.integers(-1000, 1000), st.integers(-(1 << 62), 1 << 62)
+)
 _zpoints = st.lists(
-    st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+    st.tuples(_zcoord, _zcoord),
     min_size=2,
     max_size=60,
 )
@@ -467,19 +473,18 @@ _zpoints = st.lists(
 def _ref_morton(points, bits):
     """Brute-force Morton keys: min/max-normalize each dimension to
     ``bits``-bit buckets, interleave (x gets the higher bit of each
-    pair)."""
+    pair). Exact integer math — the engine's integral path is exact
+    decimal, not double."""
     xs, ys = [p[0] for p in points], [p[1] for p in points]
     hi = (1 << bits) - 1
 
     def bucket(v, lo, up):
-        import math
-
-        return 0 if up == lo else math.floor((v - lo) * hi / (up - lo))
+        return 0 if up == lo else (v - lo) * hi // (up - lo)
 
     out = []
     for x, y in points:
-        bx = bucket(float(x), float(min(xs)), float(max(xs)))
-        by = bucket(float(y), float(min(ys)), float(max(ys)))
+        bx = bucket(x, min(xs), max(xs))
+        by = bucket(y, min(ys), max(ys))
         z = 0
         for b in range(bits):
             z |= ((bx >> b) & 1) << (2 * b + 1)

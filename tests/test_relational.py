@@ -497,6 +497,20 @@ def test_profile_single_pass_exact_stats(spark):
     m = {r["column"]: r.asDict() for r in profile(withmap).collect()}["m"]
     assert m["n_nulls"] == 0 and m["min_str"] is None
     assert m["n_distinct_approx"] is None
+    # NESTED maps are just as unorderable (min/max would raise
+    # INVALID_ORDERING_TYPE): struct<map> and array<map> columns must
+    # degrade to the same typed-NULL row, not fail the whole report
+    nested = df.withColumn(
+        "sm", F.struct(F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    ).withColumn(
+        "am", F.array(F.create_map(F.lit("k"), F.col("id")))
+    )
+    rep = {r["column"]: r.asDict() for r in profile(nested).collect()}
+    for c in ("sm", "am"):
+        assert rep[c]["n_nulls"] == 0 and rep[c]["min_str"] is None
+        assert rep[c]["n_distinct_approx"] is None
+    # plain structs/arrays without maps remain orderable and keep stats
+    assert rep["id"]["min_str"] == "1"
     # empty frame: 0 nulls, not NULL nulls
     empty = {
         r["column"]: r.asDict() for r in profile(df.limit(0)).collect()

@@ -71,7 +71,12 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
             tpl.format(i=i, es=EVENT_STRIDE, us=USER_STRIDE, ds=DOC_STRIDE)
             for i in range(copies)
         )
-        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        # write-then-rename: a truncated file left by an interrupted run
+        # must never pass the exists() reuse check above — only a COPY
+        # that completed lands at the final path
+        tmp = dst + ".tmp"
+        con.execute(f"COPY ({union}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, dst)
 
 
 def main() -> int:
