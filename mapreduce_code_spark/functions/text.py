@@ -758,50 +758,112 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     )
 
 
-def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB twin of :func:`bpe_merges` — the merge loop unrolled as
-    chained CTEs (same spaced-symbol representation, same literal
-    replace, same (cnt desc, lhs, rhs) tie-break)."""
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The unrolled training-CTE chain shared by :func:`bpe_merges_sql`
+    and :func:`bpe_encode_sql`: ``tok``/``words_0`` plus
+    ``syms_i``/``pairs_i``/``top_i``/``words_i`` per round."""
     parts = [
-        f"""WITH tok AS (
+        f"""WITH tok AS MATERIALIZED (
   SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS word
   FROM documents
 ),
-words_0 AS (
+words_0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS spaced,
          count(*) AS freq
   FROM tok GROUP BY word
 )"""
     ]
     for i in range(1, n_merges + 1):
-        parts.append(f"""syms_{i} AS (
+        parts.append(f"""syms_{i} AS MATERIALIZED (
   SELECT string_split(trim(spaced), '  ') AS s, freq FROM words_{i - 1}
 ),
-pairs_{i} AS (
+pairs_{i} AS MATERIALIZED (
   SELECT s[j] AS lhs, s[j + 1] AS rhs, freq
   FROM syms_{i}, UNNEST(generate_series(1, len(s) - 1)) AS t(j)
 ),
-top_{i} AS (
+top_{i} AS MATERIALIZED (
   SELECT lhs, rhs, cnt FROM (
     SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
     FROM pairs_{i} GROUP BY lhs, rhs)
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
-words_{i} AS (
+words_{i} AS MATERIALIZED (
   SELECT replace(spaced,
                  (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top_{i}),
                  (SELECT ' ' || lhs || rhs || ' ' FROM top_{i})) AS spaced,
          freq
   FROM words_{i - 1}
 )""")
-        # words_{n_merges} is generated but unused — harmless, and keeping
-        # the loop uniform keeps the twin trivially diffable per round
+        # words_{n_merges} is generated but unused by the merge-table
+        # select — harmless, and keeping the loop uniform keeps the twin
+        # trivially diffable per round
+    return parts
+
+
+def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the merge loop unrolled as
+    chained CTEs (same spaced-symbol representation, same literal
+    replace, same (cnt desc, lhs, rhs) tie-break)."""
     selects = [
         f"SELECT {i} AS merge_round, lhs, rhs, lhs || rhs AS merged,"
         f" cnt AS pair_cnt FROM top_{i}"
         for i in range(1, n_merges + 1)
     ]
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return (
+        ",\n".join(_bpe_train_ctes(n_merges))
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def bpe_encode_sql(
+    n_merges: int = BPE_MERGES, doc_predicate: str = "TRUE"
+) -> str:
+    """DuckDB twin of train-then-encode: the :func:`_bpe_train_ctes`
+    chain learns ``top_1..top_n`` from the FULL corpus, then the
+    documents matching ``doc_predicate`` are re-tokenized word by word
+    through the same unrolled replace chain (``dw_i`` mirrors
+    ``words_i`` but keeps doc identity and word order). ``pos`` is the
+    0-based token position within the document — derived by ranking
+    (word index, token-within-word index), exactly posexplode's
+    flattened order."""
+    parts = list(_bpe_train_ctes(n_merges))
+    parts.append(f"""dwords AS MATERIALIZED (
+  SELECT doc_id, wi, ws[wi] AS word FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '{BPE_WORD_RE}') AS ws
+    FROM documents WHERE {doc_predicate}
+  ), UNNEST(generate_series(1, len(ws))) AS t(wi)
+),
+dw_0 AS MATERIALIZED (
+  SELECT doc_id, wi,
+         regexp_replace(word, '(.)', ' \\1 ', 'g') AS spaced
+  FROM dwords
+)""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""dw_{i} AS MATERIALIZED (
+  SELECT doc_id, wi,
+         replace(spaced,
+                 (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top_{i}),
+                 (SELECT ' ' || lhs || rhs || ' ' FROM top_{i})) AS spaced
+  FROM dw_{i - 1}
+)""")
+    parts.append(f"""dtoks AS MATERIALIZED (
+  SELECT doc_id, wi, string_split(trim(spaced), '  ') AS ts FROM dw_{n_merges}
+),
+dflat AS MATERIALIZED (
+  SELECT doc_id, wi, j, ts[j] AS token
+  FROM dtoks, UNNEST(generate_series(1, len(ts))) AS t(j)
+)""")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1
+            AS INTEGER) AS pos,
+       token
+FROM dflat"""
+    )
 
 
 def bpe_encode(documents: DataFrame, merges: DataFrame) -> DataFrame:

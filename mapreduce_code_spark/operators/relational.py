@@ -1707,20 +1707,26 @@ WHERE 2 * n_orders * price_cents > 3 * custkey_sum_cents
 # Data-quality / integrity constraint checks
 # ---------------------------------------------------------------------------
 
-def profile(df: DataFrame) -> DataFrame:
+def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     """Single-pass column profiler — the summary every ingest wants
     before promoting a snapshot: one row per column with
-    ``(column, n_rows, n_nulls, n_distinct_approx, min_str, max_str)``.
+    ``(column, n_rows, n_nulls, n_distinct, min_str, max_str)``.
 
     ONE aggregate over ONE scan regardless of column count: every
     per-column statistic is an expression in the same ``agg`` (all
     map-side combined, one exchange of a single row), then the wide
     row unpivots to the per-column report via ``stack`` — the report
     stays a driver-sized frame at any corpus size. Distinct counts are
-    HyperLogLog-approximate (``approx_count_distinct``) because exact
-    per-column distincts cannot share one pass; min/max are cast to
-    string so mixed column types fit one report schema. Unorderable
-    columns (maps) report nulls-only — min/max/distinct are typed NULL
+    HyperLogLog-approximate (``approx_count_distinct``) by default
+    because exact per-column distincts cannot share one plain pass;
+    ``exact_distinct=True`` switches to exact ``countDistinct`` —
+    still one SCAN, but Catalyst plans multi-distinct via Expand
+    (each input row replicated once per distinct column), so it costs
+    ~column-count× the aggregate work; the exact mode is what the
+    driver CORRECTNESS row runs (HLL++ internals aren't reproducible
+    in an external oracle engine). Min/max are cast to string so mixed
+    column types fit one report schema. Unorderable columns (maps,
+    incl. nested) report nulls-only — min/max/distinct are typed NULL
     rather than failing the whole report. Column names are never
     interpolated into SQL text (index-based aliases + ``F.stack`` with
     Column args), so spaces/dots/quotes in names are fine."""
@@ -1755,7 +1761,11 @@ def profile(df: DataFrame) -> DataFrame:
                 F.sum(col.isNull().cast("bigint")), F.lit(0)
             ).alias(f"_nulls_{i}"),
             (
-                F.approx_count_distinct(col)
+                (
+                    F.countDistinct(col)
+                    if exact_distinct
+                    else F.approx_count_distinct(col)
+                )
                 if orderable
                 else F.lit(None).cast("bigint")
             ).alias(f"_dist_{i}"),
@@ -1783,11 +1793,28 @@ def profile(df: DataFrame) -> DataFrame:
     return wide.select(
         F.col("_n_rows").alias("n_rows"),
         F.stack(F.lit(len(df.schema.fields)), *parts).alias(
-            "column", "n_nulls", "n_distinct_approx", "min_str", "max_str"
+            "column", "n_nulls", "n_distinct", "min_str", "max_str"
         ),
     ).select(
-        "column", "n_rows", "n_nulls", "n_distinct_approx", "min_str", "max_str"
+        "column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
     )
+
+
+def profile_exact_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile` with ``exact_distinct=True`` over
+    ``table`` — one UNION ALL branch per column (the oracle may be
+    column-count× the work; the Spark side stays one scan). Column
+    names here are trusted identifiers from a known test table, not
+    user input."""
+    branches = []
+    for c in cols:
+        branches.append(f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM {table}""")
+    return "\nUNION ALL\n".join(branches)
 
 
 def integrity_checks(customer: DataFrame, orders: DataFrame) -> DataFrame:

@@ -69,6 +69,41 @@ FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN s USING (doc_id)
 """
 
 
+def curated_chunks(
+    documents: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+) -> DataFrame:
+    """The shared curate→chunk composition under both
+    :func:`materialize_training_set` (which writes it) and
+    :func:`training_manifest` (which ranks and fingerprints it):
+    surviving documents' overlapping context-window chunks, each keyed
+    by the ``doc_id:chunk_id`` string that identifies a CHUNK in the
+    training-order shuffle.
+
+    Chunks the RAW corpus (a narrow map — no shuffle) and prunes with a
+    single doc_id join against the curated frame, which also carries
+    pred_lang onto the chunk rows. Catalyst does not de-duplicate
+    common subplans across joins, so referencing the curated frame (or
+    a documents-join-curated frame) twice would execute the whole
+    curation subtree — dedup window included — twice; chunking a few
+    percent of doomed docs costs far less than a second curation
+    pass."""
+    from mapreduce_code_spark.operators.sampling import chunk_documents
+
+    curated = curated_corpus(documents, min_quality=min_quality)
+    chunks = chunk_documents(
+        documents.select("doc_id", "text"),
+        size=chunk_size,
+        stride=chunk_stride,
+    ).join(curated.select("doc_id", "pred_lang"), "doc_id")
+    return chunks.withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+    )
+
+
 def materialize_training_set(
     documents: DataFrame,
     path: str,
@@ -92,28 +127,16 @@ def materialize_training_set(
     shuffles are the dedup keeper window, the chunk↔curated doc_id
     join, and the final shard exchange aligned with the output layout.
     At 100 TB nothing here materializes an intermediate corpus."""
-    from mapreduce_code_spark.operators.sampling import chunk_documents
     from mapreduce_code_spark.sources.bucketing import write_shuffled
 
-    curated = curated_corpus(documents, min_quality=min_quality)
-    # Chunk the RAW corpus (a narrow map — no shuffle) and prune with a
-    # single doc_id join against the curated frame, which also carries
-    # pred_lang onto the chunk rows. Catalyst does not de-duplicate
-    # common subplans across joins, so referencing `curated` (or a
-    # documents-join-curated frame) twice would execute the whole
-    # curation subtree — dedup window included — twice; chunking a few
-    # percent of doomed docs costs far less than a second curation pass.
-    chunks = chunk_documents(
-        documents.select("doc_id", "text"),
-        size=chunk_size,
-        stride=chunk_stride,
-    ).join(curated.select("doc_id", "pred_lang"), "doc_id")
     # the shuffle key must identify a CHUNK (doc_id alone would glue a
     # document's chunks together — the opposite of a shuffle); it is
     # derived, so the writer drops it after sorting
-    keyed = chunks.withColumn(
-        "chunk_key",
-        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+    keyed = curated_chunks(
+        documents,
+        min_quality=min_quality,
+        chunk_size=chunk_size,
+        chunk_stride=chunk_stride,
     )
     write_shuffled(
         keyed,
@@ -123,6 +146,87 @@ def materialize_training_set(
         salt=salt,
         drop_key=True,
     )
+
+
+def training_manifest(
+    documents: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """The deterministic manifest of what :func:`materialize_training_set`
+    lays on disk — WITHOUT writing it: one row per surviving chunk with
+    ``(shard, pos, doc_id, chunk_id, chunk_md5, pred_lang)``, where
+    (shard, pos) is the chunk's place in the global training-order
+    permutation and ``chunk_md5`` fingerprints its text. Because every
+    stage (curate → chunk → shuffle_order) is a pure function of the
+    corpus and ``salt``, this frame is THE contract for the written
+    shards: byte-identical runs produce identical manifests, and the
+    whole chain — dedup keeper window, quality gate, language ID,
+    chunk geometry, md5 training order — is oracled in one row set.
+
+    Scale shape: the same shuffles as the write path (dedup window,
+    chunk↔curated join, one shard-keyed rank exchange) minus the write
+    itself; the manifest is ~1 row per chunk with no text column."""
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    keyed = curated_chunks(
+        documents,
+        min_quality=min_quality,
+        chunk_size=chunk_size,
+        chunk_stride=chunk_stride,
+    )
+    ordered = shuffle_order(
+        keyed, key="chunk_key", salt=salt, n_shards=n_shards
+    )
+    return ordered.select(
+        "shard",
+        "pos",
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "pred_lang",
+    )
+
+
+def training_manifest_sql(
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> str:
+    """DuckDB twin of :func:`training_manifest` — curated_corpus and
+    chunk_documents twins composed, then the shuffle_order hash/shard/
+    rank algebra inlined over the ``doc_id:chunk_id`` chunk key."""
+    from mapreduce_code_spark.operators.sampling import (
+        ORD_BITS,
+        chunk_documents_sql,
+    )
+
+    step = ((1 << ORD_BITS) + n_shards - 1) // n_shards
+    h = (
+        f"('0x' || substr(md5('shuffle|{salt}|' || chunk_key), 1, 15))"
+        "::BIGINT"
+    )
+    return f"""
+WITH curated AS ({curated_corpus_sql(min_quality)}),
+chunks AS ({chunk_documents_sql(size=chunk_size, stride=chunk_stride)}),
+keyed AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_text, cu.pred_lang,
+         CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.chunk_id AS VARCHAR)
+           AS chunk_key
+  FROM chunks c JOIN curated cu ON c.doc_id = cu.doc_id
+),
+h AS (SELECT *, {h} AS ord_key FROM keyed)
+SELECT ord_key // {step} AS shard,
+       row_number() OVER (PARTITION BY ord_key // {step}
+                          ORDER BY ord_key, chunk_key) AS pos,
+       doc_id, chunk_id, md5(chunk_text) AS chunk_md5, pred_lang
+FROM h
+"""
 
 
 def quality_filter_features(documents: DataFrame) -> DataFrame:

@@ -28,12 +28,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
-# Retired from the driver-visible surface (round-4 verdict #3: the
-# registry sat exactly at the 2-round coverage ceiling of the ~50-row
-# budget, so the pure-batch twins of queries whose kernels ALSO run
-# through real writeStream paths were retired — their behavior stays
-# pinned by the streamed twins' oracle rows plus the batch/stream parity
-# tests). Kept callable here so plan pins and tests still exercise them.
+# Retired from the driver-visible surface — the rotation budget is ~50
+# rows/round and the registry must fit the 2-round coverage ceiling, so
+# near-twin variants whose kernel earns a driver row through another
+# registered query get retired instead of crowding the rotation:
+# round 4 retired the pure-batch twins of writeStream queries; round 6
+# retired the apriori support/ordered/canonical-rules variants, the
+# propagation components variant, the batch z-score twin, and the
+# rows-only int8 top-k (r5 verdict #2). Oracled retirees stay pinned by
+# test_plan_shapes.test_retired_twins_still_match_their_oracles; all
+# stay callable for plan audits and tests.
 _RETIRED: dict[str, QueryFn] = {}
 _RETIRED_ORACLES: dict[str, str] = {}
 
@@ -87,62 +91,63 @@ def retired(name: str, oracle: str | None = None):
 # four batch twins retired (see ``_RETIRED``) the surface is back under
 # the 2-round coverage ceiling with slack.
 _FIRST = [
-    # the one query that has never had a driver CORRECTNESS row: it sat
-    # at position 51 of round 4's 50-row budget (verdict #1 — leads r05)
-    "graph_lpa_communities",
-    # new in round 5
-    "text_bpe_merges",  # new: BPE pair-merge vocabulary training
-    "sampling_global_shuffle",  # new: deterministic training-order shuffle
-    # code touched in round 5
-    "events_session_paths",  # touched: global rank window -> TakeOrdered
-    # latest green row is r03 (rotation: due this round), minus the four
-    # retired twins
-    "apriori_association_rules",
-    "apriori_frequent_items",
-    "apriori_frequent_itemsets",
-    "dedup_components",
-    "dedup_components_starcontract",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_near_dup_scalable",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_json_props",
-    "events_sliding_window",
-    "events_streamed_tumbling",
-    "events_user_running_totals",
-    "multimodal_features",
-    "multimodal_meta",
-    "pipeline_curated_corpus",
-    "regression_ols_stats",
-    "regression_sgd_linear",
-    "regression_sgd_logistic",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_events_close_pairs",
-    "relational_events_orders_asof",
-    "relational_histogram_quantiles",
-    "relational_hll_distinct",
-    "relational_hourly_gapfill",
-    "relational_pricing_summary",
-    "relational_quantity_quartiles",
-    "relational_rolling_24h",
-    "sampling_pack_documents",
-    "sampling_quality_weighted",
-    "sampling_streamed_stratified",
-    "sampling_train_val_split",
-    "similarity_cosine_dups",
-    "similarity_quantize_int8",
-    "similarity_topk_cosine",
-    "similarity_topk_int8",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "text_lang_id",
-    "text_quality",
-    "text_stats",
-    "text_tfidf",
-    "text_winnow_fingerprint",
+    # new in round 6 (r5 verdict #2/#4: first driver rows for the
+    # strongest round-5 library surfaces)
+    "text_bpe_encode",
+    "relational_profile",
+    "pipeline_materialize_manifest",
+    # code touched in round 6 (bpe_merges gained arg validation — the
+    # kernel text changed, so its row re-verifies)
+    "text_bpe_merges",
+    # latest green row is r04 (rotation: due this round), minus the
+    # three round-6 retirements (apriori_frequent_itemsets_s300 /
+    # _ordered, events_anomaly_zscore)
+    "apriori_association_rules_ref",
+    "dedup_streamed_incremental",
+    "dedup_substring_spans",
+    "events_attribution_last_touch",
+    "events_drift_chisq",
+    "events_retention_cohorts",
+    "events_streamed_anomaly",
+    "events_streamed_attribution",
+    "events_streamed_session",
+    "events_streamed_view_purchase",
+    "graph_coreness_clicks",
+    "graph_pagerank_clicks",
+    "graph_triangle_clicks",
+    "multimodal_frame_plan",
+    "relational_above_avg_orders",
+    "relational_bloom_customers",
+    "relational_countmin_heavy_hitters",
+    "relational_cube_order_stats",
+    "relational_filter_case_orders",
+    "relational_funnel_stages",
+    "relational_grouping_sets",
+    "relational_idle_customers",
+    "relational_integrity_checks",
+    "relational_kv_upsert",
+    "relational_pivot_returnflag",
+    "relational_pointintime_prices",
+    "relational_regional_revenue",
+    "relational_returned_orders",
+    "relational_rollup_pricing",
+    "relational_scd2_prices",
+    "relational_setops_customers",
+    "relational_streamed_hll",
+    "relational_topk_parts_per_brand",
+    "relational_unpivot_measures",
+    "relational_winsorized_prices",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "sampling_temperature_mix",
+    "similarity_assign_centroids",
+    "similarity_hybrid_rrf",
+    "similarity_label_centroids",
+    "similarity_semantic_dedup",
+    "text_contamination_ngram",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_repetition_gopher",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
@@ -299,9 +304,14 @@ HIGH_SUPPORT = 300  # prunes ~half the pairs and most triples at sf0.01 —
 # exercises the support HAVING non-vacuously (at SUPPORT=5 nothing is cut)
 
 
-@register("apriori_frequent_itemsets_s300", oracle=_itemsets_oracle(HIGH_SUPPORT))
+@retired("apriori_frequent_itemsets_s300", oracle=_itemsets_oracle(HIGH_SUPPORT))
 def q_frequent_itemsets_high(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apriori with a support threshold that actually prunes (P2/P3)."""
+    """Apriori with a support threshold that actually prunes (P2/P3).
+
+    Retired round 6 (budget): same kernel as apriori_frequent_itemsets
+    with a different support constant — the threshold behavior stays
+    pinned by this oracle in test_plan_shapes and by the raw/final-mode
+    tests in tests/test_frequent.py."""
     return frequent.frequent_itemsets(
         _transactions(spark, sf_dir),
         frequent.AprioriConfig(support=HIGH_SUPPORT),
@@ -351,13 +361,17 @@ WHERE cnt >= {SUPPORT}
 """
 
 
-@register("apriori_frequent_itemsets_ordered", oracle=_ORDERED_ITEMSETS_ORACLE)
+@retired("apriori_frequent_itemsets_ordered", oracle=_ORDERED_ITEMSETS_ORACLE)
 def q_frequent_itemsets_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori in faithful reference-replay mode: encounter-order baskets
     (``prep.transactions_ordered``) + order-sensitive itemset identity
     (``AprioriConfig(ordered_identity=True)``) — the reference's
     transaction-order-sensitive keys (``apriori_final.java:82-93``)
-    reproduced end to end (round-3 verdict task 6)."""
+    reproduced end to end (round-3 verdict task 6).
+
+    Retired round 6 (budget): a behavioral-flag variant of the same
+    kernel; the order-sensitive identity stays pinned by this oracle in
+    test_plan_shapes and the ordered-mode unit tests."""
     tx = prep.transactions_ordered(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
@@ -386,7 +400,11 @@ triples2 AS (
 """
 
 
-@register(
+@retired(
+    # Retired round 6 (r5 verdict #2): near-twin of
+    # apriori_association_rules_ref (the faithful reference-replay one,
+    # which keeps the driver row); canonical A=>B semantics stay pinned
+    # by this oracle in test_plan_shapes + tests/test_rules.py.
     "apriori_association_rules",
     oracle=_SQL_ITEMSET_CTES
     + """
@@ -622,12 +640,17 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_components", oracle=dedup.dup_components_sql())
+@retired("dedup_components", oracle=dedup.dup_components_sql())
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the scalable near-dup pairs: one keeper
     per transitive dup CLUSTER (min-label propagation; oracle = DuckDB
     recursive reachability) — the step that turns pair lists into an
-    actionable dedup decision."""
+    actionable dedup decision.
+
+    Retired round 6 (r5 verdict #2): same contract as
+    dedup_components_starcontract (which keeps the driver row — the
+    O(log cluster-size) variant is the designated 100 TB path); the
+    propagation variant stays oracle-pinned in test_plan_shapes."""
     return dedup.dup_components(_near_dup_pairs(spark, sf_dir))
 
 
@@ -685,10 +708,15 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_topk_int8")  # approximate (quantized) — rows-only
+@retired("similarity_topk_int8")  # approximate (quantized) — rows-only
 def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over int8-quantized vectors (scales
-    cancel in the cosine); recall vs exact asserted in tests."""
+    cancel in the cosine); recall vs exact asserted in tests.
+
+    Retired round 6 (r5 verdict #2): a rows-only driver row adds no
+    hash signal beyond the recall/property tests that already pin this
+    kernel (test_similarity.py); the quantizer itself keeps its oracled
+    row via similarity_quantize_int8."""
     return similarity.topk_cosine_int8(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -807,6 +835,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.bpe_merges(load_table(spark, sf_dir, "documents"))
 
 
+# encode a deterministic 1-in-5 slice of the corpus with the full-corpus
+# vocabulary: training stays corpus-faithful while the driver row stays
+# ~25k token rows instead of ~125k at sf0.01
+_BPE_ENCODE_PRED = "doc_id % 5 = 0"
+
+
+@register(
+    "text_bpe_encode",
+    oracle=TXT.bpe_encode_sql(doc_predicate=_BPE_ENCODE_PRED),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with the trained merge table — the apply half a
+    training pipeline actually runs per batch (r5 verdict #2): train on
+    the full corpus, then encode a deterministic document slice to the
+    ``(doc_id, pos, token)`` stream. The merge table folds into ONE
+    broadcast array; encoding is a per-row fold of literal replaces in
+    one projection — one corpus scan, zero corpus-side shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TXT.bpe_merges(docs)
+    return TXT.bpe_encode(docs.filter(F.expr(_BPE_ENCODE_PRED)), merges)
+
+
 from mapreduce_code_spark.plans import pipeline as PIPE  # noqa: E402
 
 
@@ -815,6 +865,20 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: dedup → quality gate → lang ID → stats
     in one Catalyst plan (the end-to-end corpus-build story)."""
     return PIPE.curated_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_materialize_manifest", oracle=PIPE.training_manifest_sql()
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (shard, pos, chunk fingerprint) manifest of the
+    full materialize_training_set chain — curate → chunk → global
+    training-order shuffle — as ONE oracled row set (r5 verdict #4):
+    what plans/pipeline.materialize_training_set writes to disk, minus
+    the write. Hash-matching the DuckDB twin pins the dedup keeper
+    window, quality gate, language ID, chunk geometry, and the md5
+    training-order permutation end to end in one driver row."""
+    return PIPE.training_manifest(load_table(spark, sf_dir, "documents"))
 
 
 from mapreduce_code_spark.operators import sampling as SMP  # noqa: E402
@@ -1166,6 +1230,26 @@ def q_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "relational_profile",
+    oracle=R.profile_exact_sql("documents", _DOC_COLS),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler (r5 verdict #2): per-column
+    nulls/distinct/min/max in ONE aggregate over ONE scan. The driver
+    row runs ``exact_distinct=True`` (HLL++ internals can't be
+    reproduced in an external oracle engine; the exact mode trades one
+    Expand for oracle-able counts — still a single scan); the HLL
+    default stays pinned by the plan-shape test."""
+    return R.profile(
+        load_table(spark, sf_dir, "documents").select(*_DOC_COLS),
+        exact_distinct=True,
+    )
+
+
 @register("relational_distinct_part_stats", oracle=R.distinct_part_stats_sql())
 def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counts per p_type."""
@@ -1349,10 +1433,16 @@ def q_triangle_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mapreduce_code_spark.operators import monitoring as MON  # noqa: E402
 
 
-@register("events_anomaly_zscore", oracle=MON.anomaly_zscore_sql())
+@retired("events_anomaly_zscore", oracle=MON.anomaly_zscore_sql())
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3σ value outliers per event type — exact integer (n, Σv, Σv²) in
-    cent-quantized space, broadcast-joined back (fact never shuffles)."""
+    cent-quantized space, broadcast-joined back (fact never shuffles).
+
+    Retired round 6 (budget, same move as the four r5 retirements):
+    pure-batch twin of events_streamed_anomaly, which runs the SAME
+    scorer kernel through a real writeStream against the SAME oracle
+    and keeps the driver row; the batch twin stays oracle-pinned in
+    test_plan_shapes."""
     return MON.anomaly_zscore(load_table(spark, sf_dir, "events"))
 
 

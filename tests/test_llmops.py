@@ -869,3 +869,16 @@ def test_bpe_merges_matches_oracle(spark, sf_dir):
         sf_dir,
         TXT.bpe_merges_sql(),
     )
+
+
+def test_bpe_encode_matches_oracle(spark, sf_dir):
+    """The registered train-then-encode row: full-corpus vocabulary
+    applied to the deterministic 1-in-5 document slice, token stream
+    hash-equal to the unrolled DuckDB twin."""
+    from mapreduce_code_spark.registry import oracle_sql, queries
+
+    assert_parity(
+        queries()["text_bpe_encode"](spark, sf_dir),
+        sf_dir,
+        oracle_sql()["text_bpe_encode"],
+    )

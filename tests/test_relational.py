@@ -480,9 +480,9 @@ def test_profile_single_pass_exact_stats(spark):
     assert all(r["n_rows"] == 4 for r in got.values())
     assert got["id"]["n_nulls"] == 0 and got["id"]["min_str"] == "1"
     assert got["s"]["n_nulls"] == 1 and got["s"]["max_str"] == "b"
-    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct_approx"] == 2
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
     # small exact cardinalities: HLL is exact at this size
-    assert got["id"]["n_distinct_approx"] == 4
+    assert got["id"]["n_distinct"] == 4
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
 
@@ -496,7 +496,7 @@ def test_profile_single_pass_exact_stats(spark):
     withmap = df.withColumn("m", F.create_map(F.lit("k"), F.col("id")))
     m = {r["column"]: r.asDict() for r in profile(withmap).collect()}["m"]
     assert m["n_nulls"] == 0 and m["min_str"] is None
-    assert m["n_distinct_approx"] is None
+    assert m["n_distinct"] is None
     # NESTED maps are just as unorderable (min/max would raise
     # INVALID_ORDERING_TYPE): struct<map> and array<map> columns must
     # degrade to the same typed-NULL row, not fail the whole report
@@ -508,7 +508,7 @@ def test_profile_single_pass_exact_stats(spark):
     rep = {r["column"]: r.asDict() for r in profile(nested).collect()}
     for c in ("sm", "am"):
         assert rep[c]["n_nulls"] == 0 and rep[c]["min_str"] is None
-        assert rep[c]["n_distinct_approx"] is None
+        assert rep[c]["n_distinct"] is None
     # plain structs/arrays without maps remain orderable and keep stats
     assert rep["id"]["min_str"] == "1"
     # empty frame: 0 nulls, not NULL nulls
@@ -518,6 +518,28 @@ def test_profile_single_pass_exact_stats(spark):
     assert all(
         r["n_rows"] == 0 and r["n_nulls"] == 0 for r in empty.values()
     )
+
+
+def test_profile_exact_mode_oracle_parity(spark, sf_dir):
+    """The registered driver row (exact_distinct=True) hash-matches the
+    per-column UNION ALL DuckDB twin, and exact mode still reads the
+    table ONCE (multi-distinct goes through one Expand, not one scan
+    per column)."""
+    from mapreduce_code_spark.registry import oracle_sql, queries
+    from tests.helpers import assert_parity
+
+    assert_parity(
+        queries()["relational_profile"](spark, sf_dir),
+        sf_dir,
+        oracle_sql()["relational_profile"],
+    )
+    plan = (
+        queries()["relational_profile"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_integrity_checks_planted_violations(spark):

@@ -740,3 +740,50 @@ def test_materialize_training_set_end_to_end(spark, sf_dir, tmp_path):
         for r in pdf.itertuples()
     ]
     assert sorted(replay3) == sorted(replay) and replay3 != replay
+
+
+def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
+    """training_manifest (the registered driver row) must describe the
+    bytes materialize_training_set lays on disk EXACTLY: per shard, the
+    manifest rows in pos order are the written file's row order, and
+    chunk_md5 fingerprints the written chunk_text — so the oracled
+    manifest row genuinely pins the write path, not a parallel
+    reimplementation. Also oracle-parity for the registered query."""
+    import hashlib
+
+    from mapreduce_code_spark.plans.pipeline import (
+        materialize_training_set,
+        training_manifest,
+    )
+    from mapreduce_code_spark.registry import oracle_sql, queries
+    from mapreduce_code_spark.sources.io import load_table
+    from tests.helpers import assert_parity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "train_set")
+    materialize_training_set(docs, out, n_shards=4)
+    manifest = (
+        training_manifest(docs, n_shards=4)
+        .orderBy("shard", "pos")
+        .collect()
+    )
+    written = {
+        int(shard.split("=", 1)[1]): [
+            (r.doc_id, r.chunk_id, hashlib.md5(r.chunk_text.encode()).hexdigest())
+            for r in pdf.itertuples()
+        ]
+        for shard, pdf in _read_shards(out).items()
+    }
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in manifest:
+        by_shard[r["shard"]].append((r["doc_id"], r["chunk_id"], r["chunk_md5"]))
+        assert r["pos"] == len(by_shard[r["shard"]])  # dense 1-based rank
+    assert dict(by_shard) == written
+
+    assert_parity(
+        queries()["pipeline_materialize_manifest"](spark, sf_dir),
+        sf_dir,
+        oracle_sql()["pipeline_materialize_manifest"],
+    )
