@@ -97,6 +97,7 @@ LINEAGE_CUT = {
     "graph_coreness_clicks",
     "graph_lpa_communities",
     "text_bpe_merges",  # merge rounds end in localCheckpoint
+    "text_bpe_encode",  # trains its merge table through the same rounds
 }
 
 def main() -> int:

@@ -182,6 +182,53 @@ def test_no_partitionless_unbounded_window(spark, sf_dir, name):
     assert not bad, f"{name}: partitionless window exec(s) {bad}"
 
 
+# PLANS.md freshness sentinels (r5 verdict #6): a committed plan
+# inventory nothing validates is a plan inventory that silently rots.
+# These queries span the shapes the file exists to document — top-k
+# operators, pushdown, the cached near-dup pipeline, the new profiler
+# Expand, and the manifest chain; their committed rows must match a
+# live regeneration byte-for-byte.
+PLAN_SENTINELS = [
+    "relational_pricing_summary",
+    "relational_topk_parts_per_brand",
+    "events_session_paths",
+    "dedup_near_dup_scalable",
+    "relational_profile",
+    "pipeline_materialize_manifest",
+]
+
+
+def test_plans_md_sentinel_rows_are_fresh(spark):
+    """Regenerate the PLANS.md rows for the sentinel queries with the
+    exact row-builder the committed file came from (same sf0.1 dir —
+    plan shapes can be size-dependent) and diff against the committed
+    lines: a plan-shape change without `python tools/plan_report.py`
+    now fails pytest instead of shipping a stale inventory."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        from plan_report import query_row
+    finally:
+        sys.path.pop(0)
+
+    committed = {}
+    for line in (root / "PLANS.md").read_text().splitlines():
+        if line.startswith("| ") and not line.startswith("| query"):
+            committed[line.split("|")[1].strip()] = line
+    qs = queries()
+    for name in PLAN_SENTINELS:
+        row, bad = query_row(name, qs[name], spark, "/root/testdata/sf0.1")
+        assert not bad, bad
+        assert name in committed, f"PLANS.md has no row for {name}"
+        assert committed[name] == row, (
+            f"PLANS.md is stale for {name}:\n committed: {committed[name]}\n"
+            f" live:      {row}\nregenerate with tools/plan_report.py"
+        )
+
+
 def test_retired_twins_still_match_their_oracles(spark, sf_dir):
     """Queries retired from the driver surface (registry ``_RETIRED``,
     r4 verdict #3 + r6 budget retirements) keep their DuckDB oracle
