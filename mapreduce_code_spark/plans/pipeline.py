@@ -34,20 +34,29 @@ def curated_corpus(documents: DataFrame, min_quality: float = MIN_QUALITY) -> Da
     expressions are built by the same code in the same textual order."""
     from pyspark.sql import Window
 
-    _, _, _, _, quality = TXT._quality_parts()
-    _, _, pred_lang = TXT._lang_parts()
     w = Window.partitionBy("content_hash")
     enriched = documents.select(
-        "doc_id",
-        F.sha2(F.col("text"), 256).alias("content_hash"),
-        quality.alias("quality"),
-        pred_lang.alias("pred_lang"),
-        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        "doc_id", *_curation_columns()
     ).withColumn("keeper_id", F.min("doc_id").over(w))
     return enriched.filter(
         (F.col("doc_id") == F.col("keeper_id"))
         & (F.col("quality") >= min_quality)
     ).select("doc_id", "quality", "pred_lang", "n_words")
+
+
+def _curation_columns() -> list:
+    """The per-document curation expressions over ``text`` —
+    (content_hash, quality, pred_lang, n_words) — shared by the batch
+    curation above and the incremental ingest's per-micro-batch
+    curation so the two paths can never score a document differently."""
+    _, _, _, _, quality = TXT._quality_parts()
+    _, _, pred_lang = TXT._lang_parts()
+    return [
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        quality.alias("quality"),
+        pred_lang.alias("pred_lang"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    ]
 
 
 def curated_corpus_sql(min_quality: float = MIN_QUALITY) -> str:
@@ -90,9 +99,23 @@ def curated_chunks(
     curation subtree — dedup window included — twice; chunking a few
     percent of doomed docs costs far less than a second curation
     pass."""
+    curated = curated_corpus(documents, min_quality=min_quality)
+    return _keyed_chunks(documents, curated, chunk_size, chunk_stride)
+
+
+def _keyed_chunks(
+    documents: DataFrame,
+    curated: DataFrame,
+    chunk_size: int,
+    chunk_stride: int,
+) -> DataFrame:
+    """Chunk ``documents`` and keep rows whose doc_id survives in
+    ``curated`` (carrying pred_lang over), keyed by the
+    ``doc_id:chunk_id`` chunk identity — shared by the batch
+    composition above and the incremental ingest path so chunk geometry
+    and key derivation cannot drift apart."""
     from mapreduce_code_spark.operators.sampling import chunk_documents
 
-    curated = curated_corpus(documents, min_quality=min_quality)
     chunks = chunk_documents(
         documents.select("doc_id", "text"),
         size=chunk_size,
@@ -227,6 +250,101 @@ SELECT ord_key // {step} AS shard,
        doc_id, chunk_id, md5(chunk_text) AS chunk_md5, pred_lang
 FROM h
 """
+
+
+def ingest_training_set(
+    docs_stream: DataFrame,
+    path: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> None:
+    """Incremental (streamed) corpus build — the 100 TB reality where
+    documents arrive shard by shard: a file STREAM of documents driven
+    through the SAME curate → chunk chain via ``foreachBatch``
+    (availableNow / maxFilesPerTrigger pacing), staging surviving
+    chunks per micro-batch, then writing the identical deterministic
+    shuffled layout :func:`materialize_training_set` produces in one
+    shot. Restartable by construction: the stream checkpoint tracks
+    consumed files, and each batch OVERWRITES its own ``batch_id=N``
+    staging subdirs, so a replayed batch rewrites the same rows instead
+    of duplicating them.
+
+    Per micro-batch: score the batch's docs with the shared curation
+    expressions (:func:`_curation_columns` — row-local, so batch
+    boundaries can't change them), pick within-batch exact-dup keepers
+    (min doc_id per content hash), drop docs whose hash was ALREADY
+    seen in an earlier batch (anti-join against the staged hash log —
+    the incremental half of the keeper window), log every NEW keeper
+    hash (quality-gated or not: a low-quality first-arrival shadows its
+    later dups exactly like the batch window does), and stage the
+    quality-surviving docs' keyed chunks.
+
+    Batching-invariance contract: if files arrive in ascending doc_id
+    order (the natural ordered-ingest layout), the staged chunk SET —
+    and therefore the final written permutation, which is a pure
+    function of (salt, chunk_key) — is identical for ANY micro-batch
+    slicing, 1-batch included; pinned by
+    tests/test_scale_patterns.py::test_ingest_training_set_batching_invariant.
+    Out-of-order arrival degrades gracefully to first-arrival-wins
+    dedup (the standard streaming-ingest semantic).
+
+    Scale shape per batch: one narrow scoring projection, one
+    batch-sized keeper window, one anti-join whose right side is the
+    hash log (ids only — at 100 TB this is the Bloom/broadcast-sized
+    side), one chunk explode. The final write is the same single
+    shard-keyed exchange as the batch path, over staged chunks that
+    never re-touch document text."""
+    from mapreduce_code_spark.sources.bucketing import write_shuffled
+    from mapreduce_code_spark.streaming.windows import (
+        _dir_exists,
+        _drive_foreach_batch,
+    )
+
+    spark = docs_stream.sparkSession
+    hashes_dir = f"{staging_dir}/hashes"
+    chunks_dir = f"{staging_dir}/chunks"
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_hash")
+        enr = batch.select(
+            "doc_id", "text", *_curation_columns()
+        ).withColumn("keeper_id", F.min("doc_id").over(w))
+        keep = enr.filter(F.col("doc_id") == F.col("keeper_id"))
+        if _dir_exists(spark, hashes_dir):
+            seen = spark.read.parquet(hashes_dir).select("content_hash")
+            keep = keep.join(seen, "content_hash", "left_anti")
+        # two actions over the keeper frame (hash log + chunks): pin it
+        # so the window/anti-join doesn't recompute per action
+        keep = keep.localCheckpoint()
+        keep.select("content_hash").write.mode("overwrite").parquet(
+            f"{hashes_dir}/batch_id={batch_id}"
+        )
+        surv = keep.filter(F.col("quality") >= min_quality)
+        _keyed_chunks(
+            surv, surv, chunk_size, chunk_stride
+        ).write.mode("overwrite").parquet(
+            f"{chunks_dir}/batch_id={batch_id}"
+        )
+
+    _drive_foreach_batch(docs_stream, handle, checkpoint_dir)
+    if not _dir_exists(spark, chunks_dir):
+        return  # zero micro-batches: nothing to lay out
+    staged = spark.read.parquet(chunks_dir).drop("batch_id")
+    write_shuffled(
+        staged,
+        path,
+        n_shards=n_shards,
+        key="chunk_key",
+        salt=salt,
+        drop_key=True,
+    )
 
 
 def quality_filter_features(documents: DataFrame) -> DataFrame:

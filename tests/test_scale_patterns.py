@@ -742,6 +742,109 @@ def test_materialize_training_set_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(replay3) == sorted(replay) and replay3 != replay
 
 
+def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
+    """The incremental file-stream ingest (foreachBatch through the
+    same curate→chunk chain) lands EXACTLY the one-shot batch layout:
+    same shards, same within-shard row order, for an ordered 2-file
+    split processed as 2 micro-batches — including cross-batch exact
+    dups (batch-2 copies of batch-1 texts must lose to the earlier
+    keeper) and quality shadowing (a low-quality first-arrival's later
+    dup must NOT resurrect)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from mapreduce_code_spark.plans.pipeline import (
+        ingest_training_set,
+        materialize_training_set,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    base = load_table(spark, sf_dir, "documents").toPandas()
+    median = base["doc_id"].median()
+    lowq_text = "zz " * 40 + "zz"  # degenerate vocab -> fails the gate
+    big = int(base["doc_id"].max()) + 1
+    low = pd.concat(
+        [
+            base[base.doc_id <= median],
+            # low-quality first arrival whose hash must shadow batch 2
+            pd.DataFrame(
+                [
+                    {
+                        "doc_id": big,
+                        "text": lowq_text,
+                        "lang": "en",
+                        "source": "src0",
+                        "n_chars": len(lowq_text),
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    dup_src = base.nsmallest(3, "doc_id")
+    dups = pd.DataFrame(
+        {
+            "doc_id": [big + 1 + i for i in range(3)] + [big + 4],
+            "text": list(dup_src["text"]) + [lowq_text],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [len(t) for t in dup_src["text"]] + [len(lowq_text)],
+        }
+    )
+    high = pd.concat(
+        [base[base.doc_id > median], dups], ignore_index=True
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    low.to_parquet(src / "f0.parquet", index=False)
+    high.to_parquet(src / "f1.parquet", index=False)
+    # the file source orders by modification time: pin f0 strictly first
+    now = time.time()
+    os.utime(src / "f0.parquet", (now - 60, now - 60))
+    os.utime(src / "f1.parquet", (now, now))
+
+    all_docs = spark.read.parquet(str(src))
+    out_batch = str(tmp_path / "out_batch")
+    materialize_training_set(all_docs, out_batch, n_shards=4)
+
+    stream = (
+        spark.readStream.schema(all_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_stream = str(tmp_path / "out_stream")
+    staging = str(tmp_path / "staging")
+    ingest_training_set(
+        stream,
+        out_stream,
+        staging,
+        str(tmp_path / "ckpt"),
+        n_shards=4,
+    )
+
+    # non-vacuity: the stream really ran as (at least) two micro-batches
+    import glob
+
+    batch_dirs = glob.glob(f"{staging}/chunks/batch_id=*")
+    assert len(batch_dirs) >= 2, batch_dirs
+
+    got = {
+        s: pdf[["doc_id", "chunk_id", "chunk_text"]].to_dict("list")
+        for s, pdf in _read_shards(out_stream).items()
+    }
+    want = {
+        s: pdf[["doc_id", "chunk_id", "chunk_text"]].to_dict("list")
+        for s, pdf in _read_shards(out_batch).items()
+    }
+    assert got == want
+    landed = {d for s in got.values() for d in s["doc_id"]}
+    # every planted duplicate (and the low-quality doc + its dup) lost
+    assert landed.isdisjoint({big, big + 1, big + 2, big + 3, big + 4})
+    assert landed  # and the build is not vacuously empty
+
+
 def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
     """training_manifest (the registered driver row) must describe the
     bytes materialize_training_set lays on disk EXACTLY: per shard, the
