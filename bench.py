@@ -170,9 +170,12 @@ def main() -> int:
     #                         looking like a regression
     #   bench_shuffles.json — net Exchange count per fresh plan
     here = Path(__file__).resolve().parent
-    (here / "bench_shuffles.json").write_text(
-        json.dumps(shuffles, indent=1, sort_keys=True)
-    )
+    if not only:
+        # subset runs must not clobber the committed full-registry
+        # inventory (same guard as the timings sidecar below)
+        (here / "bench_shuffles.json").write_text(
+            json.dumps(shuffles, indent=1, sort_keys=True)
+        )
     contended = sorted(
         n for n, rs in runs.items() if len(rs) > 1 and max(rs) > 3 * min(rs)
     )
@@ -211,6 +214,17 @@ def main() -> int:
         round(ratios[len(ratios) // 2], 3) if ratios else None
     )
     run_contended = bool(median_ratio and median_ratio > 1.25)
+    # The min-merge headline can never increase, so it cannot show a
+    # regression — flag the per-query signal separately: a query whose
+    # fresh min exceeds its historical min by well more than the run's
+    # uniform tax is a REGRESSION candidate, not contention (contention
+    # is uniform; code regressions usually aren't).
+    regressed = sorted(
+        n
+        for n in prior
+        if prior[n] > 0.2  # sub-noise-floor queries flap, skip them
+        and timings[n] / prior[n] > 1.5 * max(1.0, median_ratio or 1.0)
+    )
     fresh_total = round(sum(timings.values()), 3)
     merged_total = round(sum(merged.values()), 3)
     if not only:
@@ -226,6 +240,7 @@ def main() -> int:
                     "contended": contended,
                     "median_ratio_vs_prior": median_ratio,
                     "run_contended": run_contended,
+                    "regressed_vs_prior": regressed,
                 },
                 indent=1,
                 sort_keys=True,
@@ -238,6 +253,7 @@ def main() -> int:
                 "value": merged_total,
                 "fresh_value": fresh_total,
                 "run_contended": run_contended,
+                "n_regressed": len(regressed),
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),

@@ -788,9 +788,17 @@ top_{i} AS MATERIALIZED (
   ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
 ),
 words_{i} AS MATERIALIZED (
+  -- COALESCE: if the corpus exhausts learnable pairs before round
+  -- {i}, top_{i} is EMPTY and the scalar subqueries yield NULL —
+  -- replace(x, NULL, NULL) would NULL-poison every word; an
+  -- impossible needle (chr(1) never appears in [a-z0-9 ] symbol
+  -- strings) makes the exhausted round an identity map instead,
+  -- mirroring the Spark side where an empty top contributes no rule
   SELECT replace(spaced,
-                 (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top_{i}),
-                 (SELECT ' ' || lhs || rhs || ' ' FROM top_{i})) AS spaced,
+                 COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
+                           FROM top_{i}), chr(1)),
+                 COALESCE((SELECT ' ' || lhs || rhs || ' '
+                           FROM top_{i}), '')) AS spaced,
          freq
   FROM words_{i - 1}
 )""")
@@ -842,10 +850,14 @@ dw_0 AS MATERIALIZED (
 )""")
     for i in range(1, n_merges + 1):
         parts.append(f"""dw_{i} AS MATERIALIZED (
+  -- same exhausted-round identity guard as words_{i} (see
+  -- _bpe_train_ctes): an empty top_{i} must skip, not NULL-poison
   SELECT doc_id, wi,
          replace(spaced,
-                 (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top_{i}),
-                 (SELECT ' ' || lhs || rhs || ' ' FROM top_{i})) AS spaced
+                 COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
+                           FROM top_{i}), chr(1)),
+                 COALESCE((SELECT ' ' || lhs || rhs || ' '
+                           FROM top_{i}), '')) AS spaced
   FROM dw_{i - 1}
 )""")
     parts.append(f"""dtoks AS MATERIALIZED (

@@ -270,9 +270,13 @@ def ingest_training_set(
     chunks per micro-batch, then writing the identical deterministic
     shuffled layout :func:`materialize_training_set` produces in one
     shot. Restartable by construction: the stream checkpoint tracks
-    consumed files, and each batch OVERWRITES its own ``batch_id=N``
-    staging subdirs, so a replayed batch rewrites the same rows instead
-    of duplicating them.
+    consumed files, each batch OVERWRITES its own ``batch_id=N``
+    staging subdirs, and the seen-hash anti-join reads only EARLIER
+    batches' hash logs — so a batch replayed after a crash between its
+    staging writes and the checkpoint commit rewrites the same rows
+    instead of duplicating them or (the subtle failure) anti-joining
+    against its OWN half-written hash log and erasing itself; pinned by
+    the replay test.
 
     Per micro-batch: score the batch's docs with the shared curation
     expressions (:func:`_curation_columns` — row-local, so batch
@@ -293,12 +297,14 @@ def ingest_training_set(
     Out-of-order arrival degrades gracefully to first-arrival-wins
     dedup (the standard streaming-ingest semantic).
 
-    Scale shape per batch: one narrow scoring projection, one
-    batch-sized keeper window, one anti-join whose right side is the
-    hash log (ids only — at 100 TB this is the Bloom/broadcast-sized
-    side), one chunk explode. The final write is the same single
-    shard-keyed exchange as the batch path, over staged chunks that
-    never re-touch document text."""
+    Scale shape per batch: one narrow scoring projection, a keeper
+    window + anti-join over METADATA ONLY (doc_id/hash/scores — the
+    document text never enters the hash exchange or the checkpointed
+    keeper frame; at 100 TB the hash log is the Bloom/broadcast-sized
+    side), then one narrow chunk explode over the in-batch text joined
+    back by doc_id. The final write is the same single shard-keyed
+    exchange as the batch path, over staged chunks that never re-touch
+    document text."""
     from mapreduce_code_spark.sources.bucketing import write_shuffled
     from mapreduce_code_spark.streaming.windows import (
         _dir_exists,
@@ -306,31 +312,12 @@ def ingest_training_set(
     )
 
     spark = docs_stream.sparkSession
-    hashes_dir = f"{staging_dir}/hashes"
     chunks_dir = f"{staging_dir}/chunks"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("content_hash")
-        enr = batch.select(
-            "doc_id", "text", *_curation_columns()
-        ).withColumn("keeper_id", F.min("doc_id").over(w))
-        keep = enr.filter(F.col("doc_id") == F.col("keeper_id"))
-        if _dir_exists(spark, hashes_dir):
-            seen = spark.read.parquet(hashes_dir).select("content_hash")
-            keep = keep.join(seen, "content_hash", "left_anti")
-        # two actions over the keeper frame (hash log + chunks): pin it
-        # so the window/anti-join doesn't recompute per action
-        keep = keep.localCheckpoint()
-        keep.select("content_hash").write.mode("overwrite").parquet(
-            f"{hashes_dir}/batch_id={batch_id}"
-        )
-        surv = keep.filter(F.col("quality") >= min_quality)
-        _keyed_chunks(
-            surv, surv, chunk_size, chunk_stride
-        ).write.mode("overwrite").parquet(
-            f"{chunks_dir}/batch_id={batch_id}"
+        _ingest_batch(
+            batch, batch_id, staging_dir, min_quality, chunk_size,
+            chunk_stride,
         )
 
     _drive_foreach_batch(docs_stream, handle, checkpoint_dir)
@@ -345,6 +332,53 @@ def ingest_training_set(
         salt=salt,
         drop_key=True,
     )
+
+
+def _ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    staging_dir: str,
+    min_quality: float,
+    chunk_size: int,
+    chunk_stride: int,
+) -> None:
+    """One micro-batch of :func:`ingest_training_set` — module-level so
+    the crash-replay test can re-invoke a batch directly and assert the
+    staging dirs come out identical. Idempotent per (batch data,
+    batch_id): the anti-join reads only hash logs with batch_id < this
+    one (a replay must not see its own half-written log), and both
+    staging writes overwrite their own batch_id subdir."""
+    from pyspark.sql import Window
+
+    from mapreduce_code_spark.streaming.windows import _dir_exists
+
+    spark = batch.sparkSession
+    hashes_dir = f"{staging_dir}/hashes"
+    chunks_dir = f"{staging_dir}/chunks"
+    w = Window.partitionBy("content_hash")
+    # metadata only — text stays out of the window exchange and the
+    # checkpointed keeper frame
+    meta = batch.select("doc_id", *_curation_columns()).withColumn(
+        "keeper_id", F.min("doc_id").over(w)
+    )
+    keep = meta.filter(F.col("doc_id") == F.col("keeper_id"))
+    if _dir_exists(spark, hashes_dir):
+        seen = (
+            spark.read.parquet(hashes_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("content_hash")
+        )
+        keep = keep.join(seen, "content_hash", "left_anti")
+    # two actions over the keeper frame (hash log + chunks): pin it
+    # so the window/anti-join doesn't recompute per action
+    keep = keep.localCheckpoint()
+    keep.select("content_hash").write.mode("overwrite").parquet(
+        f"{hashes_dir}/batch_id={batch_id}"
+    )
+    surv = keep.filter(F.col("quality") >= min_quality)
+    _keyed_chunks(
+        batch.select("doc_id", "text"), surv, chunk_size, chunk_stride
+    ).write.mode("overwrite").parquet(f"{chunks_dir}/batch_id={batch_id}")
 
 
 def quality_filter_features(documents: DataFrame) -> DataFrame:

@@ -88,8 +88,9 @@ def retired(name: str, oracle: str | None = None):
 # the rule is: a query goes FIRST if it is (a) new this round, (b) its
 # code was touched this round, or (c) its latest driver row is one round
 # old (rotation: nothing sits unchecked two rounds in a row). With the
-# four batch twins retired (see ``_RETIRED``) the surface is back under
-# the 2-round coverage ceiling with slack.
+# ten retirees (see ``_RETIRED``'s comment for the round-4/round-6
+# retirement history) the 96-query surface sits under the 2-round
+# coverage ceiling with ~4 rows of slack.
 _FIRST = [
     # new in round 6 (r5 verdict #2/#4: first driver rows for the
     # strongest round-5 library surfaces)

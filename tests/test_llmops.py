@@ -747,6 +747,61 @@ def test_bpe_merges_greedy_overlap_and_tiebreak(spark):
     assert got == [(1, "a", "a", "aa", 5), (2, "aa", "a", "aaa", 1)]
 
 
+def test_bpe_oracles_survive_pair_exhaustion(spark):
+    """A corpus that runs out of learnable pairs before n_merges rounds
+    ('ab ab': one merge, then the word is a single symbol) must yield
+    the same truncated merge table AND the same encoding in BOTH
+    engines — the oracle's exhausted rounds are identity maps (COALESCE
+    impossible-needle guard), not NULL poison that empties the result."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_code_spark.functions import text as TXT
+
+    rows = [(0, "ab ab"), (1, "ab cd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+    merges = [
+        tuple(r)
+        for r in TXT.bpe_merges(docs, n_merges=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    want_merges = [
+        tuple(r) for r in con.sql(
+            TXT.bpe_merges_sql(n_merges=3)
+            + " ORDER BY merge_round"
+        ).fetchall()
+    ]
+    assert merges == want_merges
+    # rounds 1-2 learn (a,b) then (c,d); round 3 has NO pairs left —
+    # truncated to 2 rows, not 3, in both engines
+    assert [m[:4] for m in merges] == [
+        (1, "a", "b", "ab"),
+        (2, "c", "d", "cd"),
+    ]
+
+    got = sorted(
+        tuple(r)
+        for r in TXT.bpe_encode(docs, TXT.bpe_merges(docs, n_merges=3))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(TXT.bpe_encode_sql(n_merges=3)).fetchall()
+    )
+    assert got == want
+    # both learned rules applied, exhausted round 3 a no-op — nothing
+    # nulled, nothing dropped
+    assert got == sorted(
+        [(0, 0, "ab"), (0, 1, "ab"), (1, 0, "ab"), (1, 1, "cd")]
+    )
+
+
 def test_bpe_merges_rejects_zero_rounds(spark):
     """n_merges=0 has no merge table to return — a descriptive
     ValueError, not an IndexError from the union fold."""

@@ -845,6 +845,50 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
     assert landed  # and the build is not vacuously empty
 
 
+def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay safety of the incremental ingest: re-running a
+    micro-batch AFTER its staging writes landed (the crash-between-
+    write-and-checkpoint-commit case Structured Streaming replays) must
+    reproduce byte-identical staging content — in particular the
+    replayed batch must NOT anti-join against its own half-written hash
+    log and erase itself."""
+    import glob
+
+    import pandas as pd
+
+    from mapreduce_code_spark.plans.pipeline import _ingest_batch
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    staging = str(tmp_path / "staging")
+
+    def snapshot():
+        return {
+            kind: pd.read_parquet(f"{staging}/{kind}")
+            .sort_values(by=lambda_cols[kind], ignore_index=True)
+            .to_dict("list")
+            for kind in ("hashes", "chunks")
+        }
+
+    lambda_cols = {
+        "hashes": ["batch_id", "content_hash"],
+        "chunks": ["batch_id", "chunk_key"],
+    }
+    _ingest_batch(b0, 0, staging, 0.75, 32, 24)
+    _ingest_batch(b1, 1, staging, 0.75, 32, 24)
+    first = snapshot()
+    assert first["hashes"]["content_hash"], "vacuous: nothing staged"
+    # replay both batches (same data, same ids) — identical staging
+    _ingest_batch(b1, 1, staging, 0.75, 32, 24)
+    assert snapshot() == first
+    _ingest_batch(b0, 0, staging, 0.75, 32, 24)
+    assert snapshot() == first
+    # still exactly one subdir per batch, no stray appends
+    assert len(glob.glob(f"{staging}/chunks/batch_id=*")) == 2
+
+
 def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
     """training_manifest (the registered driver row) must describe the
     bytes materialize_training_set lays on disk EXACTLY: per shard, the
