@@ -1,10 +1,16 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-short JSON line: {"metric": ..., "value": total_sec, "fresh_value": ...,
-"run_contended": bool, "unit": "sec", "sf": ..., "n_queries": N,
-"queries_sidecar": "bench_timings.json"}. "value" is the per-query-min
-merge of this run with the committed sidecar (engine time); a fresh run
-uniformly slower than history sets "run_contended".
+short JSON line: {"metric": ..., "value": fresh_total, "merged_value":
+..., "run_contended": bool, "unit": "sec", "sf": ..., "n_queries": N,
+"queries_sidecar": "bench_timings.json"}. "value" is THIS run's
+best-of-N total — the number that can regress when the code does
+(round-6 advisor: a min-merged headline is monotonically non-increasing
+and therefore blind to regressions). "merged_value" is the per-query-min
+merge with the committed sidecar — the engine-time floor, for reading a
+contended host run against history; a run uniformly slower than that
+history sets "run_contended", and a contended run's times are NOT folded
+into the sidecar mins (a contention-distorted sample, fast or slow, is
+not evidence about engine time).
 
 Per-query timings (and per-run times when SPARK_GRAFT_BENCH_REPEATS>1)
 go to bench_timings.json next to this file — the driver keeps only a
@@ -179,18 +185,16 @@ def main() -> int:
     contended = sorted(
         n for n, rs in runs.items() if len(rs) > 1 and max(rs) > 3 * min(rs)
     )
-    # Merge this run's per-query mins with the COMMITTED sidecar's mins
-    # (r5 verdict #1/#3: min-of-N inside ONE invocation cannot see
+    # Maintain the per-query engine-time floor (committed sidecar mins;
+    # r5 verdict #1/#3: min-of-N inside ONE invocation cannot see
     # cross-invocation host contention — r4/r5 driver runs landed a
-    # uniform 1.4x host tax over the builder's clean runs). The sidecar
-    # convention was already min-across-runs; this automates it, so the
-    # reported total reflects engine time whenever ANY recorded run of a
-    # query was clean. Merge is per-query, same-sf only, and only over
-    # queries in THIS run's set (retired/renamed entries drop out); the
-    # fresh numbers stay recorded under "runs"/"fresh_total_sec", and a
-    # run-level flag fires when this run's median ratio vs the merged
-    # history exceeds 1.25x (the whole-run-contended signature — uniform
-    # slowdown that per-query max/min spread cannot catch).
+    # uniform 1.4x host tax over the builder's clean runs). Merge is
+    # per-query, same-sf only, and only over queries in THIS run's set
+    # (retired/renamed entries drop out); a run-level flag fires when
+    # this run's median ratio vs the floor exceeds 1.25x (the
+    # whole-run-contended signature — uniform slowdown that per-query
+    # max/min spread cannot catch), and such a run is excluded from the
+    # floor entirely.
     prior: dict[str, float] = {}
     sidecar_path = here / "bench_timings.json"
     if not only and sidecar_path.exists():
@@ -204,9 +208,6 @@ def main() -> int:
                 }
         except (ValueError, TypeError):
             prior = {}
-    merged = {
-        n: round(min(t, prior.get(n, t)), 3) for n, t in timings.items()
-    }
     ratios = sorted(
         timings[n] / prior[n] for n in prior if prior[n] > 0
     )
@@ -214,16 +215,28 @@ def main() -> int:
         round(ratios[len(ratios) // 2], 3) if ratios else None
     )
     run_contended = bool(median_ratio and median_ratio > 1.25)
-    # The min-merge headline can never increase, so it cannot show a
-    # regression — flag the per-query signal separately: a query whose
-    # fresh min exceeds its historical min by well more than the run's
-    # uniform tax is a REGRESSION candidate, not contention (contention
-    # is uniform; code regressions usually aren't).
+    # Fold this run into the per-query engine-time floor ONLY when the
+    # run itself is credible: a contended run's samples (including the
+    # occasionally-lucky fast ones) are host noise, so the sidecar keeps
+    # its prior mins untouched instead of min-merging them in (round-6
+    # advisor item).
+    if run_contended:
+        merged = {n: round(prior.get(n, t), 3) for n, t in timings.items()}
+    else:
+        merged = {
+            n: round(min(t, prior.get(n, t)), 3) for n, t in timings.items()
+        }
+    # Per-query regression flag: a query whose fresh min exceeds its
+    # historical min by 1.5x is a REGRESSION candidate. Only a run-level
+    # contention flag earns a scaled threshold — scaling by median_ratio
+    # on a CLEAN run would let a uniform code regression raise its own
+    # bar and hide (round-6 advisor item).
+    reg_bar = 1.5 * (max(1.0, median_ratio or 1.0) if run_contended else 1.0)
     regressed = sorted(
         n
         for n in prior
         if prior[n] > 0.2  # sub-noise-floor queries flap, skip them
-        and timings[n] / prior[n] > 1.5 * max(1.0, median_ratio or 1.0)
+        and timings[n] / prior[n] > reg_bar
     )
     fresh_total = round(sum(timings.values()), 3)
     merged_total = round(sum(merged.values()), 3)
@@ -250,8 +263,8 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "engine_bench_total",
-                "value": merged_total,
-                "fresh_value": fresh_total,
+                "value": fresh_total,
+                "merged_value": merged_total,
                 "run_contended": run_contended,
                 "n_regressed": len(regressed),
                 "unit": "sec",

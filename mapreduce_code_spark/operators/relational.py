@@ -1800,20 +1800,63 @@ def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     )
 
 
+import re as _re
+
+_PLAIN_IDENT = _re.compile(r"^[a-z_][a-z0-9_]*$")
+
+# DuckDB keywords that cannot appear bare in identifier position
+# (``duckdb_keywords()`` categories 'reserved' + 'type_function',
+# frozen here so oracle generation needs no duckdb import). None of the
+# registered test-table names are in it, so the generated oracle text
+# for registered queries is byte-stable.
+_SQL_KEYWORDS = frozenset("""
+all analyse analyze and any array as asc asymmetric both case cast check
+collate column constraint create default deferrable desc describe
+distinct do else end except false fetch for foreign from grant group
+having in initially intersect into lateral leading limit not null offset
+on only or order pivot pivot_longer pivot_wider placing primary qualify
+references returning select show some summarize symmetric table then to
+trailing true union unique unpivot using variadic when where window with
+anti asof authorization binary collation columns concurrently cross
+freeze full generated glob ilike inner is isnull join left like map
+natural notnull outer overlaps positional right semi similar struct
+tablesample try_cast verbose
+""".split())
+
+
+def _sql_ident(name: str) -> str:
+    """``name`` as a safe SQL identifier: plain lowercase non-keyword
+    identifiers pass through bare (keeps generated oracle text stable
+    for the registered tables), anything else is double-quoted with
+    embedded quotes doubled — so names with spaces, dots, quotes, or
+    keywords can't break out of identifier position."""
+    if _PLAIN_IDENT.match(name) and name not in _SQL_KEYWORDS:
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _sql_str(value: str) -> str:
+    """``value`` as a SQL string literal, embedded quotes doubled."""
+    return "'" + value.replace("'", "''") + "'"
+
+
 def profile_exact_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin of :func:`profile` with ``exact_distinct=True`` over
     ``table`` — one UNION ALL branch per column (the oracle may be
-    column-count× the work; the Spark side stays one scan). Column
-    names here are trusted identifiers from a known test table, not
-    user input."""
+    column-count× the work; the Spark side stays one scan). Column and
+    table names are quoted/escaped per position (identifier vs string
+    literal), so the twin tolerates the same hostile names —
+    spaces, dots, quotes, keywords — :func:`profile` itself does
+    (round-6 advisor item)."""
     branches = []
     for c in cols:
-        branches.append(f"""SELECT '{c}' AS "column", count(*) AS n_rows,
-       count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
-       count(DISTINCT {c}) AS n_distinct,
-       CAST(min({c}) AS VARCHAR) AS min_str,
-       CAST(max({c}) AS VARCHAR) AS max_str
-FROM {table}""")
+        ident = _sql_ident(c)
+        branches.append(f"""SELECT {_sql_str(c)} AS "column", count(*) AS n_rows,
+       count(*) FILTER (WHERE {ident} IS NULL) AS n_nulls,
+       count(DISTINCT {ident}) AS n_distinct,
+       CAST(min({ident}) AS VARCHAR) AS min_str,
+       CAST(max({ident}) AS VARCHAR) AS max_str
+FROM {_sql_ident(table)}""")
     return "\nUNION ALL\n".join(branches)
 
 

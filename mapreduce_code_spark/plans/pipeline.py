@@ -314,6 +314,26 @@ def ingest_training_set(
     spark = docs_stream.sparkSession
     chunks_dir = f"{staging_dir}/chunks"
 
+    # A FRESH checkpoint restarts batch ids at 0, and each batch only
+    # overwrites its OWN batch_id=N staging subdir — so staging content
+    # left by a PRIOR run (different checkpoint, different corpus or
+    # params) would silently merge its stale higher-numbered batch dirs
+    # into the final shuffled write. Staging reuse is only safe when the
+    # checkpoint that produced it is the one resuming (round-6 advisor
+    # item).
+    if not _dir_exists(spark, checkpoint_dir) and (
+        _dir_exists(spark, chunks_dir)
+        or _dir_exists(spark, f"{staging_dir}/hashes")
+    ):
+        raise ValueError(
+            f"ingest_training_set: staging_dir {staging_dir!r} already "
+            f"holds staged batches but checkpoint_dir {checkpoint_dir!r} "
+            "is fresh — batch ids would restart at 0 and stale batch "
+            "dirs from the prior run would merge into the final write. "
+            "Point at the original checkpoint to resume, or clear the "
+            "staging dir to start over."
+        )
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         _ingest_batch(
             batch, batch_id, staging_dir, min_quality, chunk_size,

@@ -200,19 +200,26 @@ PLAN_SENTINELS = [
 
 def test_plans_md_sentinel_rows_are_fresh(spark):
     """Regenerate the PLANS.md rows for the sentinel queries with the
-    exact row-builder the committed file came from (same sf0.1 dir —
-    plan shapes can be size-dependent) and diff against the committed
-    lines: a plan-shape change without `python tools/plan_report.py`
-    now fails pytest instead of shipping a stale inventory."""
+    exact row-builder the committed file came from (same sf dir — plan
+    shapes can be size-dependent; PLAN_SF_DIR is the one constant both
+    this test and tools/plan_report.py read) and diff against the
+    committed lines: a plan-shape change without `python
+    tools/plan_report.py` now fails pytest instead of shipping a stale
+    inventory. Skips on hosts without the PLANS.md-scale dataset
+    (round-6 advisor item)."""
+    import os
     import sys
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(root / "tools"))
     try:
-        from plan_report import query_row
+        from plan_report import PLAN_SF_DIR, query_row
     finally:
         sys.path.pop(0)
+
+    if not os.path.isdir(PLAN_SF_DIR):
+        pytest.skip(f"PLANS.md dataset {PLAN_SF_DIR} not on this host")
 
     committed = {}
     for line in (root / "PLANS.md").read_text().splitlines():
@@ -220,7 +227,7 @@ def test_plans_md_sentinel_rows_are_fresh(spark):
             committed[line.split("|")[1].strip()] = line
     qs = queries()
     for name in PLAN_SENTINELS:
-        row, bad = query_row(name, qs[name], spark, "/root/testdata/sf0.1")
+        row, bad = query_row(name, qs[name], spark, PLAN_SF_DIR)
         assert not bad, bad
         assert name in committed, f"PLANS.md has no row for {name}"
         assert committed[name] == row, (

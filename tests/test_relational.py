@@ -542,7 +542,39 @@ def test_profile_exact_mode_oracle_parity(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
-def test_integrity_checks_planted_violations(spark):
+def test_profile_exact_sql_hostile_names(spark):
+    """The DuckDB twin quotes identifiers and escapes literals, so it
+    survives the same hostile names profile() itself tolerates — spaces,
+    quotes, reserved keywords (round-6 advisor item) — and the two
+    engines still agree value-for-value."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_code_spark.operators.relational import (
+        profile,
+        profile_exact_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user id": [1, 2, 2, None],
+            "it's": ["a", "b", None, "b"],
+            "select": [3, 5, 5, 5],
+        }
+    )
+    cols = list(pdf.columns)
+    got = {
+        tuple(r)
+        for r in profile(
+            spark.createDataFrame(pdf), exact_distinct=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("group", pdf)  # keyword TABLE name too
+    want = {tuple(r) for r in con.sql(
+        profile_exact_sql("group", cols)
+    ).fetchall()}
+    assert got == want and len(got) == 3
     """Each constraint catches its planted violation exactly once: one
     orphan order, one duplicated customer key, one null totalprice."""
     customer = spark.createDataFrame(

@@ -889,6 +889,37 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{staging}/chunks/batch_id=*")) == 2
 
 
+def test_ingest_refuses_stale_staging_with_fresh_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """A FRESH checkpoint restarts batch ids at 0 while per-batch staging
+    only overwrites its OWN batch_id subdir — so staged content from a
+    PRIOR run under a new checkpoint would silently merge stale batches
+    into the final write. ingest_training_set must refuse that
+    combination up front (round-6 advisor item); resuming with the
+    checkpoint that produced the staging stays allowed (the replay and
+    batching-invariance tests)."""
+    import pytest
+
+    from mapreduce_code_spark.plans.pipeline import (
+        _ingest_batch,
+        ingest_training_set,
+    )
+    from mapreduce_code_spark.sources.io import load_table, load_table_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    staging = str(tmp_path / "staging")
+    _ingest_batch(docs.limit(5), 0, staging, 0.75, 32, 24)
+    stream = load_table_stream(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="staging"):
+        ingest_training_set(
+            stream,
+            str(tmp_path / "out"),
+            staging,
+            str(tmp_path / "fresh_ckpt"),
+        )
+
+
 def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
     """training_manifest (the registered driver row) must describe the
     bytes materialize_training_set lays on disk EXACTLY: per shard, the
