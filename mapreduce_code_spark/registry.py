@@ -825,6 +825,22 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table, persisted per (session, sf_dir) —
+    text_bpe_merges RETURNS it and text_bpe_encode APPLIES it, and
+    re-running the 8 training rounds for each was the #3 bench cost
+    (r6 verdict #4: ~2 s of duplicated work per sweep). Same shared-
+    materialization mechanism as the Apriori transactions prep and the
+    near-dup pairs frame; the cached frame is merge-table-sized (one
+    row per rule), not corpus-sized."""
+    return _cached_df(
+        "bpe_merges",
+        spark,
+        sf_dir,
+        lambda: TXT.bpe_merges(load_table(spark, sf_dir, "documents")),
+    )
+
+
 @register("text_bpe_merges", oracle=TXT.bpe_merges_sql())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary training (Sennrich et al. 2016): the first k merge
@@ -833,7 +849,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy feeding a greedy argmax, cf. the reference's chained support
     loop, apriori_final.java:233-295). One corpus scan total; the merge
     loop runs on the vocab-sized word-frequency dictionary."""
-    return TXT.bpe_merges(load_table(spark, sf_dir, "documents"))
+    return _bpe_merge_table(spark, sf_dir)
 
 
 # encode a deterministic 1-in-5 slice of the corpus with the full-corpus
@@ -852,9 +868,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus, then encode a deterministic document slice to the
     ``(doc_id, pos, token)`` stream. The merge table folds into ONE
     broadcast array; encoding is a per-row fold of literal replaces in
-    one projection — one corpus scan, zero corpus-side shuffles."""
+    one projection — one corpus scan, zero corpus-side shuffles. The
+    table itself comes from the shared per-(session, sf_dir)
+    materialization (:func:`_bpe_merge_table`), so a sweep that runs
+    both BPE queries trains the rounds once."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = TXT.bpe_merges(docs)
+    merges = _bpe_merge_table(spark, sf_dir)
     return TXT.bpe_encode(docs.filter(F.expr(_BPE_ENCODE_PRED)), merges)
 
 
