@@ -370,28 +370,18 @@ def _ingest_batch(
     staging writes overwrite their own batch_id subdir."""
     from pyspark.sql import Window
 
-    from mapreduce_code_spark.streaming.windows import _dir_exists
-
-    spark = batch.sparkSession
     hashes_dir = f"{staging_dir}/hashes"
     chunks_dir = f"{staging_dir}/chunks"
     w = Window.partitionBy("content_hash")
     # metadata only — text stays out of the window exchange and the
-    # checkpointed keeper frame
+    # checkpointed keeper frame; checkpointed BEFORE the history
+    # anti-join so the window runs once and its hashes can broadcast
+    # into the semi-reduce
     meta = batch.select("doc_id", *_curation_columns()).withColumn(
         "keeper_id", F.min("doc_id").over(w)
     )
-    keep = meta.filter(F.col("doc_id") == F.col("keeper_id"))
-    if _dir_exists(spark, hashes_dir):
-        seen = (
-            spark.read.parquet(hashes_dir)
-            .filter(F.col("batch_id") < batch_id)
-            .select("content_hash")
-        )
-        keep = keep.join(seen, "content_hash", "left_anti")
-    # two actions over the keeper frame (hash log + chunks): pin it
-    # so the window/anti-join doesn't recompute per action
-    keep = keep.localCheckpoint()
+    keep = meta.filter(F.col("doc_id") == F.col("keeper_id")).localCheckpoint()
+    keep = _dedup_against_history(keep, hashes_dir, batch_id)
     keep.select("content_hash").write.mode("overwrite").parquet(
         f"{hashes_dir}/batch_id={batch_id}"
     )
@@ -399,6 +389,48 @@ def _ingest_batch(
     _keyed_chunks(
         batch.select("doc_id", "text"), surv, chunk_size, chunk_stride
     ).write.mode("overwrite").parquet(f"{chunks_dir}/batch_id={batch_id}")
+
+
+def _dedup_against_history(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
+    """Drop keepers whose content hash was logged by an EARLIER batch —
+    the incremental half of the dedup keeper window — without ever
+    shuffling the hash log (r6 verdict #6: the log grows with corpus
+    history, and a plain anti-join exchanged the WHOLE history on
+    content_hash every batch). Semi-reduce instead: broadcast the
+    batch's (bounded, batch-sized) keeper hashes through the log scan —
+    a map-side left-semi that prunes the history to at most batch-many
+    hits before anything moves — then broadcast those hits into the
+    anti-join. Net exchanges over the history: zero; the log side costs
+    one scan of hash-only rows, filtered at the scanner. ``keep`` must
+    already be pinned (localCheckpoint) — its hashes feed two plans
+    (the broadcast probe and the anti-join), and the hits frame is
+    pinned here so neither downstream action rescans the log.
+
+    The anti-join reads only logs with ``batch_id <`` the current one: a
+    replay must not see its own half-written log and erase itself
+    (pinned by the replay test)."""
+    from mapreduce_code_spark.streaming.windows import _dir_exists
+
+    spark = keep.sparkSession
+    if not _dir_exists(spark, hashes_dir):
+        return keep
+    hits = _history_hits(keep, hashes_dir, batch_id).localCheckpoint()
+    return keep.join(F.broadcast(hits), "content_hash", "left_anti")
+
+
+def _history_hits(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
+    """The (≤ batch-sized) subset of earlier batches' logged hashes that
+    collide with this batch's keepers — the log side of
+    :func:`_dedup_against_history`, separate so the zero-shuffle claim
+    on the HISTORY scan is plan-testable before the checkpoint pin."""
+    seen = (
+        keep.sparkSession.read.parquet(hashes_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .select("content_hash")
+    )
+    return seen.join(
+        F.broadcast(keep.select("content_hash")), "content_hash", "left_semi"
+    )
 
 
 def quality_filter_features(documents: DataFrame) -> DataFrame:

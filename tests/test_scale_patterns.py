@@ -889,6 +889,65 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{staging}/chunks/batch_id=*")) == 2
 
 
+def test_ingest_history_dedup_never_shuffles_the_log(spark, sf_dir, tmp_path):
+    """The per-batch seen-hash check must stay sub-shuffle in the hash
+    log (r6 verdict #6): the log grows with corpus history, so the plan
+    may SCAN it (hash-only rows, filtered at the scanner by the
+    broadcast semi-reduce) but must never put it through a shuffle
+    Exchange — the only exchanges in the whole dedup-against-history
+    plan are broadcasts. Also re-proves the semantics: a batch-1 dup of
+    a batch-0 hash is dropped, fresh hashes survive."""
+    from mapreduce_code_spark.plans.pipeline import (
+        _dedup_against_history,
+        _ingest_batch,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    staging = str(tmp_path / "staging")
+    _ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, staging, 0.75, 32, 24)
+
+    keep = (
+        docs.filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .limit(3)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.sha2(F.col("text"), 256).alias("content_hash"),
+            )
+        )
+        .localCheckpoint()
+    )
+    def shuffles(node) -> int:
+        n = 1 if node.nodeName() == "Exchange" else 0
+        ch = node.children()
+        return n + sum(shuffles(ch.apply(i)) for i in range(ch.size()))
+
+    from mapreduce_code_spark.plans.pipeline import _history_hits
+
+    # the log-side plan (before the checkpoint pin): one parquet scan of
+    # the history, semi-reduced by a broadcast — no Exchange anywhere
+    hits_plan = (
+        _history_hits(keep, f"{staging}/hashes", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert shuffles(hits_plan) == 0, hits_plan.toString()
+    assert "BroadcastExchange" in hits_plan.toString()
+
+    out = _dedup_against_history(keep, f"{staging}/hashes", 1)
+    plan = out._jdf.queryExecution().executedPlan()
+    assert shuffles(plan) == 0, plan.toString()
+    assert "BroadcastExchange" in plan.toString()
+    got = {r["doc_id"] for r in out.collect()}
+    want = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 4 == 1).collect()
+    }
+    assert got == want, "history dups must drop, fresh hashes must survive"
+
+
 def test_ingest_refuses_stale_staging_with_fresh_checkpoint(
     spark, sf_dir, tmp_path
 ):
