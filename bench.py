@@ -92,6 +92,7 @@ EAGER = {
     "sampling_streamed_stratified",  # writeStream at build
     "events_streamed_anomaly",  # stream-static join writeStream at build
     "events_streamed_attribution",  # stateful writeStream at build
+    "pipeline_ingest_manifest",  # foreachBatch ingest + shard write at build
 }
 # Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
 # False): the fresh plan net_shuffles() sees is a checkpoint scan, so

@@ -433,6 +433,74 @@ def _history_hits(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
     )
 
 
+def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
+    """The :func:`training_manifest` contract produced through the
+    ACTUAL incremental path: split ``documents`` into two files in
+    ascending doc_id order (the natural ordered-ingest layout), drive
+    them as two real micro-batches through
+    :func:`ingest_training_set`'s checkpointed ``foreachBatch`` chain —
+    staging writes, hash-log anti-join, final shuffled shard write
+    included — then rank the STAGED chunks with the same
+    :func:`operators.sampling.shuffle_order` algebra the write path
+    sorts by. By the batching-invariance contract (the 2-batch ≡
+    1-batch byte-equal-shard test) the result equals the one-shot batch
+    manifest row-for-row, so the streamed path shares
+    :func:`training_manifest_sql`'s oracle.
+
+    The returned frame is pinned (localCheckpoint — it is manifest-
+    sized: one metadata row per chunk, no text) so ``work_dir`` holds no
+    live dependencies afterwards and the caller may delete it."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    spark = documents.sparkSession
+    lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    src = f"{work_dir}/src"
+    os.makedirs(src)
+    now = time.time()
+    for i, pred in enumerate(
+        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
+    ):
+        part_dir = f"{work_dir}/split{i}"
+        documents.filter(pred).coalesce(1).write.parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")
+        assert len(part) == 1, part
+        dst = f"{src}/f{i}.parquet"
+        shutil.move(part[0], dst)
+        # the file source orders by modification time: f0 strictly first
+        os.utime(dst, (now - 60 + 60 * i, now - 60 + 60 * i))
+    stream = (
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    staging = f"{work_dir}/staging"
+    ingest_training_set(
+        stream, f"{work_dir}/shards", staging, f"{work_dir}/ckpt"
+    )
+    batches = glob.glob(f"{staging}/chunks/batch_id=*")
+    if len(batches) < 2:
+        raise RuntimeError(
+            f"ingest_manifest: expected >= 2 micro-batches, staged "
+            f"{batches} — the streamed path did not actually stream"
+        )
+    staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
+    ordered = shuffle_order(staged, key="chunk_key", salt="epoch0", n_shards=8)
+    return ordered.select(
+        "shard",
+        "pos",
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "pred_lang",
+    ).localCheckpoint()
+
+
 def quality_filter_features(documents: DataFrame) -> DataFrame:
     """Continuous text-shape features for MODEL-BASED quality filtering
     (the fastText-classifier pattern of CCNet / LLaMA data pipelines,

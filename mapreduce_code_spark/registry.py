@@ -901,6 +901,35 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PIPE.training_manifest(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "pipeline_ingest_manifest", oracle=PIPE.training_manifest_sql()
+)
+def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME manifest produced through the restartable incremental
+    path (r6 verdict #2): the corpus split into two ascending-doc_id
+    files, driven as two REAL micro-batches through
+    plans/pipeline.ingest_training_set's checkpointed foreachBatch
+    chain (staging, hash-log semi-reduce + anti-join, final shuffled
+    shard write), then ranked with the write path's own shuffle_order
+    algebra. Batching invariance makes the result row-identical to the
+    one-shot batch manifest, so the streamed path shares
+    pipeline_materialize_manifest's DuckDB oracle — a hash match here
+    pins the whole ingest chain, cross-batch dedup included, to the
+    batch semantics."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_ingest_")
+    try:
+        return PIPE.ingest_manifest(
+            load_table(spark, sf_dir, "documents"), work
+        )
+    finally:
+        # the returned frame is checkpoint-pinned — nothing lazy still
+        # reads from the work dir
+        shutil.rmtree(work, ignore_errors=True)
+
+
 from mapreduce_code_spark.operators import sampling as SMP  # noqa: E402
 
 

@@ -889,6 +889,32 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{staging}/chunks/batch_id=*")) == 2
 
 
+def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
+    """The registered streamed-ingest row (pipeline_ingest_manifest):
+    driving the corpus as two real micro-batches through the
+    checkpointed foreachBatch chain and ranking the staged chunks must
+    land EXACTLY the one-shot training_manifest rows — that equality is
+    what lets the streamed path share the batch manifest's DuckDB
+    oracle. Also checks the returned frame survives work-dir deletion
+    (it is checkpoint-pinned)."""
+    import shutil
+
+    from mapreduce_code_spark.plans.pipeline import (
+        ingest_manifest,
+        training_manifest,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = str(tmp_path / "work")
+    got_df = ingest_manifest(docs, work)
+    shutil.rmtree(work)  # nothing lazy may still read from it
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, training_manifest(docs).collect()))
+    assert got == want
+    assert got, "vacuous: empty manifest"
+
+
 def test_ingest_history_dedup_never_shuffles_the_log(spark, sf_dir, tmp_path):
     """The per-batch seen-hash check must stay sub-shuffle in the hash
     log (r6 verdict #6): the log grows with corpus history, so the plan
