@@ -552,6 +552,59 @@ def fit_quality_filter(documents: DataFrame, labels: DataFrame, **kw):
     return sgd_fit(pts, link="logistic", **kw)
 
 
+# Hand-pinned coefficient vector for the REGISTERED scoring row (r6
+# verdict #7): fit_quality_filter is rows-only by nature (SGD), but
+# applying a FIXED theta is pure column algebra and fully oracle-able.
+# A representative trained vector rounded to exactly-representable
+# dyadic fractions, so the literals parse to identical doubles in both
+# engines: (bias, word-count, chars-per-word, stopword-density,
+# vocab-diversity) over quality_filter_features' feature order.
+QUALITY_THETA = (-1.5, 2.5, 0.625, 3.25, -0.125)
+
+
+def score_quality_filter_sql(theta=QUALITY_THETA) -> str:
+    """DuckDB twin of :func:`score_quality_filter` with a fixed
+    ``theta``: the same shape counts (`TXT._shape_counts` semantics),
+    the same bounded-ratio features in the same textual order, and the
+    same left-associated fold ``((((0 + x0*t0) + x1*t1) + ...)`` — only
+    IEEE +,-,*,/ with every numeric literal CAST to DOUBLE (bare
+    decimals are DECIMAL-typed in DuckDB and would diverge from
+    Spark's double arithmetic)."""
+    from mapreduce_code_spark.functions.text import STOPWORDS_EN
+
+    theta = [float(t) for t in theta]
+    if len(theta) != N_QUALITY_FEATURES:
+        raise ValueError(
+            f"score_quality_filter_sql: theta has {len(theta)} "
+            f"coefficients, features have {N_QUALITY_FEATURES}"
+        )
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    t = [f"CAST({c!r} AS DOUBLE)" for c in theta]
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stop}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(greatest(n_words, 1) AS DOUBLE) AS d,
+         n_words, n_stop, n_uniq, n_chars
+  FROM s
+)
+SELECT doc_id,
+       CAST(0 AS DOUBLE)
+       + (CAST(1 AS DOUBLE) * {t[0]})
+       + ((least(n_words, 2000) / CAST(2000 AS DOUBLE)) * {t[1]})
+       + ((least(n_chars / d, CAST(20 AS DOUBLE)) / CAST(20 AS DOUBLE)) * {t[2]})
+       + ((n_stop / d) * {t[3]})
+       + ((n_uniq / d) * {t[4]}) AS margin
+FROM f
+"""
+
+
 def score_quality_filter(documents: DataFrame, theta) -> DataFrame:
     """Apply a trained filter to the whole corpus:
     ``(doc_id, margin)`` where ``margin = θ·x`` — the logit, monotone in

@@ -930,6 +930,24 @@ def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "pipeline_quality_margins", oracle=PIPE.score_quality_filter_sql()
+)
+def q_quality_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality filter's SCORING half with a pinned
+    coefficient vector (r6 verdict #7): margin = θ·x over
+    quality_filter_features — one zip-multiply-sum projection, one
+    corpus scan, zero shuffles, no libm (the margin is the logit, so
+    thresholding it IS thresholding the sigmoid). Training stays
+    rows-only by nature (SGD, pinned by tolerance/parity tests);
+    applying a fixed theta is pure column algebra, so the corpus-wide
+    scoring pass the 100 TB pipeline actually runs per snapshot gets a
+    full DuckDB oracle."""
+    return PIPE.score_quality_filter(
+        load_table(spark, sf_dir, "documents"), PIPE.QUALITY_THETA
+    )
+
+
 from mapreduce_code_spark.operators import sampling as SMP  # noqa: E402
 
 

@@ -883,6 +883,21 @@ def test_quality_filter_scores_streams(spark, sf_dir, tmp_path):
     assert (got == want).all()
 
 
+def test_quality_margins_registered_oracle_parity(spark, sf_dir):
+    """The registered scoring row (pipeline_quality_margins, r6 verdict
+    #7): margin = θ·x with the pinned QUALITY_THETA hash-matches the
+    DuckDB twin bit-for-bit (IEEE-exact fold, every literal
+    double-cast), and the margins are non-degenerate (the features
+    actually vary — a constant column would pass parity vacuously)."""
+    from mapreduce_code_spark.registry import oracle_sql, queries
+    from tests.helpers import assert_parity
+
+    df = queries()["pipeline_quality_margins"](spark, sf_dir)
+    assert_parity(df, sf_dir, oracle_sql()["pipeline_quality_margins"])
+    margins = [r["margin"] for r in df.collect()]
+    assert len(set(margins)) > 1 and len(margins) > 0
+
+
 def test_bpe_encode_sennrich_example(spark):
     """Encoding with the 4 merges trained on the Sennrich corpus:
     'lowest' folds to [low, est] (es→est→lo→low apply in training
