@@ -92,63 +92,64 @@ def retired(name: str, oracle: str | None = None):
 # retirement history) the 96-query surface sits under the 2-round
 # coverage ceiling with ~4 rows of slack.
 _FIRST = [
-    # new in round 6 (r5 verdict #2/#4: first driver rows for the
-    # strongest round-5 library surfaces)
-    "text_bpe_encode",
-    "relational_profile",
-    "pipeline_materialize_manifest",
-    # code touched in round 6 (bpe_merges gained arg validation — the
-    # kernel text changed, so its row re-verifies)
+    # new in round 7 (r6 verdict #2/#7: the streamed ingest path and the
+    # learned quality filter's scoring half get their first driver rows)
+    "pipeline_ingest_manifest",
+    "pipeline_quality_margins",
+    # code touched in round 7: the two BPE queries now share one trained
+    # merge table via the registry cache (r6 verdict #4), so both rows
+    # re-verify through the changed path
     "text_bpe_merges",
-    # latest green row is r04 (rotation: due this round), minus the
-    # three round-6 retirements (apriori_frequent_itemsets_s300 /
-    # _ordered, events_anomaly_zscore)
-    "apriori_association_rules_ref",
-    "dedup_streamed_incremental",
-    "dedup_substring_spans",
-    "events_attribution_last_touch",
-    "events_drift_chisq",
-    "events_retention_cohorts",
-    "events_streamed_anomaly",
-    "events_streamed_attribution",
-    "events_streamed_session",
-    "events_streamed_view_purchase",
-    "graph_coreness_clicks",
-    "graph_pagerank_clicks",
-    "graph_triangle_clicks",
-    "multimodal_frame_plan",
-    "relational_above_avg_orders",
-    "relational_bloom_customers",
-    "relational_countmin_heavy_hitters",
-    "relational_cube_order_stats",
-    "relational_filter_case_orders",
-    "relational_funnel_stages",
-    "relational_grouping_sets",
-    "relational_idle_customers",
-    "relational_integrity_checks",
-    "relational_kv_upsert",
-    "relational_pivot_returnflag",
-    "relational_pointintime_prices",
-    "relational_regional_revenue",
-    "relational_returned_orders",
-    "relational_rollup_pricing",
-    "relational_scd2_prices",
-    "relational_setops_customers",
-    "relational_streamed_hll",
-    "relational_topk_parts_per_brand",
-    "relational_unpivot_measures",
-    "relational_winsorized_prices",
-    "sampling_chunk_documents",
-    "sampling_source_cap",
-    "sampling_temperature_mix",
-    "similarity_assign_centroids",
-    "similarity_hybrid_rrf",
-    "similarity_label_centroids",
-    "similarity_semantic_dedup",
-    "text_contamination_ngram",
-    "text_quality_classifier",
-    "text_redact_pii",
-    "text_repetition_gopher",
+    "text_bpe_encode",
+    # latest green row is r05 (rotation: due this round), minus the
+    # three round-6 retirements (apriori_association_rules,
+    # dedup_components, similarity_topk_int8)
+    "apriori_frequent_items",
+    "apriori_frequent_itemsets",
+    "dedup_components_starcontract",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_near_dup_scalable",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_json_props",
+    "events_session_paths",
+    "events_sliding_window",
+    "events_streamed_tumbling",
+    "events_user_running_totals",
+    "graph_lpa_communities",
+    "multimodal_features",
+    "multimodal_meta",
+    "pipeline_curated_corpus",
+    "regression_ols_stats",
+    "regression_sgd_linear",
+    "regression_sgd_logistic",
+    "relational_customer_order_history",
+    "relational_distinct_part_stats",
+    "relational_events_close_pairs",
+    "relational_events_orders_asof",
+    "relational_histogram_quantiles",
+    "relational_hll_distinct",
+    "relational_hourly_gapfill",
+    "relational_pricing_summary",
+    "relational_quantity_quartiles",
+    "relational_rolling_24h",
+    "sampling_global_shuffle",
+    "sampling_pack_documents",
+    "sampling_quality_weighted",
+    "sampling_streamed_stratified",
+    "sampling_train_val_split",
+    "similarity_cosine_dups",
+    "similarity_quantize_int8",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    "text_tfidf",
+    "text_winnow_fingerprint",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
