@@ -73,17 +73,13 @@ def net_shuffles(df) -> int:
     return walk(df._jdf.queryExecution().executedPlan())
 
 
-# Queries whose fn() runs work EAGERLY at DataFrame-construction time
-# (driver iteration loops: SGD fits, label propagation). For these a
-# second fn() call to build a "fresh plan" for shuffle counting would
-# re-run the whole computation untimed, and the returned frame's plan
-# is a checkpoint/createDataFrame scan anyway — record the sentinel
-# -1 ("iterative; not one plan") instead.
-EAGER = {
-    "regression_sgd_linear",
-    "regression_sgd_logistic",
-    "dedup_components",
-    "dedup_components_starcontract",
+# Queries whose fn() runs work EAGERLY at DataFrame-construction time.
+# For these a second fn() call to build a "fresh plan" for shuffle
+# counting would re-run the whole computation untimed, and the returned
+# frame's plan is a checkpoint/createDataFrame scan anyway — record the
+# sentinel -1 ("iterative; not one plan") instead. Split by WHY they are
+# eager so PLANS.md can state the right reason per query.
+EAGER_STREAMS = {
     "events_streamed_tumbling",  # runs an actual writeStream at build
     "events_streamed_session",  # writeStream at build
     "events_streamed_view_purchase",  # stream-stream writeStream at build
@@ -94,6 +90,13 @@ EAGER = {
     "events_streamed_attribution",  # stateful writeStream at build
     "pipeline_ingest_manifest",  # foreachBatch ingest + shard write at build
 }
+EAGER_LOOPS = {  # driver iteration loops: SGD fits, components fixpoints
+    "regression_sgd_linear",
+    "regression_sgd_logistic",
+    "dedup_components",
+    "dedup_components_starcontract",
+}
+EAGER = EAGER_STREAMS | EAGER_LOOPS
 # Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
 # False): the fresh plan net_shuffles() sees is a checkpoint scan, so
 # a structural count would read 0 and hide every real per-round
@@ -222,7 +225,11 @@ def main() -> int:
     # its prior mins untouched instead of min-merging them in (round-6
     # advisor item).
     if run_contended:
-        merged = {n: round(prior.get(n, t), 3) for n, t in timings.items()}
+        # keep ONLY the prior floor: a query with no prior entry (newly
+        # registered) gets no floor at all rather than a
+        # contention-inflated one — it earns its entry on the next
+        # clean run
+        merged = {n: round(t, 3) for n, t in prior.items()}
     else:
         merged = {
             n: round(min(t, prior.get(n, t)), 3) for n, t in timings.items()

@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from mapreduce_code_spark.functions import text as TXT
 
 MIN_QUALITY = 0.75
+# One source of truth for the training-set layout parameters: the write
+# path (materialize/ingest), the manifest contracts, and the DuckDB
+# oracle must agree on these or the (shard, pos) permutation silently
+# desynchronizes from the bytes on disk.
+TRAIN_SALT = "epoch0"
+TRAIN_SHARDS = 8
 
 
 def curated_corpus(documents: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
@@ -133,8 +139,8 @@ def materialize_training_set(
     min_quality: float = MIN_QUALITY,
     chunk_size: int = 32,
     chunk_stride: int = 24,
-    n_shards: int = 8,
-    salt: str = "epoch0",
+    n_shards: int = TRAIN_SHARDS,
+    salt: str = TRAIN_SALT,
 ) -> None:
     """The full corpus-build composed to BYTES ON DISK: curate
     (exact-dedup + quality gate + language ID), chunk into overlapping
@@ -176,8 +182,8 @@ def training_manifest(
     min_quality: float = MIN_QUALITY,
     chunk_size: int = 32,
     chunk_stride: int = 24,
-    n_shards: int = 8,
-    salt: str = "epoch0",
+    n_shards: int = TRAIN_SHARDS,
+    salt: str = TRAIN_SALT,
 ) -> DataFrame:
     """The deterministic manifest of what :func:`materialize_training_set`
     lays on disk — WITHOUT writing it: one row per surviving chunk with
@@ -193,17 +199,23 @@ def training_manifest(
     Scale shape: the same shuffles as the write path (dedup window,
     chunk↔curated join, one shard-keyed rank exchange) minus the write
     itself; the manifest is ~1 row per chunk with no text column."""
-    from mapreduce_code_spark.operators.sampling import shuffle_order
-
     keyed = curated_chunks(
         documents,
         min_quality=min_quality,
         chunk_size=chunk_size,
         chunk_stride=chunk_stride,
     )
-    ordered = shuffle_order(
-        keyed, key="chunk_key", salt=salt, n_shards=n_shards
-    )
+    return _manifest_rows(keyed, salt=salt, n_shards=n_shards)
+
+
+def _manifest_rows(keyed: DataFrame, salt: str, n_shards: int) -> DataFrame:
+    """Rank keyed chunks into the global training order and project the
+    manifest contract columns — the ONE projection both the batch
+    manifest above and the streamed :func:`ingest_manifest` return, so
+    the two rows can never drift apart in column set or fingerprint."""
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    ordered = shuffle_order(keyed, key="chunk_key", salt=salt, n_shards=n_shards)
     return ordered.select(
         "shard",
         "pos",
@@ -218,8 +230,8 @@ def training_manifest_sql(
     min_quality: float = MIN_QUALITY,
     chunk_size: int = 32,
     chunk_stride: int = 24,
-    n_shards: int = 8,
-    salt: str = "epoch0",
+    n_shards: int = TRAIN_SHARDS,
+    salt: str = TRAIN_SALT,
 ) -> str:
     """DuckDB twin of :func:`training_manifest` — curated_corpus and
     chunk_documents twins composed, then the shuffle_order hash/shard/
@@ -260,8 +272,8 @@ def ingest_training_set(
     min_quality: float = MIN_QUALITY,
     chunk_size: int = 32,
     chunk_stride: int = 24,
-    n_shards: int = 8,
-    salt: str = "epoch0",
+    n_shards: int = TRAIN_SHARDS,
+    salt: str = TRAIN_SALT,
 ) -> None:
     """Incremental (streamed) corpus build — the 100 TB reality where
     documents arrive shard by shard: a file STREAM of documents driven
@@ -455,8 +467,6 @@ def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
     import shutil
     import time
 
-    from mapreduce_code_spark.operators.sampling import shuffle_order
-
     spark = documents.sparkSession
     lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
     mid = (int(lo) + int(hi)) // 2
@@ -490,14 +500,8 @@ def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
             f"{batches} — the streamed path did not actually stream"
         )
     staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
-    ordered = shuffle_order(staged, key="chunk_key", salt="epoch0", n_shards=8)
-    return ordered.select(
-        "shard",
-        "pos",
-        "doc_id",
-        "chunk_id",
-        F.md5("chunk_text").alias("chunk_md5"),
-        "pred_lang",
+    return _manifest_rows(
+        staged, salt=TRAIN_SALT, n_shards=TRAIN_SHARDS
     ).localCheckpoint()
 
 

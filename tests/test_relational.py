@@ -575,6 +575,9 @@ def test_profile_exact_sql_hostile_names(spark):
         profile_exact_sql("group", cols)
     ).fetchall()}
     assert got == want and len(got) == 3
+
+
+def test_integrity_checks_planted_violations(spark):
     """Each constraint catches its planted violation exactly once: one
     orphan order, one duplicated customer key, one null totalprice."""
     customer = spark.createDataFrame(
