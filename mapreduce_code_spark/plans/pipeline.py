@@ -274,6 +274,7 @@ def ingest_training_set(
     chunk_stride: int = 24,
     n_shards: int = TRAIN_SHARDS,
     salt: str = TRAIN_SALT,
+    compact_every: int = 0,
 ) -> None:
     """Incremental (streamed) corpus build — the 100 TB reality where
     documents arrive shard by shard: a file STREAM of documents driven
@@ -316,7 +317,13 @@ def ingest_training_set(
     side), then one narrow chunk explode over the in-batch text joined
     back by doc_id. The final write is the same single shard-keyed
     exchange as the batch path, over staged chunks that never re-touch
-    document text."""
+    document text.
+
+    ``compact_every=K`` (0 = never) folds the committed hash-log
+    partitions into one distinct sorted partition every K batches at
+    batch start (:func:`compact_hash_log` — replay-safe there by
+    construction), bounding the history scan by the distinct corpus
+    instead of the number of micro-batches ever run."""
     from mapreduce_code_spark.sources.bucketing import write_shuffled
     from mapreduce_code_spark.streaming.windows import (
         _dir_exists,
@@ -347,6 +354,13 @@ def ingest_training_set(
         )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        # Compacting at BATCH START is replay-safe by construction:
+        # foreachBatch only invokes batch N after batch N-1 committed,
+        # so every id below the current one can never replay — exactly
+        # compact_hash_log's precondition. The current batch's own log
+        # (written later this invocation) is never touched.
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_hash_log(spark, staging_dir, before_batch_id=batch_id)
         _ingest_batch(
             batch, batch_id, staging_dir, min_quality, chunk_size,
             chunk_stride,
@@ -443,6 +457,73 @@ def _history_hits(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
     return seen.join(
         F.broadcast(keep.select("content_hash")), "content_hash", "left_semi"
     )
+
+
+def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
+    """Fold every hash-log partition with ``batch_id < before_batch_id``
+    into ONE deduplicated, content_hash-sorted partition — the
+    maintenance op that keeps the per-batch history scan bounded by the
+    DISTINCT corpus instead of the sum of per-batch logs (a long-running
+    ingest writes one log dir per micro-batch; their union carries no
+    information the distinct hash set doesn't).
+
+    PRECONDITION: every batch below ``before_batch_id`` has COMMITTED
+    (it can never replay). :func:`ingest_training_set` guarantees this
+    when it auto-compacts at batch start — foreachBatch only invokes
+    batch N after N-1 committed. Compacting a batch that may still
+    replay would put its hashes below its own id and re-introduce the
+    self-erasure failure the replay test pins.
+
+    Crash-safe by write-then-delete ordering: the compacted rows land
+    first in a fresh ``batch_id=-{before_batch_id}`` partition (negative
+    ids sort below every real batch, so every future anti-join sees
+    them, and ``-before_batch_id`` strictly decreases across compactions
+    so it never collides with a prior compaction or a source being
+    read), and only then are the source partitions deleted. A crash
+    between the two leaves DUPLICATE hash rows across old + new dirs —
+    harmless to a left-anti/left-semi probe — and the next compaction
+    folds them again. MISSING hashes, the only dangerous state, cannot
+    occur. Idempotent: re-running with the same argument is a no-op
+    once only the compacted dir remains."""
+    from mapreduce_code_spark.streaming.windows import _dir_exists
+
+    hashes_dir = f"{staging_dir}/hashes"
+    if not _dir_exists(spark, hashes_dir):
+        return
+    log = spark.read.parquet(hashes_dir)
+    old_ids = [
+        r["batch_id"]
+        for r in log.select("batch_id").distinct().collect()
+        if r["batch_id"] < before_batch_id
+    ]
+    if len(old_ids) <= 1:
+        return  # nothing to fold
+    target = f"{hashes_dir}/batch_id=-{before_batch_id}"
+    # pin BEFORE writing: the compacted frame reads from hashes_dir and
+    # the target is a child of it — a lazy write would read the tree it
+    # is inserting into; the checkpoint also means the deletes below
+    # can't invalidate anything still lazy. Sorting by content_hash
+    # range-partitions the output, so each compacted file owns a
+    # disjoint hash range (tight parquet footer stats).
+    compacted = (
+        log.filter(F.col("batch_id") < before_batch_id)
+        .select("content_hash")
+        .distinct()
+        .sort("content_hash")
+        .localCheckpoint()
+    )
+    compacted.write.mode("overwrite").parquet(target)
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path(hashes_dir)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    for i in old_ids:
+        if i == -before_batch_id:
+            continue  # the dir just written (re-run after a crash)
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{hashes_dir}/batch_id={i}"
+            ),
+            True,
+        )
 
 
 def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:

@@ -745,11 +745,13 @@ def test_materialize_training_set_end_to_end(spark, sf_dir, tmp_path):
 def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
     """The incremental file-stream ingest (foreachBatch through the
     same curate→chunk chain) lands EXACTLY the one-shot batch layout:
-    same shards, same within-shard row order, for an ordered 2-file
-    split processed as 2 micro-batches — including cross-batch exact
-    dups (batch-2 copies of batch-1 texts must lose to the earlier
-    keeper) and quality shadowing (a low-quality first-arrival's later
-    dup must NOT resurrect)."""
+    same shards, same within-shard row order, for an ordered 3-file
+    split processed as 3 micro-batches — including cross-batch exact
+    dups (last-batch copies of first-batch texts must lose to the
+    earlier keeper) and quality shadowing (a low-quality
+    first-arrival's later dup must NOT resurrect). Runs with
+    compact_every=1, so the invariance is proven WITH the hash-log
+    compaction folding history mid-ingest."""
     import os
     import time
 
@@ -762,13 +764,14 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
     from mapreduce_code_spark.sources.io import load_table
 
     base = load_table(spark, sf_dir, "documents").toPandas()
-    median = base["doc_id"].median()
+    q1, q2 = base["doc_id"].quantile([1 / 3, 2 / 3])
     lowq_text = "zz " * 40 + "zz"  # degenerate vocab -> fails the gate
     big = int(base["doc_id"].max()) + 1
     low = pd.concat(
         [
-            base[base.doc_id <= median],
-            # low-quality first arrival whose hash must shadow batch 2
+            base[base.doc_id <= q1],
+            # low-quality first arrival whose hash must shadow the last
+            # batch's dup of it
             pd.DataFrame(
                 [
                     {
@@ -783,6 +786,7 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
         ],
         ignore_index=True,
     )
+    mid = base[(base.doc_id > q1) & (base.doc_id <= q2)]
     dup_src = base.nsmallest(3, "doc_id")
     dups = pd.DataFrame(
         {
@@ -794,16 +798,19 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
         }
     )
     high = pd.concat(
-        [base[base.doc_id > median], dups], ignore_index=True
+        [base[base.doc_id > q2], dups], ignore_index=True
     )
     src = tmp_path / "docs_in"
     src.mkdir()
+    # THREE files / three micro-batches: batch 2 is the first whose
+    # compaction (at batch start) has >= 2 committed logs to fold
     low.to_parquet(src / "f0.parquet", index=False)
-    high.to_parquet(src / "f1.parquet", index=False)
-    # the file source orders by modification time: pin f0 strictly first
+    mid.to_parquet(src / "f1.parquet", index=False)
+    high.to_parquet(src / "f2.parquet", index=False)
+    # the file source orders by modification time: pin strict order
     now = time.time()
-    os.utime(src / "f0.parquet", (now - 60, now - 60))
-    os.utime(src / "f1.parquet", (now, now))
+    for i, f in enumerate(["f0.parquet", "f1.parquet", "f2.parquet"]):
+        os.utime(src / f, (now - 120 + 60 * i, now - 120 + 60 * i))
 
     all_docs = spark.read.parquet(str(src))
     out_batch = str(tmp_path / "out_batch")
@@ -816,19 +823,32 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
     )
     out_stream = str(tmp_path / "out_stream")
     staging = str(tmp_path / "staging")
+    # compact_every=1 runs the hash-log compaction at every batch start
+    # — the invariance below (streamed ≡ batch shards, cross-batch dups
+    # and quality shadowing included) is therefore proven WITH
+    # compaction folding the history mid-ingest
     ingest_training_set(
         stream,
         out_stream,
         staging,
         str(tmp_path / "ckpt"),
         n_shards=4,
+        compact_every=1,
     )
 
     # non-vacuity: the stream really ran as (at least) two micro-batches
     import glob
 
     batch_dirs = glob.glob(f"{staging}/chunks/batch_id=*")
-    assert len(batch_dirs) >= 2, batch_dirs
+    assert len(batch_dirs) >= 3, batch_dirs
+    # ...and compaction really folded the early hash logs: batch 0's
+    # original partition is gone, a negative compacted partition exists
+    hash_dirs = {
+        d.rsplit("batch_id=", 1)[1]
+        for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert any(h.startswith("-") for h in hash_dirs), hash_dirs
+    assert "0" not in hash_dirs, hash_dirs
 
     got = {
         s: pdf[["doc_id", "chunk_id", "chunk_text"]].to_dict("list")
@@ -972,6 +992,69 @@ def test_ingest_history_dedup_never_shuffles_the_log(spark, sf_dir, tmp_path):
         r["doc_id"] for r in docs.filter(F.col("doc_id") % 4 == 1).collect()
     }
     assert got == want, "history dups must drop, fresh hashes must survive"
+
+
+def test_compact_hash_log_folds_history_safely(spark, sf_dir, tmp_path):
+    """compact_hash_log semantics: committed batch logs fold into ONE
+    distinct sorted negative-id partition; the distinct hash set is
+    byte-preserved; dedup against the compacted history still drops a
+    later batch's dups; a REPLAY of the first uncompacted batch after
+    compaction reproduces identical staging (its own hashes were never
+    folded below its id); and re-running the compaction is a no-op."""
+    import glob
+
+    import pandas as pd
+
+    from mapreduce_code_spark.plans.pipeline import (
+        _ingest_batch,
+        compact_hash_log,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    staging = str(tmp_path / "staging")
+    _ingest_batch(docs.filter(F.col("doc_id") % 3 == 0), 0, staging, 0.75, 32, 24)
+    _ingest_batch(docs.filter(F.col("doc_id") % 3 == 1), 1, staging, 0.75, 32, 24)
+    before = set(pd.read_parquet(f"{staging}/hashes")["content_hash"])
+
+    compact_hash_log(spark, staging, before_batch_id=2)
+    dirs = {
+        d.rsplit("batch_id=", 1)[1]
+        for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert dirs == {"-2"}, dirs
+    assert set(pd.read_parquet(f"{staging}/hashes")["content_hash"]) == before
+
+    # batch 2 with a planted dup of a batch-0 text: the compacted
+    # history must still shadow it
+    dup = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .limit(1)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text").unionAll(dup)
+    _ingest_batch(b2, 2, staging, 0.75, 32, 24)
+    staged2 = pd.read_parquet(glob.glob(f"{staging}/chunks/batch_id=2")[0])
+    assert not (staged2["doc_id"] >= 10_000_000).any(), "compacted history lost a hash"
+    snap2 = staged2.sort_values("chunk_key", ignore_index=True).to_dict("list")
+
+    # replay batch 2 (crash-before-commit case) — identical staging;
+    # its own hashes sit at batch_id=2, never below it
+    _ingest_batch(b2, 2, staging, 0.75, 32, 24)
+    replay2 = (
+        pd.read_parquet(glob.glob(f"{staging}/chunks/batch_id=2")[0])
+        .sort_values("chunk_key", ignore_index=True)
+        .to_dict("list")
+    )
+    assert replay2 == snap2
+
+    # idempotent: nothing left to fold below 2
+    compact_hash_log(spark, staging, before_batch_id=2)
+    dirs_after = {
+        d.rsplit("batch_id=", 1)[1]
+        for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert dirs_after == {"-2", "2"}, dirs_after
 
 
 def test_ingest_refuses_stale_staging_with_fresh_checkpoint(
