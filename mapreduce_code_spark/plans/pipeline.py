@@ -637,14 +637,37 @@ def fit_quality_filter(documents: DataFrame, labels: DataFrame, **kw):
     return sgd_fit(pts, link="logistic", **kw)
 
 
-# Hand-pinned coefficient vector for the REGISTERED scoring row (r6
-# verdict #7): fit_quality_filter is rows-only by nature (SGD), but
-# applying a FIXED theta is pure column algebra and fully oracle-able.
-# A representative trained vector rounded to exactly-representable
-# dyadic fractions, so the literals parse to identical doubles in both
-# engines: (bias, word-count, chars-per-word, stopword-density,
-# vocab-diversity) over quality_filter_features' feature order.
-QUALITY_THETA = (-1.5, 2.5, 0.625, 3.25, -0.125)
+def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:
+    """The executable recipe behind ``QUALITY_THETA``: distill the
+    heuristic quality gate into the learned filter (label every doc
+    with the gate's own verdict — the CCNet-style bootstrap when no
+    human labels exist), fit the reference-faithful logistic SGD with a
+    PINNED partition layout (deterministic trajectory, reproducible
+    across hosts), and round each coefficient to the nearest 1/16 so
+    the pinned literals are dyadic — DECIMAL→DOUBLE-exact in both
+    engines."""
+    from mapreduce_code_spark.functions.text import quality_score
+
+    labels = quality_score(documents).select(
+        "doc_id",
+        (F.col("quality") >= MIN_QUALITY).cast("double").alias("y"),
+    )
+    res = fit_quality_filter(
+        documents, labels, max_iter=max_iter, n_partitions=2
+    )
+    return [round(t * 16) / 16 for t in res.theta]
+
+
+# Pinned coefficient vector for the REGISTERED scoring row (r6 verdict
+# #7): fit_quality_filter is rows-only by nature (SGD), but applying a
+# FIXED theta is pure column algebra and fully oracle-able. This is
+# `derive_quality_theta(documents)` run at sf0.01 (heuristic-gate
+# bootstrap labels, 60 averaged-SGD iterations, layout pinned at 2
+# range partitions), rounded to dyadic sixteenths so the literals parse
+# to identical doubles in both engines. Feature order:
+# (bias, word-count, chars-per-word, stopword-density, vocab-diversity)
+# per quality_filter_features.
+QUALITY_THETA = (0.625, -0.0625, -0.0625, 1.75, 1.0625)
 
 
 def score_quality_filter_sql(theta=QUALITY_THETA) -> str:

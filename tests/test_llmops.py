@@ -898,6 +898,38 @@ def test_quality_margins_registered_oracle_parity(spark, sf_dir):
     assert len(set(margins)) > 1 and len(margins) > 0
 
 
+def test_quality_theta_reproduces_from_its_recipe(spark):
+    """QUALITY_THETA is a trained artifact, not a hand-picked vector:
+    re-running derive_quality_theta at the sf0.01 corpus it was derived
+    from (heuristic-gate bootstrap labels, pinned 2-partition layout —
+    fully deterministic trajectory) reproduces the pinned dyadic vector
+    bit-for-bit, and the pinned vector actually separates the gate's
+    classes (higher mean margin on gate-passing docs)."""
+    import os
+
+    from mapreduce_code_spark.functions.text import quality_score
+    from mapreduce_code_spark.plans import pipeline as P
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip(f"derivation corpus {sf01} not on this host")
+    docs = load_table(spark, sf01, "documents")
+    assert P.derive_quality_theta(docs) == list(P.QUALITY_THETA)
+    labels = quality_score(docs).select(
+        "doc_id",
+        (F.col("quality") >= P.MIN_QUALITY).cast("double").alias("y"),
+    )
+    means = {
+        r["y"]: r["m"]
+        for r in P.score_quality_filter(docs, P.QUALITY_THETA)
+        .join(labels, "doc_id")
+        .groupBy("y")
+        .agg(F.avg("margin").alias("m"))
+        .collect()
+    }
+    assert means[1.0] > means[0.0]
+
+
 def test_bpe_encode_sennrich_example(spark):
     """Encoding with the 4 merges trained on the Sennrich corpus:
     'lowest' folds to [low, est] (es→est→lo→low apply in training
