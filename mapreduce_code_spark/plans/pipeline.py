@@ -127,10 +127,15 @@ def _keyed_chunks(
         size=chunk_size,
         stride=chunk_stride,
     ).join(curated.select("doc_id", "pred_lang"), "doc_id")
-    return chunks.withColumn(
-        "chunk_key",
-        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
-    )
+    return chunks.withColumn("chunk_key", _chunk_key())
+
+
+def _chunk_key():
+    """The ``doc_id:chunk_id`` chunk-identity expression — ONE builder
+    shared by the curate→chunk path and :func:`epoch_manifest`'s
+    rebuild-from-shards path, so the permutation key can never drift
+    between what was written and what a later epoch re-ranks."""
+    return F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
 
 
 def materialize_training_set(
@@ -635,6 +640,38 @@ def fit_quality_filter(documents: DataFrame, labels: DataFrame, **kw):
         "row_id",
     )
     return sgd_fit(pts, link="logistic", **kw)
+
+
+def epoch_manifest(
+    spark,
+    shards_path: str,
+    salt: str,
+    n_shards: int = TRAIN_SHARDS,
+) -> DataFrame:
+    """Re-rank an ALREADY MATERIALIZED training set for a new epoch
+    WITHOUT re-curating: read the written shards, rebuild the chunk key
+    (:func:`_chunk_key` — the same expression the write path keyed by),
+    and rank with the new ``salt``. Because the permutation is a pure
+    function of (salt, chunk_key), the result equals
+    :func:`training_manifest` of the original corpus at that salt — the
+    epoch-N loading order — while the expensive half of the pipeline
+    (dedup window, quality gate, language ID, chunk explode) never
+    re-runs; test-pinned against the from-scratch manifest.
+
+    Scale shape: ONE scan of the curated shards (already deduped and
+    quality-gated — a fraction of the raw corpus) + the one shard-keyed
+    rank exchange. At 100 TB this is the difference between an epoch
+    flip costing a full curation pass and costing one shuffle of the
+    surviving chunks; feed it to ``write_shuffled(salt=...)`` to
+    materialize the epoch instead of just describing it."""
+    rows = spark.read.parquet(shards_path).select(
+        "doc_id", "chunk_id", "chunk_text", "pred_lang"
+    )
+    return _manifest_rows(
+        rows.withColumn("chunk_key", _chunk_key()),
+        salt=salt,
+        n_shards=n_shards,
+    )
 
 
 def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:

@@ -909,6 +909,36 @@ def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{staging}/chunks/batch_id=*")) == 2
 
 
+def test_epoch_manifest_rebuilds_from_shards_without_recuration(
+    spark, sf_dir, tmp_path
+):
+    """epoch_manifest over WRITTEN shards at a new salt must equal the
+    from-scratch training_manifest at that salt row-for-row (the
+    permutation is a pure function of (salt, chunk_key), and the shards
+    already hold exactly the surviving chunks) — and actually be a
+    DIFFERENT permutation than the written epoch (else the reshuffle is
+    vacuous)."""
+    from mapreduce_code_spark.plans.pipeline import (
+        epoch_manifest,
+        materialize_training_set,
+        training_manifest,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    materialize_training_set(docs, out)
+
+    got = sorted(map(tuple, epoch_manifest(spark, out, salt="epoch1").collect()))
+    want = sorted(
+        map(tuple, training_manifest(docs, salt="epoch1").collect())
+    )
+    assert got == want
+    assert got, "vacuous: empty epoch manifest"
+    epoch0 = sorted(map(tuple, training_manifest(docs, salt="epoch0").collect()))
+    assert got != epoch0  # a new salt is a genuinely new permutation
+
+
 def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
     """The registered streamed-ingest row (pipeline_ingest_manifest):
     driving the corpus as two real micro-batches through the
