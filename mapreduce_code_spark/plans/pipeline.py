@@ -495,14 +495,28 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
     hashes_dir = f"{staging_dir}/hashes"
     if not _dir_exists(spark, hashes_dir):
         return
-    log = spark.read.parquet(hashes_dir)
-    old_ids = [
-        r["batch_id"]
-        for r in log.select("batch_id").distinct().collect()
-        if r["batch_id"] < before_batch_id
-    ]
+    # enumerate source partitions from the DIRECTORY LISTING, not a
+    # row scan: metadata-only (no second pass over the log), and it
+    # sees EMPTY batch dirs too — a micro-batch whose keepers were all
+    # history-dups logs zero rows, and a row-derived id list would
+    # never fold or delete that dir (review finding: the dirs would
+    # accumulate unboundedly)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(hashes_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_ids = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            i = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if i < before_batch_id:
+            old_ids.append(i)
     if len(old_ids) <= 1:
         return  # nothing to fold
+    log = spark.read.parquet(hashes_dir)
     target = f"{hashes_dir}/batch_id=-{before_batch_id}"
     # pin BEFORE writing: the compacted frame reads from hashes_dir and
     # the target is a child of it — a lazy write would read the tree it
@@ -518,8 +532,6 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
         .localCheckpoint()
     )
     compacted.write.mode("overwrite").parquet(target)
-    fs_path = spark._jvm.org.apache.hadoop.fs.Path(hashes_dir)
-    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
     for i in old_ids:
         if i == -before_batch_id:
             continue  # the dir just written (re-run after a crash)
@@ -591,7 +603,7 @@ def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
-def quality_filter_features(documents: DataFrame) -> DataFrame:
+def quality_filter_features(documents: DataFrame, label=None) -> DataFrame:
     """Continuous text-shape features for MODEL-BASED quality filtering
     (the fastText-classifier pattern of CCNet / LLaMA data pipelines,
     public) — the learned sibling of ``TXT.quality_score``'s fixed
@@ -601,10 +613,15 @@ def quality_filter_features(documents: DataFrame) -> DataFrame:
     ratios of the same integer counts the heuristic gates use (word
     count capped/scaled, chars-per-word, stopword density, vocabulary
     diversity — `TXT._shape_counts`, the one shared builder); a narrow
-    per-row map, no shuffle, no Python."""
+    per-row map, no shuffle, no Python.
+
+    ``label``: optional row-local Column over ``documents`` (e.g. a
+    bootstrap gate verdict) emitted as ``y`` in the SAME projection —
+    labels that are expressions over the corpus need no join at all,
+    unlike the annotated-sample path in :func:`fit_quality_filter`."""
     _, n_words, n_stop, n_uniq = TXT._shape_counts()
     d = F.greatest(n_words, F.lit(1)).cast("double")
-    return documents.select(
+    cols = [
         F.col("doc_id").alias("row_id"),
         F.array(
             F.lit(1.0),
@@ -613,7 +630,10 @@ def quality_filter_features(documents: DataFrame) -> DataFrame:
             n_stop / d,
             n_uniq / d,
         ).cast("array<double>").alias("features"),
-    )
+    ]
+    if label is not None:
+        cols.append(label.cast("double").alias("y"))
+    return documents.select(*cols)
 
 
 # feature arity of quality_filter_features (bias + 4 shape ratios):
@@ -678,19 +698,28 @@ def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:
     """The executable recipe behind ``QUALITY_THETA``: distill the
     heuristic quality gate into the learned filter (label every doc
     with the gate's own verdict — the CCNet-style bootstrap when no
-    human labels exist), fit the reference-faithful logistic SGD with a
-    PINNED partition layout (deterministic trajectory, reproducible
-    across hosts), and round each coefficient to the nearest 1/16 so
-    the pinned literals are dyadic — DECIMAL→DOUBLE-exact in both
-    engines."""
-    from mapreduce_code_spark.functions.text import quality_score
+    human labels exist), fit the reference-faithful logistic SGD, and
+    round each coefficient to the nearest 1/16 so the pinned literals
+    are dyadic — DECIMAL→DOUBLE-exact in both engines.
 
-    labels = quality_score(documents).select(
-        "doc_id",
-        (F.col("quality") >= MIN_QUALITY).cast("double").alias("y"),
+    The gate verdict is a ROW-LOCAL expression, so the labels ride the
+    same feature projection — no label join, no broadcast of a
+    corpus-sized frame (``fit_quality_filter``'s broadcast-label path
+    is for genuinely small annotated samples, not bootstrap labels).
+    ``n_partitions=1`` pins the trajectory to the single sequential
+    row_id-ordered sweep — the one layout that cannot vary with the
+    host's input-split planning (repartitionByRange with k>1 samples
+    boundaries from the upstream layout), so the recipe reproduces
+    bit-for-bit anywhere; it is also the reference's own single-reducer
+    shape (`logisticreg.java:136-138`)."""
+    from mapreduce_code_spark.operators.regression import sgd_fit
+
+    _, _, _, _, quality = TXT._quality_parts()
+    pts = quality_filter_features(
+        documents, label=(quality >= MIN_QUALITY)
     )
-    res = fit_quality_filter(
-        documents, labels, max_iter=max_iter, n_partitions=2
+    res = sgd_fit(
+        pts, link="logistic", max_iter=max_iter, n_partitions=1
     )
     return [round(t * 16) / 16 for t in res.theta]
 
@@ -699,12 +728,13 @@ def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:
 # #7): fit_quality_filter is rows-only by nature (SGD), but applying a
 # FIXED theta is pure column algebra and fully oracle-able. This is
 # `derive_quality_theta(documents)` run at sf0.01 (heuristic-gate
-# bootstrap labels, 60 averaged-SGD iterations, layout pinned at 2
-# range partitions), rounded to dyadic sixteenths so the literals parse
+# bootstrap labels riding the feature projection, 60 SGD iterations on
+# the single sequential row_id-ordered partition — host-independent by
+# construction), rounded to dyadic sixteenths so the literals parse
 # to identical doubles in both engines. Feature order:
 # (bias, word-count, chars-per-word, stopword-density, vocab-diversity)
 # per quality_filter_features.
-QUALITY_THETA = (0.625, -0.0625, -0.0625, 1.75, 1.0625)
+QUALITY_THETA = (0.375, -0.125, -0.25, 3.3125, 1.625)
 
 
 def score_quality_filter_sql(theta=QUALITY_THETA) -> str:

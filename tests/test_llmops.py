@@ -901,8 +901,9 @@ def test_quality_margins_registered_oracle_parity(spark, sf_dir):
 def test_quality_theta_reproduces_from_its_recipe(spark):
     """QUALITY_THETA is a trained artifact, not a hand-picked vector:
     re-running derive_quality_theta at the sf0.01 corpus it was derived
-    from (heuristic-gate bootstrap labels, pinned 2-partition layout —
-    fully deterministic trajectory) reproduces the pinned dyadic vector
+    from (heuristic-gate bootstrap labels riding the feature projection,
+    single sequential partition — host-independent trajectory)
+    reproduces the pinned dyadic vector
     bit-for-bit, and the pinned vector actually separates the gate's
     classes (higher mean margin on gate-passing docs)."""
     import os

@@ -836,7 +836,7 @@ def test_ingest_training_set_batching_invariant(spark, sf_dir, tmp_path):
         compact_every=1,
     )
 
-    # non-vacuity: the stream really ran as (at least) two micro-batches
+    # non-vacuity: the stream really ran as (at least) three micro-batches
     import glob
 
     batch_dirs = glob.glob(f"{staging}/chunks/batch_id=*")
