@@ -543,10 +543,46 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
         )
 
 
-def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
+def write_ingest_split(documents: DataFrame, src: str) -> None:
+    """Write ``documents`` as the two-file stream source
+    :func:`ingest_manifest` consumes: ascending-doc_id halves (the
+    natural ordered-ingest layout), ``f0`` given a strictly older
+    mtime so the file source replays it first. The split is a pure
+    function of the table's CONTENT — batch membership is the
+    ``doc_id <= mid`` predicate with ``mid`` derived from min/max, and
+    intra-file row order is immaterial downstream (every keeper window
+    and rank key is a deterministic expression) — so callers may build
+    it once per corpus and reuse it across invocations and sessions."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(src, exist_ok=True)
+    lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    now = time.time()
+    for i, pred in enumerate(
+        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
+    ):
+        # leading "_" keeps the scratch dir invisible to file listings
+        part_dir = f"{src}/_split{i}"
+        documents.filter(pred).coalesce(1).write.parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")
+        assert len(part) == 1, part
+        dst = f"{src}/f{i}.parquet"
+        shutil.move(part[0], dst)
+        shutil.rmtree(part_dir)
+        # the file source orders by modification time: f0 strictly first
+        os.utime(dst, (now - 60 + 60 * i, now - 60 + 60 * i))
+
+
+def ingest_manifest(
+    documents: DataFrame, work_dir: str, src: str | None = None
+) -> DataFrame:
     """The :func:`training_manifest` contract produced through the
     ACTUAL incremental path: split ``documents`` into two files in
-    ascending doc_id order (the natural ordered-ingest layout), drive
+    ascending doc_id order (:func:`write_ingest_split`), drive
     them as two real micro-batches through
     :func:`ingest_training_set`'s checkpointed ``foreachBatch`` chain —
     staging writes, hash-log anti-join, final shuffled shard write
@@ -557,31 +593,20 @@ def ingest_manifest(documents: DataFrame, work_dir: str) -> DataFrame:
     manifest row-for-row, so the streamed path shares
     :func:`training_manifest_sql`'s oracle.
 
+    ``src``: optional pre-built split directory (see
+    :func:`write_ingest_split`) — the checkpoint, staging, and shard
+    writes under ``work_dir`` stay per-call fresh either way; only the
+    read-only source files are shareable.
+
     The returned frame is pinned (localCheckpoint — it is manifest-
     sized: one metadata row per chunk, no text) so ``work_dir`` holds no
     live dependencies afterwards and the caller may delete it."""
     import glob
-    import os
-    import shutil
-    import time
 
     spark = documents.sparkSession
-    lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
-    mid = (int(lo) + int(hi)) // 2
-    src = f"{work_dir}/src"
-    os.makedirs(src)
-    now = time.time()
-    for i, pred in enumerate(
-        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
-    ):
-        part_dir = f"{work_dir}/split{i}"
-        documents.filter(pred).coalesce(1).write.parquet(part_dir)
-        part = glob.glob(f"{part_dir}/part-*.parquet")
-        assert len(part) == 1, part
-        dst = f"{src}/f{i}.parquet"
-        shutil.move(part[0], dst)
-        # the file source orders by modification time: f0 strictly first
-        os.utime(dst, (now - 60 + 60 * i, now - 60 + 60 * i))
+    if src is None:
+        src = f"{work_dir}/src"
+        write_ingest_split(documents, src)
     stream = (
         spark.readStream.schema(documents.schema)
         .option("maxFilesPerTrigger", 1)

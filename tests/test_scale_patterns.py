@@ -965,6 +965,39 @@ def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
     assert got, "vacuous: empty manifest"
 
 
+def test_ingest_split_cache_and_contents(spark, sf_dir):
+    """The process-cached stream source behind pipeline_ingest_manifest
+    (ADVICE r7, low): one build per sf_dir with validated hits, two
+    ascending-doc_id halves whose union is exactly the corpus, f0
+    strictly older so the file source replays it first, and no scratch
+    dirs left inside the source listing."""
+    import glob
+    import os
+
+    from mapreduce_code_spark import registry as REG
+    from mapreduce_code_spark.sources.io import load_table
+
+    REG._INGEST_SPLITS.pop(sf_dir, None)
+    src = REG._ingest_split_src(spark, sf_dir)
+    assert REG._ingest_split_src(spark, sf_dir) == src  # hit, no rebuild
+    files = sorted(glob.glob(f"{src}/f*.parquet"))
+    assert len(files) == 2 and not glob.glob(f"{src}/_split*")
+    assert os.path.getmtime(files[0]) < os.path.getmtime(files[1])
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo = sorted(r.doc_id for r in spark.read.parquet(files[0]).select("doc_id").collect())
+    hi = sorted(r.doc_id for r in spark.read.parquet(files[1]).select("doc_id").collect())
+    assert lo and hi and lo[-1] < hi[0]  # disjoint ascending halves
+    allids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert sorted(lo + hi) == allids
+
+    # a cleaned dir is detected on hit and rebuilt, not trusted
+    import shutil
+
+    shutil.rmtree(src)
+    assert glob.glob(f"{REG._ingest_split_src(spark, sf_dir)}/f*.parquet")
+
+
 def test_ingest_history_dedup_never_shuffles_the_log(spark, sf_dir, tmp_path):
     """The per-batch seen-hash check must stay sub-shuffle in the hash
     log (r6 verdict #6): the log grows with corpus history, so the plan
