@@ -35,7 +35,10 @@ _ORACLES: dict[str, str] = {}
 # round 4 retired the pure-batch twins of writeStream queries; round 6
 # retired the apriori support/ordered/canonical-rules variants, the
 # propagation components variant, the batch z-score twin, and the
-# rows-only int8 top-k (r5 verdict #2). Oracled retirees stay pinned by
+# rows-only int8 top-k (r5 verdict #2); round 7 retired the rows-only
+# LSH top-k (IVF is the designated ANN scale path and the LSH bucket
+# join is exercised by the MinHash dedup family), freeing the budget
+# row for the oracled pipeline_epoch_manifest. Oracled retirees stay pinned by
 # test_plan_shapes.test_retired_twins_still_match_their_oracles; all
 # stay callable for plan audits and tests.
 _RETIRED: dict[str, QueryFn] = {}
@@ -88,14 +91,17 @@ def retired(name: str, oracle: str | None = None):
 # the rule is: a query goes FIRST if it is (a) new this round, (b) its
 # code was touched this round, or (c) its latest driver row is one round
 # old (rotation: nothing sits unchecked two rounds in a row). With the
-# ten retirees (see ``_RETIRED``'s comment for the round-4/round-6
-# retirement history) the 96-query surface sits under the 2-round
-# coverage ceiling with ~4 rows of slack.
+# eleven retirees (see ``_RETIRED``'s comment for the round-4/6/7
+# retirement history) the 98-query surface sits under the 2-round
+# coverage ceiling with ~2 rows of slack.
 _FIRST = [
     # new in round 7 (r6 verdict #2/#7: the streamed ingest path and the
-    # learned quality filter's scoring half get their first driver rows)
+    # learned quality filter's scoring half get their first driver rows;
+    # the epoch-flip op rides the slot freed by retiring the rows-only
+    # similarity_topk_lsh — an oracled row replaces a rows-only one)
     "pipeline_ingest_manifest",
     "pipeline_quality_margins",
+    "pipeline_epoch_manifest",
     # code touched in round 7: the two BPE queries now share one trained
     # merge table via the registry cache (r6 verdict #4), so both rows
     # re-verify through the changed path
@@ -103,7 +109,8 @@ _FIRST = [
     "text_bpe_encode",
     # latest green row is r05 (rotation: due this round), minus the
     # three round-6 retirements (apriori_association_rules,
-    # dedup_components, similarity_topk_int8)
+    # dedup_components, similarity_topk_int8) and the round-7 one
+    # (similarity_topk_lsh)
     "apriori_frequent_items",
     "apriori_frequent_itemsets",
     "dedup_components_starcontract",
@@ -144,7 +151,6 @@ _FIRST = [
     "similarity_quantize_int8",
     "similarity_topk_cosine",
     "similarity_topk_ivf",
-    "similarity_topk_lsh",
     "text_lang_id",
     "text_quality",
     "text_stats",
@@ -696,10 +702,20 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_topk_lsh")  # approximate ANN — rows-only check
+@retired("similarity_topk_lsh")  # approximate ANN — rows-only check
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (random-hyperplane candidates + exact
-    re-rank); recall vs brute force asserted in tests."""
+    re-rank); recall vs brute force asserted in tests.
+
+    Retired round 7 (int8 precedent, r5 verdict #2 rationale): of the
+    two approximate-ANN variants, IVF is the designated scale path
+    (probe-bounded candidate scan) and the LSH bucket-join plan shape
+    is independently exercised by the MinHash-LSH dedup family — so
+    this rows-only row added no hash signal beyond the recall/property
+    tests that keep pinning the kernel (test_similarity.py) and the
+    WindowGroupLimit plan pin (test_plan_shapes.py, which resolves
+    retired names too). The freed budget row goes to the ORACLED
+    pipeline_epoch_manifest."""
     return similarity.topk_cosine_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -959,6 +975,61 @@ def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the returned frame is checkpoint-pinned — nothing lazy still
         # reads from the work dir
         shutil.rmtree(work, ignore_errors=True)
+
+
+# Process-cached materialized training set for q_epoch_manifest, keyed
+# by sf_dir — the same pattern (and rationale) as _INGEST_SPLITS above:
+# the written shards are a pure function of the documents table content
+# (materialize_training_set is deterministic end to end, and the
+# manifest≡written-file-order test pins exactly that), so the epoch-flip
+# query only needs them built ONCE per corpus. The flip itself — the op
+# under test — runs fresh every call over the cached shards. Plain dirs
+# on disk (no session affinity), reaped at exit.
+_EPOCH_SHARDS: dict[str, str] = {}
+
+# The registered epoch flip re-ranks at this salt; must differ from
+# pipeline.TRAIN_SALT (the written epoch) or the reshuffle is vacuous —
+# guarded where it is used.
+EPOCH_SALT = "epoch1"
+
+
+def _epoch_shards_src(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    out = _EPOCH_SHARDS.get(sf_dir)
+    # validate on hit: an exit-reaped or externally cleaned dir rebuilds
+    if out is not None and len(glob.glob(f"{out}/shard=*")) == PIPE.TRAIN_SHARDS:
+        return out
+    base = tempfile.mkdtemp(prefix="spark_graft_shards_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out = f"{base}/shards"
+    PIPE.materialize_training_set(load_table(spark, sf_dir, "documents"), out)
+    _EPOCH_SHARDS[sf_dir] = out
+    return out
+
+
+@register(
+    "pipeline_epoch_manifest",
+    oracle=PIPE.training_manifest_sql(salt=EPOCH_SALT),
+)
+def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch-N reload order from the WRITTEN epoch-0 shards (round-7
+    registration of plans/pipeline.epoch_manifest): read the materialized
+    training set back and re-rank it at a new salt — one scan of the
+    already-curated chunks plus the one shard-keyed rank exchange,
+    instead of the full curation pass an epoch flip would otherwise
+    cost (measured 41.6x cheaper at 100x corpus, SURVEY §9). The oracle
+    recomputes the manifest FROM THE RAW DOCUMENTS at the new salt, so
+    a hash match pins both halves at once: the written shards faithfully
+    hold exactly the surviving chunks, and the flip algebra equals the
+    from-scratch permutation."""
+    assert EPOCH_SALT != PIPE.TRAIN_SALT  # a flip to the same salt is vacuous
+    return PIPE.epoch_manifest(
+        spark, _epoch_shards_src(spark, sf_dir), salt=EPOCH_SALT
+    )
 
 
 @register(

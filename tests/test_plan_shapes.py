@@ -238,17 +238,21 @@ def test_plans_md_sentinel_rows_are_fresh(spark):
 
 def test_retired_twins_still_match_their_oracles(spark, sf_dir):
     """Queries retired from the driver surface (registry ``_RETIRED``,
-    r4 verdict #3 + r6 budget retirements) keep their DuckDB oracle
+    r4 verdict #3 + r6/r7 budget retirements) keep their DuckDB oracle
     parity HERE — retirement is a driver-budget decision, not a
-    correctness waiver. The one oracle-less retiree
-    (similarity_topk_int8, approximate by design) is instead pinned by
-    its recall/property tests in test_similarity.py."""
+    correctness waiver. The two oracle-less retirees
+    (similarity_topk_int8 and similarity_topk_lsh, approximate by
+    design) are instead pinned by their recall/property tests in
+    test_similarity.py."""
     from mapreduce_code_spark.registry import _RETIRED_ORACLES
 
     from tests.helpers import assert_parity
 
     assert set(_RETIRED_ORACLES) <= set(_RETIRED)
-    assert set(_RETIRED) - set(_RETIRED_ORACLES) <= {"similarity_topk_int8"}
+    assert set(_RETIRED) - set(_RETIRED_ORACLES) <= {
+        "similarity_topk_int8",
+        "similarity_topk_lsh",
+    }
     assert _RETIRED_ORACLES
     for name, sql in _RETIRED_ORACLES.items():
         assert_parity(_RETIRED[name](spark, sf_dir), sf_dir, sql)

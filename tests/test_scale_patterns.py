@@ -939,6 +939,39 @@ def test_epoch_manifest_rebuilds_from_shards_without_recuration(
     assert got != epoch0  # a new salt is a genuinely new permutation
 
 
+def test_epoch_manifest_registration_cache_and_parity(spark, sf_dir):
+    """The registered epoch-flip row (pipeline_epoch_manifest, round 7):
+    the materialized-shards source is built once per sf_dir and
+    validated on hit (the _INGEST_SPLITS pattern — a cleaned dir is
+    rebuilt, not trusted), the flip salt genuinely differs from the
+    written epoch's, and the query matches its DuckDB oracle — which
+    recomputes the manifest from the RAW documents at EPOCH_SALT, so
+    parity pins shard fidelity and flip algebra together."""
+    import glob
+    import shutil
+
+    from mapreduce_code_spark import registry as REG
+    from mapreduce_code_spark.plans import pipeline as PIPE
+
+    from tests.helpers import assert_parity
+
+    assert REG.EPOCH_SALT != PIPE.TRAIN_SALT
+    REG._EPOCH_SHARDS.pop(sf_dir, None)
+    src = REG._epoch_shards_src(spark, sf_dir)
+    assert REG._epoch_shards_src(spark, sf_dir) == src  # hit, no rebuild
+    assert len(glob.glob(f"{src}/shard=*")) == PIPE.TRAIN_SHARDS
+
+    assert_parity(
+        REG.queries()["pipeline_epoch_manifest"](spark, sf_dir),
+        sf_dir,
+        REG.oracle_sql()["pipeline_epoch_manifest"],
+    )
+
+    # a cleaned dir is detected on hit and rebuilt, not trusted
+    shutil.rmtree(src)
+    assert glob.glob(f"{REG._epoch_shards_src(spark, sf_dir)}/shard=*")
+
+
 def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
     """The registered streamed-ingest row (pipeline_ingest_manifest):
     driving the corpus as two real micro-batches through the
