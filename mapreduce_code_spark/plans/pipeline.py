@@ -719,6 +719,97 @@ def epoch_manifest(
     )
 
 
+def epoch_transfer_plan(
+    spark,
+    shards_path: str,
+    salt: str,
+    n_shards: int = TRAIN_SHARDS,
+) -> DataFrame:
+    """The epoch flip's SHUFFLE PLAN: one row per (shard_from, shard_to)
+    with how many chunks (and characters) move from each written epoch
+    shard to each shard of the ``salt`` epoch — the transfer matrix
+    ``write_shuffled(salt=...)`` would physically execute. ``shard_from``
+    is the hive partition column read straight off the layout (free —
+    no hash recompute); ``shard_to`` is :func:`~mapreduce_code_spark.operators.sampling.shuffle_order`'s
+    hash algebra on the rebuilt chunk key (:func:`_chunk_key`, the same
+    expression the write path keyed by). The rank window's ``pos`` is
+    never referenced, so Catalyst PRUNES the window entirely
+    (test-pinned): the whole plan is one scan of the curated shards plus
+    one n_shards²-row aggregate exchange — at 100 TB, pricing an epoch
+    flip (which shards pull how much from where, for scheduling and
+    network budgeting) costs a single pass, not the flip itself."""
+    from mapreduce_code_spark.operators.sampling import shuffle_order
+
+    rows = (
+        spark.read.parquet(shards_path)
+        .select(
+            F.col("shard").alias("shard_from"),
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+        )
+        .withColumn("chunk_key", _chunk_key())
+    )
+    ranked = shuffle_order(rows, key="chunk_key", salt=salt, n_shards=n_shards)
+    return (
+        ranked.groupBy(
+            "shard_from", F.col("shard").alias("shard_to")
+        )
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.length("chunk_text")).alias("n_chars"),
+        )
+    )
+
+
+def epoch_transfer_plan_sql(
+    salt: str,
+    min_quality: float = MIN_QUALITY,
+    chunk_size: int = 32,
+    chunk_stride: int = 24,
+    n_shards: int = TRAIN_SHARDS,
+    salt_from: str = TRAIN_SALT,
+) -> str:
+    """DuckDB twin of :func:`epoch_transfer_plan` — recomputed FROM THE
+    RAW DOCUMENTS (curate → chunk → both epochs' shard hashes), so a
+    hash match against the shards-reading Spark side pins layout
+    fidelity and flip algebra together, exactly like
+    :func:`training_manifest_sql` does for ``epoch_manifest``. Counts
+    and character sums are integral (``SUM`` cast back to BIGINT from
+    DuckDB's HUGEINT) — cross-engine exact."""
+    from mapreduce_code_spark.operators.sampling import (
+        ORD_BITS,
+        chunk_documents_sql,
+    )
+
+    step = ((1 << ORD_BITS) + n_shards - 1) // n_shards
+
+    def h(s: str) -> str:
+        return (
+            f"('0x' || substr(md5('shuffle|{s}|' || chunk_key), 1, 15))"
+            "::BIGINT"
+        )
+
+    return f"""
+WITH curated AS ({curated_corpus_sql(min_quality)}),
+chunks AS ({chunk_documents_sql(size=chunk_size, stride=chunk_stride)}),
+keyed AS (
+  SELECT c.chunk_text,
+         CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.chunk_id AS VARCHAR)
+           AS chunk_key
+  FROM chunks c JOIN curated cu ON c.doc_id = cu.doc_id
+),
+h AS (SELECT chunk_text, {h(salt_from)} AS ord_from, {h(salt)} AS ord_to
+      FROM keyed)
+SELECT ord_from // {step} AS shard_from,
+       ord_to // {step} AS shard_to,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(length(chunk_text)) AS BIGINT) AS n_chars
+FROM h
+GROUP BY shard_from, shard_to
+"""
+
+
 def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:
     """The executable recipe behind ``QUALITY_THETA``: distill the
     heuristic quality gate into the learned filter (label every doc

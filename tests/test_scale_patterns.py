@@ -939,6 +939,74 @@ def test_epoch_manifest_rebuilds_from_shards_without_recuration(
     assert got != epoch0  # a new salt is a genuinely new permutation
 
 
+def test_epoch_transfer_plan_oracle_marginals_and_pruned_window(
+    spark, sf_dir, tmp_path
+):
+    """epoch_transfer_plan (r8 registration candidate): the
+    (shard_from, shard_to) chunk/char transfer matrix of an epoch flip,
+    read off the WRITTEN shards. Pins three things: (1) DuckDB-oracle
+    parity against epoch_transfer_plan_sql, which recomputes BOTH
+    epochs' shard hashes from the raw documents — so one match covers
+    layout fidelity and flip algebra; (2) the marginals are consistent
+    — shard_from row-sums equal the written layout's per-shard chunk
+    counts, shard_to row-sums equal the new epoch manifest's, and the
+    grand total is the surviving-chunk count; (3) the plan really is
+    scan+aggregate — shuffle_order's unused rank window is PRUNED by
+    Catalyst (no Window node), which is the whole point: pricing a flip
+    costs one pass, not the flip."""
+    from collections import Counter
+
+    from mapreduce_code_spark.plans.pipeline import (
+        epoch_manifest,
+        epoch_transfer_plan,
+        epoch_transfer_plan_sql,
+        materialize_training_set,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    from tests.helpers import assert_parity
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    materialize_training_set(docs, out)
+
+    plan_df = epoch_transfer_plan(spark, out, salt="epoch1")
+    assert_parity(plan_df, sf_dir, epoch_transfer_plan_sql(salt="epoch1"))
+
+    matrix = plan_df.collect()
+    from_marg = Counter()
+    to_marg = Counter()
+    for r in matrix:
+        from_marg[r.shard_from] += r.n_chunks
+        to_marg[r.shard_to] += r.n_chunks
+    layout = Counter(
+        {
+            r.shard: r.cnt
+            for r in spark.read.parquet(out)
+            .groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    )
+    flipped = Counter(
+        {
+            r.shard: r.cnt
+            for r in epoch_manifest(spark, out, salt="epoch1")
+            .groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    )
+    assert from_marg == layout
+    assert to_marg == flipped
+    assert sum(from_marg.values()) == sum(layout.values()) > 0
+    # a genuinely different salt moves chunks: some off-diagonal mass
+    assert any(r.shard_from != r.shard_to for r in matrix)
+
+    plan_txt = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_txt  # the rank window must be pruned
+
+
 def test_epoch_manifest_registration_cache_and_parity(spark, sf_dir):
     """The registered epoch-flip row (pipeline_epoch_manifest, round 7):
     the materialized-shards source is built once per sf_dir and
