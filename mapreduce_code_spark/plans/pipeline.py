@@ -543,16 +543,21 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
         )
 
 
-def write_ingest_split(documents: DataFrame, src: str) -> None:
-    """Write ``documents`` as the two-file stream source
-    :func:`ingest_manifest` consumes: ascending-doc_id halves (the
-    natural ordered-ingest layout), ``f0`` given a strictly older
-    mtime so the file source replays it first. The split is a pure
-    function of the table's CONTENT — batch membership is the
-    ``doc_id <= mid`` predicate with ``mid`` derived from min/max, and
-    intra-file row order is immaterial downstream (every keeper window
-    and rank key is a deterministic expression) — so callers may build
-    it once per corpus and reuse it across invocations and sessions."""
+def write_ingest_split(
+    documents: DataFrame, src: str, n_files: int = 2
+) -> None:
+    """Write ``documents`` as the ``n_files``-file stream source
+    :func:`ingest_manifest` / :func:`ingest_hash_log` consume:
+    ascending-doc_id slices (the natural ordered-ingest layout), each
+    file given a strictly older mtime than the next so the file source
+    replays them in order. The split is a pure function of the table's
+    CONTENT — slice membership is an equal-width doc_id-range predicate
+    with edges derived from min/max (for ``n_files=2`` identical to the
+    historical midpoint split, so existing cached splits stay valid),
+    and intra-file row order is immaterial downstream (every keeper
+    window and rank key is a deterministic expression) — so callers may
+    build it once per corpus and reuse it across invocations and
+    sessions."""
     import glob
     import os
     import shutil
@@ -560,11 +565,19 @@ def write_ingest_split(documents: DataFrame, src: str) -> None:
 
     os.makedirs(src, exist_ok=True)
     lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
-    mid = (int(lo) + int(hi)) // 2
+    lo, hi = int(lo), int(hi)
+    edges = [lo + (hi - lo) * (i + 1) // n_files for i in range(n_files - 1)]
+    bounds = [None, *edges, None]
+    preds = []
+    for i in range(n_files):
+        p = F.lit(True)
+        if bounds[i] is not None:
+            p = F.col("doc_id") > bounds[i]
+        if bounds[i + 1] is not None:
+            p = p & (F.col("doc_id") <= bounds[i + 1])
+        preds.append(p)
     now = time.time()
-    for i, pred in enumerate(
-        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
-    ):
+    for i, pred in enumerate(preds):
         # leading "_" keeps the scratch dir invisible to file listings
         part_dir = f"{src}/_split{i}"
         documents.filter(pred).coalesce(1).write.parquet(part_dir)
@@ -601,12 +614,34 @@ def ingest_manifest(
     The returned frame is pinned (localCheckpoint — it is manifest-
     sized: one metadata row per chunk, no text) so ``work_dir`` holds no
     live dependencies afterwards and the caller may delete it."""
+    staging = _stream_ingest(documents, work_dir, src)
+    spark = documents.sparkSession
+    staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
+    return _manifest_rows(
+        staged, salt=TRAIN_SALT, n_shards=TRAIN_SHARDS
+    ).localCheckpoint()
+
+
+def _stream_ingest(
+    documents: DataFrame,
+    work_dir: str,
+    src: str | None,
+    n_files: int = 2,
+    compact_every: int = 0,
+) -> str:
+    """Drive ``documents`` as ``n_files`` REAL micro-batches through
+    :func:`ingest_training_set`'s checkpointed ``foreachBatch`` chain
+    under ``work_dir`` and return the staging dir — the stream-setup
+    half shared by :func:`ingest_manifest` and :func:`ingest_hash_log`
+    so the two driver surfaces exercise the identical streamed path.
+    Refuses to pass if fewer than ``n_files`` batches actually staged
+    (the streamed path must really stream)."""
     import glob
 
     spark = documents.sparkSession
     if src is None:
         src = f"{work_dir}/src"
-        write_ingest_split(documents, src)
+        write_ingest_split(documents, src, n_files=n_files)
     stream = (
         spark.readStream.schema(documents.schema)
         .option("maxFilesPerTrigger", 1)
@@ -614,18 +649,73 @@ def ingest_manifest(
     )
     staging = f"{work_dir}/staging"
     ingest_training_set(
-        stream, f"{work_dir}/shards", staging, f"{work_dir}/ckpt"
+        stream,
+        f"{work_dir}/shards",
+        staging,
+        f"{work_dir}/ckpt",
+        compact_every=compact_every,
     )
     batches = glob.glob(f"{staging}/chunks/batch_id=*")
-    if len(batches) < 2:
+    if len(batches) < n_files:
         raise RuntimeError(
-            f"ingest_manifest: expected >= 2 micro-batches, staged "
-            f"{batches} — the streamed path did not actually stream"
+            f"_stream_ingest: expected >= {n_files} micro-batches, "
+            f"staged {batches} — the streamed path did not actually "
+            "stream"
         )
-    staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
-    return _manifest_rows(
-        staged, salt=TRAIN_SALT, n_shards=TRAIN_SHARDS
-    ).localCheckpoint()
+    return staging
+
+
+def ingest_hash_log(
+    documents: DataFrame, work_dir: str, src: str | None = None
+) -> DataFrame:
+    """The seen-hash ledger the streamed ingest maintains, produced
+    through the ACTUAL path WITH compaction active: drive the corpus as
+    THREE real micro-batches (three ascending-doc_id files) with
+    ``compact_every=1``, so batch 2's start genuinely folds batches
+    0-1's committed logs into a ``batch_id=-2`` partition
+    (:func:`compact_hash_log`), then read the ledger back. Guards that
+    the fold really happened (a negative-id partition must exist —
+    otherwise the row would silently stop exercising compaction).
+
+    Over any complete run the ledger's content is exactly the DISTINCT
+    ``sha256(text)`` of the corpus: the within-batch keeper window logs
+    each new hash once, the cross-batch anti-join refuses re-logs,
+    low-quality first-arrivals are logged too (quality shadowing — a
+    later duplicate of a rejected doc must not resurrect it), and
+    compaction folds partitions without changing the set. That makes
+    the WHOLE bookkeeping chain — window, semi-reduce, anti-join,
+    quality shadowing, fold — SQL-oracle-able in one line
+    (:func:`ingest_hash_log_sql`); a hash mismatch would catch a
+    dropped first-arrival, a duplicate log row, or a compaction that
+    lost or resurrected a hash.
+
+    The returned frame is pinned (localCheckpoint — hash rows only) so
+    the caller may delete ``work_dir``."""
+    import glob
+
+    staging = _stream_ingest(
+        documents, work_dir, src, n_files=3, compact_every=1
+    )
+    parts = glob.glob(f"{staging}/hashes/batch_id=*")
+    if not any("batch_id=-" in p for p in parts):
+        raise RuntimeError(
+            f"ingest_hash_log: no compacted (negative batch_id) "
+            f"partition in {parts} — compaction never ran; the row "
+            "would stop pinning compact_hash_log"
+        )
+    spark = documents.sparkSession
+    return (
+        spark.read.parquet(f"{staging}/hashes")
+        .select("content_hash")
+        .localCheckpoint()
+    )
+
+
+def ingest_hash_log_sql() -> str:
+    """DuckDB twin of :func:`ingest_hash_log`'s contract: the ledger of
+    a complete ingest holds each distinct corpus content hash exactly
+    once, low-quality first-arrivals included."""
+    return "SELECT DISTINCT sha256(text) AS content_hash FROM documents"
 
 
 def quality_filter_features(documents: DataFrame, label=None) -> DataFrame:

@@ -939,6 +939,51 @@ def test_epoch_manifest_rebuilds_from_shards_without_recuration(
     assert got != epoch0  # a new salt is a genuinely new permutation
 
 
+def test_ingest_hash_log_oracle_with_compaction(spark, sf_dir, tmp_path):
+    """ingest_hash_log (r8 registration candidate): the streamed
+    ingest's seen-hash ledger through the ACTUAL 3-batch checkpointed
+    path with compact_every=1 must (1) really have compacted — exactly
+    one negative-id partition holding batches 0-1's fold, plus batch
+    2's own log; (2) hash-match the one-line oracle (DISTINCT
+    sha256(text) over the corpus) — which catches dropped
+    first-arrivals, duplicate log rows, and compaction losing or
+    resurrecting hashes; and (3) on a planted frame whose duplicate
+    texts straddle all three doc_id slices (one of them a low-quality
+    first-arrival), hold exactly one row per distinct text — the
+    quality-shadowing contract across batch AND compaction boundaries."""
+    import glob
+
+    from mapreduce_code_spark.plans.pipeline import (
+        ingest_hash_log,
+        ingest_hash_log_sql,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    from tests.helpers import assert_parity
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = str(tmp_path / "real")
+    ledger = ingest_hash_log(docs, work)
+    parts = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{work}/staging/hashes/batch_id=*")
+    )
+    assert parts == [-2, 2]  # batches 0-1 folded, batch 2's own log
+    assert_parity(ledger, sf_dir, ingest_hash_log_sql())
+
+    dup = "the same exact duplicated document text appearing thrice"
+    planted = spark.createDataFrame(
+        [
+            (i, dup if i in (1, 5, 9) else f"unique text number {i}")
+            for i in range(1, 10)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = ingest_hash_log(planted, str(tmp_path / "planted"))
+    hashes = [r.content_hash for r in got.collect()]
+    assert len(hashes) == len(set(hashes)) == 7  # 6 uniques + the dup once
+
+
 def test_epoch_transfer_plan_oracle_marginals_and_pruned_window(
     spark, sf_dir, tmp_path
 ):
