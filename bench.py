@@ -253,6 +253,7 @@ def main() -> int:
             json.dumps(
                 {
                     "total_sec": merged_total,
+                    "n_floor_queries": len(merged),
                     "fresh_total_sec": fresh_total,
                     "sf": sf,
                     "repeats": max(repeats, 1),
@@ -273,6 +274,12 @@ def main() -> int:
                 "metric": "engine_bench_total",
                 "value": fresh_total,
                 "merged_value": merged_total,
+                # coverage of the floor total: on a contended run newly
+                # registered queries have no prior floor and drop out of
+                # merged_value, so a shrunken total must be VISIBLY a
+                # shrunken total, not read as a faster floor (round-7
+                # advisor item)
+                "n_floor_queries": len(merged),
                 "run_contended": run_contended,
                 "n_regressed": len(regressed),
                 "unit": "sec",

@@ -357,6 +357,37 @@ def ingest_training_set(
             "Point at the original checkpoint to resume, or clear the "
             "staging dir to start over."
         )
+    # The converse guard (round-7 advisor item): a RESUME (checkpoint
+    # exists) whose staging was cleared or partially lost would skip the
+    # already-committed batches (the checkpoint says they ran) and write
+    # a final training set silently missing their chunks. Every committed
+    # batch overwrote its own chunks batch_id dir — even a batch with
+    # zero survivors leaves an (empty) parquet dir — so the staged chunk
+    # ids must be contiguous from 0 through the last committed batch.
+    committed = [
+        int(n)
+        for n in _fs_names(spark, f"{checkpoint_dir}/commits")
+        if n.isdigit()
+    ]
+    if committed:
+        staged_ids = set()
+        for n in _fs_names(spark, chunks_dir):
+            if n.startswith("batch_id="):
+                try:
+                    staged_ids.add(int(n.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        missing = sorted(set(range(max(committed) + 1)) - staged_ids)
+        if missing:
+            raise ValueError(
+                f"ingest_training_set: checkpoint_dir {checkpoint_dir!r} "
+                f"has committed batches through {max(committed)} but "
+                f"staging_dir {staging_dir!r} is missing chunk dirs for "
+                f"batches {missing} — resuming would write a final "
+                "training set silently missing those batches' chunks. "
+                "Restore the staging dir that belongs to this "
+                "checkpoint, or clear BOTH to start over."
+            )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # Compacting at BATCH START is replay-safe by construction:
@@ -464,6 +495,19 @@ def _history_hits(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
     )
 
 
+def _fs_names(spark, path: str) -> list:
+    """Child names of ``path`` via the Hadoop FS API — metadata-only (no
+    row scan), empty list when the dir doesn't exist. Shared by the
+    resume guard (checkpoint commit files, staged chunk dirs) and
+    :func:`compact_hash_log` (log partitions, where seeing EMPTY batch
+    dirs matters — a row-derived listing never would)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
 def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
     """Fold every hash-log partition with ``batch_id < before_batch_id``
     into ONE deduplicated, content_hash-sorted partition — the
@@ -501,11 +545,8 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
     # history-dups logs zero rows, and a row-derived id list would
     # never fold or delete that dir (review finding: the dirs would
     # accumulate unboundedly)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(hashes_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     old_ids = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
+    for name in _fs_names(spark, hashes_dir):
         if not name.startswith("batch_id="):
             continue
         try:
@@ -532,6 +573,8 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
         .localCheckpoint()
     )
     compacted.write.mode("overwrite").parquet(target)
+    jroot = spark._jvm.org.apache.hadoop.fs.Path(hashes_dir)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
     for i in old_ids:
         if i == -before_batch_id:
             continue  # the dir just written (re-run after a crash)
@@ -586,8 +629,12 @@ def write_ingest_split(
         dst = f"{src}/f{i}.parquet"
         shutil.move(part[0], dst)
         shutil.rmtree(part_dir)
-        # the file source orders by modification time: f0 strictly first
-        os.utime(dst, (now - 60 + 60 * i, now - 60 + 60 * i))
+        # the file source orders by modification time: f0 strictly first.
+        # Anchor the series so the NEWEST file lands at `now` — a
+        # future-stamped mtime is fragile against maxFileAge /
+        # latestFirst semantics and clock checks (round-7 advisor item)
+        mt = now - 60 * (n_files - 1) + 60 * i
+        os.utime(dst, (mt, mt))
 
 
 def ingest_manifest(

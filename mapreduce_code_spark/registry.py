@@ -989,8 +989,16 @@ _EPOCH_SHARDS: dict[str, str] = {}
 
 # The registered epoch flip re-ranks at this salt; must differ from
 # pipeline.TRAIN_SALT (the written epoch) or the reshuffle is vacuous —
-# guarded where it is used.
+# guarded HERE at import so the misconfiguration can't survive to
+# runtime (a bare assert in the query fn is stripped under python -O;
+# round-7 advisor item).
 EPOCH_SALT = "epoch1"
+if EPOCH_SALT == PIPE.TRAIN_SALT:
+    raise ValueError(
+        f"EPOCH_SALT {EPOCH_SALT!r} equals pipeline.TRAIN_SALT — the "
+        "registered epoch flip would be a vacuous re-rank of the "
+        "written epoch"
+    )
 
 
 def _epoch_shards_src(spark: SparkSession, sf_dir: str) -> str:
@@ -1025,8 +1033,8 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the manifest FROM THE RAW DOCUMENTS at the new salt, so
     a hash match pins both halves at once: the written shards faithfully
     hold exactly the surviving chunks, and the flip algebra equals the
-    from-scratch permutation."""
-    assert EPOCH_SALT != PIPE.TRAIN_SALT  # a flip to the same salt is vacuous
+    from-scratch permutation. (EPOCH_SALT != TRAIN_SALT is enforced at
+    import, where EPOCH_SALT is defined.)"""
     return PIPE.epoch_manifest(
         spark, _epoch_shards_src(spark, sf_dir), salt=EPOCH_SALT
     )

@@ -1297,6 +1297,50 @@ def test_ingest_refuses_stale_staging_with_fresh_checkpoint(
         )
 
 
+def test_ingest_resume_guard_requires_contiguous_staged_batches(
+    spark, sf_dir, tmp_path
+):
+    """The converse of the stale-staging guard (round-7 advisor item): a
+    RESUME — checkpoint exists — whose staging was cleared or partially
+    lost must refuse up front, because the checkpoint says the early
+    batches already ran (they will never replay) and the final write
+    would silently miss their chunks. A healthy resume (checkpoint and
+    staging intact, no new source files) stays allowed and is a no-op
+    re-layout."""
+    import glob
+    import shutil
+
+    from mapreduce_code_spark.plans.pipeline import (
+        ingest_training_set,
+        write_ingest_split,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    src = str(tmp_path / "src")
+    write_ingest_split(docs, src, n_files=2)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    out = str(tmp_path / "out")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_training_set(stream(), out, staging, ckpt)
+    staged = glob.glob(f"{staging}/chunks/batch_id=*")
+    assert len(staged) == 2, staged
+    # healthy resume against the REAL checkpoint layout: allowed
+    ingest_training_set(stream(), out, staging, ckpt)
+    # staging partially lost under a live checkpoint: must refuse
+    shutil.rmtree(f"{staging}/chunks/batch_id=0")
+    with pytest.raises(ValueError, match="missing chunk dirs"):
+        ingest_training_set(stream(), out, staging, ckpt)
+
+
 def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
     """training_manifest (the registered driver row) must describe the
     bytes materialize_training_set lays on disk EXACTLY: per shard, the
