@@ -1800,37 +1800,28 @@ def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     )
 
 
-import re as _re
-
-_PLAIN_IDENT = _re.compile(r"^[a-z_][a-z0-9_]*$")
-
-# DuckDB keywords that cannot appear bare in identifier position
-# (``duckdb_keywords()`` categories 'reserved' + 'type_function',
-# frozen here so oracle generation needs no duckdb import). None of the
-# registered test-table names are in it, so the generated oracle text
-# for registered queries is byte-stable.
-_SQL_KEYWORDS = frozenset("""
-all analyse analyze and any array as asc asymmetric both case cast check
-collate column constraint create default deferrable desc describe
-distinct do else end except false fetch for foreign from grant group
-having in initially intersect into lateral leading limit not null offset
-on only or order pivot pivot_longer pivot_wider placing primary qualify
-references returning select show some summarize symmetric table then to
-trailing true union unique unpivot using variadic when where window with
-anti asof authorization binary collation columns concurrently cross
-freeze full generated glob ilike inner is isnull join left like map
-natural notnull outer overlaps positional right semi similar struct
-tablesample try_cast verbose
-""".split())
+# Names allowed through BARE in generated oracle SQL — exactly the
+# registered profile query's table and columns, so the committed oracle
+# text stays byte-stable. Everything else is double-quoted: quoting by
+# default means a DuckDB keyword-category change (a new reserved word,
+# a 'between'-style column-position keyword) can never break oracle
+# generation; the allowlist itself is verified against the INSTALLED
+# duckdb's live ``duckdb_keywords()`` in
+# tests/test_relational.py::test_bare_ident_allowlist_vs_live_duckdb,
+# so list drift fails CI instead (round-7 advisor item; replaces the
+# hand-frozen _SQL_KEYWORDS snapshot).
+_BARE_IDENT_OK = frozenset(
+    ["documents", "doc_id", "text", "lang", "source", "n_chars"]
+)
 
 
 def _sql_ident(name: str) -> str:
-    """``name`` as a safe SQL identifier: plain lowercase non-keyword
-    identifiers pass through bare (keeps generated oracle text stable
-    for the registered tables), anything else is double-quoted with
-    embedded quotes doubled — so names with spaces, dots, quotes, or
-    keywords can't break out of identifier position."""
-    if _PLAIN_IDENT.match(name) and name not in _SQL_KEYWORDS:
+    """``name`` as a safe SQL identifier: quoted by default (embedded
+    quotes doubled — names with spaces, dots, quotes, or keywords can't
+    break out of identifier position); only the allowlisted registered
+    names pass through bare, keeping generated oracle text byte-stable
+    for the registered queries."""
+    if name in _BARE_IDENT_OK:
         return name
     return '"' + name.replace('"', '""') + '"'
 

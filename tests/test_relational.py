@@ -577,6 +577,41 @@ def test_profile_exact_sql_hostile_names(spark):
     assert got == want and len(got) == 3
 
 
+def test_bare_ident_allowlist_vs_live_duckdb():
+    """Every name _sql_ident lets through BARE must be safe in column
+    position per the INSTALLED duckdb's own duckdb_keywords() — the
+    categories that forbid bare column use are 'reserved' and
+    'type_function'. Quote-by-default plus this live check means a
+    DuckDB upgrade that reserves a new word fails HERE (CI) instead of
+    inside generated oracle text (round-7 advisor item). Also pins that
+    the allowlist covers exactly the registered profile query's names,
+    so its committed oracle stays byte-stable and bare."""
+    import duckdb
+
+    from mapreduce_code_spark.operators.relational import (
+        _BARE_IDENT_OK,
+        _sql_ident,
+    )
+    from mapreduce_code_spark.registry import _DOC_COLS
+
+    unsafe = {
+        name
+        for name, cat in duckdb.sql(
+            "SELECT keyword_name, keyword_category FROM duckdb_keywords()"
+        ).fetchall()
+        if cat in ("reserved", "type_function")
+    }
+    bad = _BARE_IDENT_OK & unsafe
+    assert not bad, f"bare-allowlisted names now keyword-unsafe: {bad}"
+    assert _BARE_IDENT_OK == {"documents", *_DOC_COLS}
+    for name in _BARE_IDENT_OK:
+        assert _sql_ident(name) == name
+    # and anything else — keyword or not — is quoted by default
+    assert _sql_ident("l_quantity") == '"l_quantity"'
+    assert _sql_ident("between") == '"between"'
+    assert _sql_ident('a"b') == '"a""b"'
+
+
 def test_integrity_checks_planted_violations(spark):
     """Each constraint catches its planted violation exactly once: one
     orphan order, one duplicated customer key, one null totalprice."""
