@@ -89,6 +89,7 @@ EAGER_STREAMS = {
     "events_streamed_anomaly",  # stream-static join writeStream at build
     "events_streamed_attribution",  # stateful writeStream at build
     "pipeline_ingest_manifest",  # foreachBatch ingest + shard write at build
+    "pipeline_ingest_hash_log",  # foreachBatch ingest + compaction at build
 }
 EAGER_LOOPS = {  # driver iteration loops: SGD fits, components fixpoints
     "regression_sgd_linear",

@@ -641,17 +641,21 @@ def ingest_manifest(
     documents: DataFrame, work_dir: str, src: str | None = None
 ) -> DataFrame:
     """The :func:`training_manifest` contract produced through the
-    ACTUAL incremental path: split ``documents`` into two files in
+    ACTUAL incremental path: split ``documents`` into three files in
     ascending doc_id order (:func:`write_ingest_split`), drive
-    them as two real micro-batches through
+    them as three real micro-batches WITH ``compact_every=1`` through
     :func:`ingest_training_set`'s checkpointed ``foreachBatch`` chain —
-    staging writes, hash-log anti-join, final shuffled shard write
-    included — then rank the STAGED chunks with the same
-    :func:`operators.sampling.shuffle_order` algebra the write path
-    sorts by. By the batching-invariance contract (the 2-batch ≡
-    1-batch byte-equal-shard test) the result equals the one-shot batch
-    manifest row-for-row, so the streamed path shares
-    :func:`training_manifest_sql`'s oracle.
+    staging writes, hash-log semi-reduce + anti-join, the batch-2 fold
+    of batches 0-1's committed logs (:func:`compact_hash_log`; three
+    batches is the minimum where a fold genuinely happens), and the
+    final shuffled shard write — then rank the STAGED chunks with the
+    same :func:`operators.sampling.shuffle_order` algebra the write
+    path sorts by. By the batching-invariance contract (the streamed ≡
+    1-batch byte-equal-shard test, itself run with compaction active)
+    the result equals the one-shot batch manifest row-for-row, so the
+    streamed path shares :func:`training_manifest_sql`'s oracle — and a
+    hash match pins that mid-ingest compaction left the chunk set
+    untouched (round-7 verdict #7).
 
     ``src``: optional pre-built split directory (see
     :func:`write_ingest_split`) — the checkpoint, staging, and shard
@@ -661,7 +665,9 @@ def ingest_manifest(
     The returned frame is pinned (localCheckpoint — it is manifest-
     sized: one metadata row per chunk, no text) so ``work_dir`` holds no
     live dependencies afterwards and the caller may delete it."""
-    staging = _stream_ingest(documents, work_dir, src)
+    staging = _stream_ingest(
+        documents, work_dir, src, n_files=3, compact_every=1
+    )
     spark = documents.sparkSession
     staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
     return _manifest_rows(

@@ -38,7 +38,12 @@ _ORACLES: dict[str, str] = {}
 # rows-only int8 top-k (r5 verdict #2); round 7 retired the rows-only
 # LSH top-k (IVF is the designated ANN scale path and the LSH bucket
 # join is exercised by the MinHash dedup family), freeing the budget
-# row for the oracled pipeline_epoch_manifest. Oracled retirees stay pinned by
+# row for the oracled pipeline_epoch_manifest; round 8 retired the
+# batch twins events_attribution_last_touch and relational_hll_distinct
+# (their registered STREAMED twins share the byte-identical oracles)
+# plus the rows-only similarity_topk_ivf (replaced by the ORACLED
+# pinned-centroid variant), freeing rows for the r8 registrations.
+# Oracled retirees stay pinned by
 # test_plan_shapes.test_retired_twins_still_match_their_oracles; all
 # stay callable for plan audits and tests.
 _RETIRED: dict[str, QueryFn] = {}
@@ -91,71 +96,75 @@ def retired(name: str, oracle: str | None = None):
 # the rule is: a query goes FIRST if it is (a) new this round, (b) its
 # code was touched this round, or (c) its latest driver row is one round
 # old (rotation: nothing sits unchecked two rounds in a row). With the
-# eleven retirees (see ``_RETIRED``'s comment for the round-4/6/7
+# fourteen retirees (see ``_RETIRED``'s comment for the round-4/6/7/8
 # retirement history) the 98-query surface sits under the 2-round
-# coverage ceiling with ~2 rows of slack.
+# coverage ceiling with ~2 rows of slack — the round-8 budget decision
+# (SURVEY §8): additions beyond 100 queries require a retirement, and
+# near-twin retirement (streamed keeps the row; oracled replaces
+# rows-only) is the standing policy for funding them.
 _FIRST = [
-    # new in round 7 (r6 verdict #2/#7: the streamed ingest path and the
-    # learned quality filter's scoring half get their first driver rows;
-    # the epoch-flip op rides the slot freed by retiring the rows-only
-    # similarity_topk_lsh — an oracled row replaces a rows-only one)
+    # new in round 8 (r7 verdict #2/#4: the two ready-made oracled
+    # maintenance surfaces — the compaction-pinning hash ledger and the
+    # epoch-flip transfer matrix — plus the pinned-centroid IVF serving
+    # path, which replaces the retired rows-only similarity_topk_ivf
+    # with an ORACLED row)
+    "pipeline_ingest_hash_log",
+    "pipeline_epoch_transfer",
+    # code touched in round 8: the streamed manifest row now runs 3
+    # micro-batches with compact_every=1 (r7 verdict #7), so it
+    # re-verifies through the compaction-active path
     "pipeline_ingest_manifest",
-    "pipeline_quality_margins",
-    "pipeline_epoch_manifest",
-    # code touched in round 7: the two BPE queries now share one trained
-    # merge table via the registry cache (r6 verdict #4), so both rows
-    # re-verify through the changed path
-    "text_bpe_merges",
-    "text_bpe_encode",
-    # latest green row is r05 (rotation: due this round), minus the
-    # three round-6 retirements (apriori_association_rules,
-    # dedup_components, similarity_topk_int8) and the round-7 one
-    # (similarity_topk_lsh)
-    "apriori_frequent_items",
-    "apriori_frequent_itemsets",
-    "dedup_components_starcontract",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_near_dup_scalable",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_json_props",
-    "events_session_paths",
-    "events_sliding_window",
-    "events_streamed_tumbling",
-    "events_user_running_totals",
-    "graph_lpa_communities",
-    "multimodal_features",
-    "multimodal_meta",
-    "pipeline_curated_corpus",
-    "regression_ols_stats",
-    "regression_sgd_linear",
-    "regression_sgd_logistic",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_events_close_pairs",
-    "relational_events_orders_asof",
-    "relational_histogram_quantiles",
-    "relational_hll_distinct",
-    "relational_hourly_gapfill",
-    "relational_pricing_summary",
-    "relational_quantity_quartiles",
-    "relational_rolling_24h",
-    "sampling_global_shuffle",
-    "sampling_pack_documents",
-    "sampling_quality_weighted",
-    "sampling_streamed_stratified",
-    "sampling_train_val_split",
-    "similarity_cosine_dups",
-    "similarity_quantize_int8",
-    "similarity_topk_cosine",
-    "similarity_topk_ivf",
-    "text_lang_id",
-    "text_quality",
-    "text_stats",
-    "text_tfidf",
-    "text_winnow_fingerprint",
+    # latest green row is r06 (rotation: due this round), minus the two
+    # round-8 budget retirements (events_attribution_last_touch and
+    # relational_hll_distinct — batch twins whose byte-identical oracles
+    # stay pinned via their registered streamed twins + _RETIRED_ORACLES)
+    "apriori_association_rules_ref",
+    "dedup_streamed_incremental",
+    "dedup_substring_spans",
+    "events_drift_chisq",
+    "events_retention_cohorts",
+    "events_streamed_anomaly",
+    "events_streamed_attribution",
+    "events_streamed_session",
+    "events_streamed_view_purchase",
+    "graph_coreness_clicks",
+    "graph_pagerank_clicks",
+    "graph_triangle_clicks",
+    "multimodal_frame_plan",
+    "pipeline_materialize_manifest",
+    "relational_above_avg_orders",
+    "relational_bloom_customers",
+    "relational_countmin_heavy_hitters",
+    "relational_cube_order_stats",
+    "relational_filter_case_orders",
+    "relational_funnel_stages",
+    "relational_grouping_sets",
+    "relational_idle_customers",
+    "relational_integrity_checks",
+    "relational_kv_upsert",
+    "relational_pivot_returnflag",
+    "relational_pointintime_prices",
+    "relational_profile",
+    "relational_regional_revenue",
+    "relational_returned_orders",
+    "relational_rollup_pricing",
+    "relational_scd2_prices",
+    "relational_setops_customers",
+    "relational_streamed_hll",
+    "relational_topk_parts_per_brand",
+    "relational_unpivot_measures",
+    "relational_winsorized_prices",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "sampling_temperature_mix",
+    "similarity_assign_centroids",
+    "similarity_hybrid_rrf",
+    "similarity_label_centroids",
+    "similarity_semantic_dedup",
+    "text_contamination_ngram",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_repetition_gopher",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
@@ -918,31 +927,38 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PIPE.training_manifest(load_table(spark, sf_dir, "documents"))
 
 
-# Process-cached 2-file stream sources for q_ingest_manifest, keyed by
-# sf_dir (ADVICE r7, low): the split is a pure function of the documents
-# table content (see write_ingest_split), so rebuilding it per
-# invocation wasted ~1 s/repeat at bench sf0.1. Only the read-only
-# source files are cached — every call still runs a fresh checkpoint,
-# staging area, and shard write, so the streamed path itself is never
-# shortcut. Plain dirs on disk (no session affinity), reaped at exit.
-_INGEST_SPLITS: dict[str, str] = {}
+# Process-cached n-file stream sources for the two streamed ingest
+# rows, keyed by (sf_dir, n_files) (ADVICE r7, low): the split is a
+# pure function of the documents table content (see write_ingest_split),
+# so rebuilding it per invocation wasted ~1 s/repeat at bench sf0.1.
+# Only the read-only source files are cached — every call still runs a
+# fresh checkpoint, staging area, and shard write, so the streamed path
+# itself is never shortcut. Plain dirs on disk (no session affinity),
+# reaped at exit. Both rows read the SAME 3-file split: three
+# micro-batches is the minimum where compact_every=1 genuinely folds
+# committed history (batch 2 folds batches 0-1).
+_INGEST_SPLITS: dict[tuple[str, int], str] = {}
 
 
-def _ingest_split_src(spark: SparkSession, sf_dir: str) -> str:
+def _ingest_split_src(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> str:
     import atexit
     import glob
     import shutil
     import tempfile
 
-    src = _INGEST_SPLITS.get(sf_dir)
+    src = _INGEST_SPLITS.get((sf_dir, n_files))
     # validate on hit: an exit-reaped or externally cleaned dir rebuilds
-    if src is not None and len(glob.glob(f"{src}/f*.parquet")) == 2:
+    if src is not None and len(glob.glob(f"{src}/f*.parquet")) == n_files:
         return src
     base = tempfile.mkdtemp(prefix="spark_graft_split_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = f"{base}/src"
-    PIPE.write_ingest_split(load_table(spark, sf_dir, "documents"), src)
-    _INGEST_SPLITS[sf_dir] = src
+    PIPE.write_ingest_split(
+        load_table(spark, sf_dir, "documents"), src, n_files=n_files
+    )
+    _INGEST_SPLITS[(sf_dir, n_files)] = src
     return src
 
 
@@ -951,16 +967,17 @@ def _ingest_split_src(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME manifest produced through the restartable incremental
-    path (r6 verdict #2): the corpus split into two ascending-doc_id
-    files, driven as two REAL micro-batches through
-    plans/pipeline.ingest_training_set's checkpointed foreachBatch
-    chain (staging, hash-log semi-reduce + anti-join, final shuffled
-    shard write), then ranked with the write path's own shuffle_order
-    algebra. Batching invariance makes the result row-identical to the
-    one-shot batch manifest, so the streamed path shares
-    pipeline_materialize_manifest's DuckDB oracle — a hash match here
-    pins the whole ingest chain, cross-batch dedup included, to the
-    batch semantics."""
+    path (r6 verdict #2): the corpus split into three ascending-doc_id
+    files, driven as three REAL micro-batches WITH compact_every=1
+    (r7 verdict #7) through plans/pipeline.ingest_training_set's
+    checkpointed foreachBatch chain (staging, hash-log semi-reduce +
+    anti-join, the batch-2 compaction fold of batches 0-1's logs, final
+    shuffled shard write), then ranked with the write path's own
+    shuffle_order algebra. Batching invariance makes the result
+    row-identical to the one-shot batch manifest, so the streamed path
+    shares pipeline_materialize_manifest's DuckDB oracle — a hash match
+    here pins the whole ingest chain, cross-batch dedup AND mid-ingest
+    compaction included, to the batch semantics."""
     import shutil
     import tempfile
 
@@ -974,6 +991,34 @@ def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # the returned frame is checkpoint-pinned — nothing lazy still
         # reads from the work dir
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("pipeline_ingest_hash_log", oracle=PIPE.ingest_hash_log_sql())
+def q_ingest_hash_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed ingest's seen-hash ledger through the ACTUAL
+    3-micro-batch checkpointed path with compact_every=1 (r7 verdict
+    #2): batch 2's start genuinely folds batches 0-1's committed logs
+    into one negative-id partition (plans/pipeline.compact_hash_log —
+    the fn refuses to return unless the fold really happened), and the
+    surviving ledger must be EXACTLY the distinct sha256(text) of the
+    corpus — the one-line oracle that pins the whole bookkeeping chain:
+    within-batch keeper window, cross-batch semi-reduce + anti-join,
+    quality shadowing (low-quality first-arrivals stay logged), and a
+    fold that neither loses nor resurrects hashes. This is the driver
+    row that puts compact_hash_log under CORRECTNESS."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_hashlog_")
+    try:
+        return PIPE.ingest_hash_log(
+            load_table(spark, sf_dir, "documents"),
+            work,
+            src=_ingest_split_src(spark, sf_dir),
+        )
+    finally:
+        # the returned frame is checkpoint-pinned (hash rows only)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -1036,6 +1081,25 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch permutation. (EPOCH_SALT != TRAIN_SALT is enforced at
     import, where EPOCH_SALT is defined.)"""
     return PIPE.epoch_manifest(
+        spark, _epoch_shards_src(spark, sf_dir), salt=EPOCH_SALT
+    )
+
+
+@register(
+    "pipeline_epoch_transfer",
+    oracle=PIPE.epoch_transfer_plan_sql(salt=EPOCH_SALT),
+)
+def q_epoch_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch flip's SHUFFLE PLAN (r7 verdict #2): the (shard_from,
+    shard_to) chunk/char transfer matrix read off the WRITTEN epoch-0
+    shards — shard_from free from the hive partition column, shard_to
+    from the rebuilt chunk key's rank algebra, the unused rank window
+    PRUNED by Catalyst (plan test-pinned), so pricing a flip costs one
+    scan of the curated shards plus one n_shards²-row aggregate, not
+    the flip itself. The oracle recomputes BOTH epochs' shard hashes
+    from the raw documents, so one hash match pins layout fidelity and
+    flip algebra together."""
+    return PIPE.epoch_transfer_plan(
         spark, _epoch_shards_src(spark, sf_dir), salt=EPOCH_SALT
     )
 
@@ -1293,13 +1357,20 @@ def q_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_with_price_updates(load_table(spark, sf_dir, "orders"))
 
 
-@register("relational_hll_distinct", oracle=R.hll_distinct_portable_sql())
+@retired("relational_hll_distinct", oracle=R.hll_distinct_portable_sql())
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct counts via the portable deterministic sketch — the
     approximate estimate itself is hash-comparable against DuckDB (md5
     registers + exact integer sum + one shared IEEE division). The native
     Datasketches variant (hll_distinct_orders) stays test-proven for
-    mergeability/error bounds."""
+    mergeability/error bounds.
+
+    Retired round 8 (streamed-keeps-the-row precedent, r6 tumbling/
+    session retirements): relational_streamed_hll drives the IDENTICAL
+    sketch through a real foreachBatch writeStream and shares this
+    byte-identical oracle, so the batch twin added no hash signal; its
+    parity stays pinned here via _RETIRED_ORACLES. The freed budget row
+    goes to the r8 registrations (r7 verdict #2)."""
     return R.hll_distinct_orders_portable(load_table(spark, sf_dir, "lineitem"))
 
 
@@ -1679,10 +1750,17 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.winsorized_price_stats(load_table(spark, sf_dir, "orders"))
 
 
-@register("events_attribution_last_touch", oracle=MON.attribution_last_touch_sql())
+@retired("events_attribution_last_touch", oracle=MON.attribution_last_touch_sql())
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch purchase attribution within a 30-minute window —
-    single per-user ordered pass, integer-micros gap test, exact cents."""
+    single per-user ordered pass, integer-micros gap test, exact cents.
+
+    Retired round 8 (streamed-keeps-the-row precedent, r6 tumbling/
+    session retirements): events_streamed_attribution drives the same
+    attribution semantics through a real stateful writeStream and
+    shares this byte-identical oracle, so the batch twin added no hash
+    signal; its parity stays pinned here via _RETIRED_ORACLES. The
+    freed budget row goes to the r8 registrations (r7 verdict #2)."""
     return MON.attribution_last_touch(load_table(spark, sf_dir, "events"))
 
 

@@ -1087,12 +1087,15 @@ def test_epoch_manifest_registration_cache_and_parity(spark, sf_dir):
 
 def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
     """The registered streamed-ingest row (pipeline_ingest_manifest):
-    driving the corpus as two real micro-batches through the
-    checkpointed foreachBatch chain and ranking the staged chunks must
-    land EXACTLY the one-shot training_manifest rows — that equality is
-    what lets the streamed path share the batch manifest's DuckDB
-    oracle. Also checks the returned frame survives work-dir deletion
-    (it is checkpoint-pinned)."""
+    driving the corpus as three real micro-batches — compact_every=1
+    since r8, so batch 2 genuinely folds the hash-log history
+    mid-ingest — through the checkpointed foreachBatch chain and
+    ranking the staged chunks must land EXACTLY the one-shot
+    training_manifest rows — that equality is what lets the streamed
+    path share the batch manifest's DuckDB oracle, compaction included.
+    Also checks the returned frame survives work-dir deletion (it is
+    checkpoint-pinned)."""
+    import glob
     import shutil
 
     from mapreduce_code_spark.plans.pipeline import (
@@ -1104,6 +1107,12 @@ def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     work = str(tmp_path / "work")
     got_df = ingest_manifest(docs, work)
+    # non-vacuity: three staged batches and a real compaction fold
+    assert len(glob.glob(f"{work}/staging/chunks/batch_id=*")) == 3
+    assert any(
+        "batch_id=-" in p
+        for p in glob.glob(f"{work}/staging/hashes/batch_id=*")
+    )
     shutil.rmtree(work)  # nothing lazy may still read from it
     got = sorted(map(tuple, got_df.collect()))
     want = sorted(map(tuple, training_manifest(docs).collect()))
@@ -1112,30 +1121,41 @@ def test_ingest_manifest_equals_batch_manifest(spark, sf_dir, tmp_path):
 
 
 def test_ingest_split_cache_and_contents(spark, sf_dir):
-    """The process-cached stream source behind pipeline_ingest_manifest
-    (ADVICE r7, low): one build per sf_dir with validated hits, two
-    ascending-doc_id halves whose union is exactly the corpus, f0
-    strictly older so the file source replays it first, and no scratch
-    dirs left inside the source listing."""
+    """The process-cached stream source shared by the two streamed
+    ingest rows (ADVICE r7, low; 3-file since r8 so compact_every=1
+    genuinely folds): one build per (sf_dir, n_files) with validated
+    hits, ascending-doc_id slices whose union is exactly the corpus,
+    strictly increasing mtimes anchored at now (no future-stamped
+    files — round-7 advisor item) so the file source replays them in
+    order, and no scratch dirs left inside the source listing."""
     import glob
     import os
+    import time
 
     from mapreduce_code_spark import registry as REG
     from mapreduce_code_spark.sources.io import load_table
 
-    REG._INGEST_SPLITS.pop(sf_dir, None)
+    REG._INGEST_SPLITS.pop((sf_dir, 3), None)
     src = REG._ingest_split_src(spark, sf_dir)
     assert REG._ingest_split_src(spark, sf_dir) == src  # hit, no rebuild
     files = sorted(glob.glob(f"{src}/f*.parquet"))
-    assert len(files) == 2 and not glob.glob(f"{src}/_split*")
-    assert os.path.getmtime(files[0]) < os.path.getmtime(files[1])
+    assert len(files) == 3 and not glob.glob(f"{src}/_split*")
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    assert mtimes[-1] <= time.time()  # newest lands at now, never future
 
     docs = load_table(spark, sf_dir, "documents")
-    lo = sorted(r.doc_id for r in spark.read.parquet(files[0]).select("doc_id").collect())
-    hi = sorted(r.doc_id for r in spark.read.parquet(files[1]).select("doc_id").collect())
-    assert lo and hi and lo[-1] < hi[0]  # disjoint ascending halves
+    slices = [
+        sorted(
+            r.doc_id
+            for r in spark.read.parquet(f).select("doc_id").collect()
+        )
+        for f in files
+    ]
+    for a, b in zip(slices, slices[1:]):
+        assert a and b and a[-1] < b[0]  # disjoint ascending slices
     allids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-    assert sorted(lo + hi) == allids
+    assert sorted(sum(slices, [])) == allids
 
     # a cleaned dir is detected on hit and rebuilt, not trusted
     import shutil
