@@ -416,6 +416,230 @@ def ivf_topk(
     )
 
 
+def _pinned_d2s(centroids_q) -> "F.Column":
+    """Array of EXACT integer squared distances from the row's quantized
+    embedding (column ``qv``, the module's 1e-7 grid — see :func:`_q`)
+    to each pinned centroid — pure literal algebra, row-local, fully
+    whole-stage-codegen'd: the centroid matrix is compiled INTO the
+    plan, so assignment costs zero shuffles and zero Python (the 100 TB
+    shape the mapInPandas trainer can't give the serving path).
+    Bounds: |q| ≤ 1e8 → per-element diff² ≤ 4e16, ×64 dims ≤ 2.6e18 <
+    int64 max."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.array(*[F.lit(int(c)).cast("long") for c in cent]),
+                    F.col("qv"),
+                    lambda c, q: (c - q) * (c - q),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids_q
+        ]
+    )
+
+
+def _pinned_cell(centroids_q) -> "F.Column":
+    """Nearest pinned centroid's index for the row's ``qv`` — argmin of
+    :func:`_pinned_d2s` with the deterministic lowest-cell tie-break
+    (``array_position`` returns the FIRST position of the min)."""
+    d2s = _pinned_d2s(centroids_q)
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def derive_ivf_centroids(
+    embeddings: DataFrame, n_clusters: int = 16, n_iters: int = 2
+) -> list:
+    """The executable recipe behind ``IVF_CENTROIDS_Q`` (the
+    QUALITY_THETA precedent, r7 verdict #4): Lloyd's k-means re-derived
+    in EXACT integer arithmetic so the pinned table is bit-reproducible
+    under ANY partitioning or host — no float-sum order dependence
+    anywhere. Vectors quantize through the module's 1e-7 grid
+    (:func:`_q`); assignment per iteration is the SAME literal-centroid
+    integer-d2 argmin the serving path compiles (:func:`_pinned_cell`);
+    the update rounds the exact integer per-(cell, pos) mean half-up —
+    ``(2s + n) // (2n)`` — staying on the grid; empty cells keep their
+    centroid (``ivf_centroids``' convention, as is the deterministic
+    seed-free init from the ``n_clusters`` lowest vec_ids). Returns the
+    quantized centroid table as plain ints."""
+    qv = embeddings.select(
+        "vec_id", F.transform("embedding", _q).alias("qv")
+    )
+    init = qv.orderBy("vec_id").limit(n_clusters).collect()
+    cents = [list(r["qv"]) for r in init]
+    for _ in range(n_iters):
+        sums = (
+            qv.select(
+                _pinned_cell(cents).alias("cell"),
+                F.posexplode("qv").alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            s, n = int(r["s"]), int(r["n"])
+            new[r["cell"]][r["pos"]] = (2 * s + n) // (2 * n)
+        cents = new
+    return cents
+
+
+def ivf_topk_pinned(
+    embeddings: DataFrame,
+    centroids_q=None,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k SERVING path with a PINNED coarse quantizer (r7
+    verdict #4): with the centroid table fixed (``IVF_CENTROIDS_Q``,
+    derived once by :func:`derive_ivf_centroids` and pinned as
+    literals), assignment + nprobe probe + exact re-rank is pure
+    algebra — so unlike :func:`ivf_topk` (whose Lloyd training is
+    genuinely iterative, rows-only) this variant carries a full DuckDB
+    hash oracle (:func:`ivf_topk_pinned_sql`).
+
+    Scale shape — strictly better than the trained variant's serving
+    half: cell assignment and query probing are row-local literal
+    integer algebra (zero shuffles, zero Python, whole-stage codegen);
+    the probe table (n_queries × nprobe rows + query vectors)
+    broadcasts into the candidate scan, so the only exchange in the
+    whole plan is the final per-query top-k window over the ~nprobe/
+    n_clusters candidate fraction."""
+    if centroids_q is None:
+        from mapreduce_code_spark.operators.ivf_centroids_pinned import (
+            IVF_CENTROIDS_Q,
+        )
+
+        centroids_q = IVF_CENTROIDS_Q
+    e = with_norm(embeddings).withColumn(
+        "qv", F.transform("embedding", _q)
+    )
+    cand = (
+        spread(e)
+        .withColumn("cell", _pinned_cell(centroids_q))
+        .select("vec_id", "embedding", "norm", "cell")
+    )
+    q = e.filter(F.col("vec_id") < n_queries)
+    wp = Window.partitionBy("query_id").orderBy("d2", "probe_cell")
+    probes = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            F.posexplode(_pinned_d2s(centroids_q)).alias(
+                "probe_cell", "d2"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "probe_cell", "qe", "qnorm")
+    )
+    cos = dot_exact(F.col("qe"), F.col("embedding")).cast("double") / (
+        F.col("qnorm") * F.col("norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def ivf_topk_pinned_sql(
+    centroids_q=None, n_queries: int = 5, k: int = 10, nprobe: int = 4
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_pinned` — the same pinned centroid
+    literals as a VALUES table, the same 1e-7 integer quantization in
+    the same textual order (assignment d2, probe ranking, and the dense
+    cosine re-rank all mirror the Spark expressions; parallel ``unnest``
+    zips the equal-length lists positionally), the same (d2 ASC, cell
+    ASC) tie-breaks."""
+    if centroids_q is None:
+        from mapreduce_code_spark.operators.ivf_centroids_pinned import (
+            IVF_CENTROIDS_Q,
+        )
+
+        centroids_q = IVF_CENTROIDS_Q
+    q_num = f"CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)"
+    q_lam = f"x -> {q_num}"
+    values = ",\n  ".join(
+        f"({i}, [{', '.join(str(int(c)) for c in cent)}])"
+        for i, cent in enumerate(centroids_q)
+    )
+    return f"""
+WITH cents(cell, qc) AS (VALUES
+  {values}
+),
+qvecs AS (
+  SELECT vec_id, list_transform(embedding, {q_lam}) AS qv FROM embeddings
+),
+dpairs AS (
+  SELECT v.vec_id, c.cell, unnest(v.qv) AS a, unnest(c.qc) AS b
+  FROM qvecs v CROSS JOIN cents c
+),
+d2 AS (
+  SELECT vec_id, cell, sum((a - b) * (a - b)) AS d2
+  FROM dpairs GROUP BY vec_id, cell
+),
+cells AS (
+  SELECT vec_id, cell FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell AS probe_cell FROM d2
+  WHERE vec_id < {n_queries}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) <= {nprobe}
+),
+elems AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum({q_num} * {q_num}) AS DOUBLE)) AS norm
+  FROM elems GROUP BY vec_id
+),
+cpairs AS (
+  SELECT pr.query_id, ce.vec_id,
+         unnest(q.embedding) AS xq, unnest(c.embedding) AS xc
+  FROM probes pr
+  JOIN cells ce ON ce.cell = pr.probe_cell AND ce.vec_id <> pr.query_id
+  JOIN embeddings q ON q.vec_id = pr.query_id
+  JOIN embeddings c ON c.vec_id = ce.vec_id
+),
+dots AS (
+  SELECT query_id, vec_id,
+         CAST(sum(CAST(floor(CAST(xq AS DOUBLE) * {SCALE} + 0.5) AS BIGINT) * CAST(floor(CAST(xc AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS DOUBLE) AS dot
+  FROM cpairs GROUP BY query_id, vec_id
+),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / (nq.norm * nc.norm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= {k}
+)
+SELECT query_id, vec_id, rank, cosine FROM ranked
+"""
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     n_queries: int = 5,

@@ -110,6 +110,7 @@ _FIRST = [
     # with an ORACLED row)
     "pipeline_ingest_hash_log",
     "pipeline_epoch_transfer",
+    "similarity_topk_ivf_pinned",
     # code touched in round 8: the streamed manifest row now runs 3
     # micro-batches with compact_every=1 (r7 verdict #7), so it
     # re-verifies through the compaction-active path
@@ -704,11 +705,37 @@ def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_ivf")  # approximate ANN — rows-only check
+@retired("similarity_topk_ivf")  # approximate ANN — rows-only check
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (k-means coarse quantizer + nprobe cell search +
-    exact re-rank); recall vs brute force asserted in tests."""
+    exact re-rank); recall vs brute force asserted in tests.
+
+    Retired round 8 (r7 verdict #4, the LSH/int8 precedent in reverse:
+    an ORACLED row replaces the rows-only one): with the coarse
+    quantizer PINNED, the entire serving path — assignment, probe,
+    re-rank — is exact algebra, so similarity_topk_ivf_pinned carries a
+    full DuckDB hash oracle where this row could only count rows. The
+    genuinely iterative half (Lloyd training, the one thing a fixed
+    quantizer can't cover) stays pinned by the recall/degradation tests
+    (test_llmops.py: full-probe ≡ brute force, sample-trained ≡ exact)."""
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_topk_ivf_pinned", oracle=similarity.ivf_topk_pinned_sql()
+)
+def q_topk_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN serving path with the PINNED coarse quantizer (r7
+    verdict #4): IVF_CENTROIDS_Q — derived once by the exact-integer
+    Lloyd recipe (derive_ivf_centroids, bit-reproducible, test-pinned)
+    — is compiled into the plan as literals, making cell assignment and
+    query probing row-local integer algebra (zero shuffles, zero
+    Python) and the whole top-k hash-comparable against DuckDB. The
+    only exchange in the plan is the final per-query top-k window over
+    the probed candidate fraction."""
+    return similarity.ivf_topk_pinned(
+        load_table(spark, sf_dir, "embeddings")
+    )
 
 
 @retired("similarity_topk_lsh")  # approximate ANN — rows-only check

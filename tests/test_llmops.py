@@ -226,6 +226,72 @@ def test_ivf_recall(emb_micro):
     assert len(exact & partial) / len(exact) >= 0.3
 
 
+def test_derive_ivf_centroids_reproduces_pinned(spark):
+    """IVF_CENTROIDS_Q is a trained artifact, not a hand-picked table
+    (the QUALITY_THETA precedent): re-running the exact-integer Lloyd
+    recipe at the sf0.01 corpus it was derived from reproduces the
+    pinned 16x64 table bit-for-bit — integer arithmetic end to end, so
+    no partitioning or host can move it — and training genuinely moved
+    the centroids off their lowest-vec_id init."""
+    import os
+
+    from mapreduce_code_spark.operators.ivf_centroids_pinned import (
+        IVF_CENTROIDS_Q,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip(f"derivation corpus {sf01} not on this host")
+    emb = load_table(spark, sf01, "embeddings")
+    got = similarity.derive_ivf_centroids(emb)
+    assert got == [list(c) for c in IVF_CENTROIDS_Q]
+    assert len(IVF_CENTROIDS_Q) == 16
+    assert all(len(c) == 64 for c in IVF_CENTROIDS_Q)
+    init = [
+        [int(v) for v in r["qv"]]
+        for r in emb.select(
+            "vec_id",
+            F.transform("embedding", similarity._q).alias("qv"),
+        )
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    assert [list(c) for c in IVF_CENTROIDS_Q] != init
+
+
+def test_ivf_pinned_parity_and_recall(spark, sf_dir):
+    """The registered pinned-quantizer serving path: bit-exact DuckDB
+    parity at the smoke corpus (assignment, probes, and re-rank all
+    mirrored), and at the derivation corpus a partial probe (4 of 16
+    cells) still recalls most of the brute-force top-k — the
+    approximate-family quality bar the retired rows-only row used to
+    carry, now alongside a hash oracle."""
+    import os
+
+    from tests.helpers import assert_parity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert_parity(
+        similarity.ivf_topk_pinned(emb),
+        sf_dir,
+        similarity.ivf_topk_pinned_sql(),
+    )
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip(f"derivation corpus {sf01} not on this host")
+    emb01 = load_table(spark, sf01, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_cosine(emb01).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk_pinned(emb01).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7  # measured 0.84
+
+
 def test_near_dup_scalable_vs_exhaustive(spark, sf_dir):
     """The LSH+rerank path is a subset of the exhaustive Jaccard pairs
     (exact precision) and catches most of them (band recall)."""

@@ -50,6 +50,7 @@ TOPK = (
     "relational_topk_parts_per_brand",
     "similarity_topk_cosine",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_pinned",
     "similarity_topk_lsh",
     "sampling_source_cap",
 )
@@ -240,10 +241,11 @@ def test_retired_twins_still_match_their_oracles(spark, sf_dir):
     """Queries retired from the driver surface (registry ``_RETIRED``,
     r4 verdict #3 + r6/r7 budget retirements) keep their DuckDB oracle
     parity HERE — retirement is a driver-budget decision, not a
-    correctness waiver. The two oracle-less retirees
-    (similarity_topk_int8 and similarity_topk_lsh, approximate by
-    design) are instead pinned by their recall/property tests in
-    test_similarity.py."""
+    correctness waiver. The three oracle-less retirees
+    (similarity_topk_int8, similarity_topk_lsh, and — since r8 —
+    similarity_topk_ivf, approximate by design) are instead pinned by
+    their recall/property tests in test_llmops.py, and the IVF serving
+    path now has the ORACLED similarity_topk_ivf_pinned row."""
     from mapreduce_code_spark.registry import _RETIRED_ORACLES
 
     from tests.helpers import assert_parity
@@ -252,6 +254,7 @@ def test_retired_twins_still_match_their_oracles(spark, sf_dir):
     assert set(_RETIRED) - set(_RETIRED_ORACLES) <= {
         "similarity_topk_int8",
         "similarity_topk_lsh",
+        "similarity_topk_ivf",
     }
     assert _RETIRED_ORACLES
     for name, sql in _RETIRED_ORACLES.items():
