@@ -939,6 +939,65 @@ def test_epoch_manifest_rebuilds_from_shards_without_recuration(
     assert got != epoch0  # a new salt is a genuinely new permutation
 
 
+def test_epoch_write_obeys_the_epoch_manifest(spark, sf_dir, tmp_path):
+    """materialize_epoch (r7 verdict #6): flipping the WRITTEN epoch-0
+    shards to a new salt must land bytes that obey epoch_manifest's
+    description EXACTLY — per shard, the manifest rows in pos order are
+    the written epoch-1 file's row order, chunk_md5 fingerprints the
+    written text (the epoch-1 edition of the manifest≡written-contract
+    test) — while holding precisely epoch 0's chunk set (a flip moves
+    chunks, never loses or invents them) in a genuinely different
+    layout."""
+    import hashlib
+    from collections import defaultdict
+
+    from mapreduce_code_spark.plans.pipeline import (
+        epoch_manifest,
+        materialize_epoch,
+        materialize_training_set,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out0 = str(tmp_path / "epoch0")
+    out1 = str(tmp_path / "epoch1")
+    materialize_training_set(docs, out0, n_shards=4)
+    materialize_epoch(spark, out0, out1, salt="epoch1", n_shards=4)
+
+    manifest = (
+        epoch_manifest(spark, out0, salt="epoch1", n_shards=4)
+        .orderBy("shard", "pos")
+        .collect()
+    )
+    by_shard = defaultdict(list)
+    for r in manifest:
+        by_shard[r["shard"]].append(
+            (r["doc_id"], r["chunk_id"], r["chunk_md5"])
+        )
+        assert r["pos"] == len(by_shard[r["shard"]])  # dense 1-based rank
+
+    def read_layout(path):
+        return {
+            int(shard.split("=", 1)[1]): [
+                (
+                    r.doc_id,
+                    r.chunk_id,
+                    hashlib.md5(r.chunk_text.encode()).hexdigest(),
+                )
+                for r in pdf.itertuples()
+            ]
+            for shard, pdf in _read_shards(path).items()
+        }
+
+    written1 = read_layout(out1)
+    assert dict(by_shard) == written1  # the manifest IS the written contract
+    written0 = read_layout(out0)
+    chunks0 = sorted(c for rows in written0.values() for c in rows)
+    chunks1 = sorted(c for rows in written1.values() for c in rows)
+    assert chunks0 == chunks1 and chunks0  # same chunk set, moved not lost
+    assert written0 != written1  # and a genuinely different layout
+
+
 def test_ingest_hash_log_oracle_with_compaction(spark, sf_dir, tmp_path):
     """ingest_hash_log (r8 registration candidate): the streamed
     ingest's seen-hash ledger through the ACTUAL 3-batch checkpointed
