@@ -97,7 +97,10 @@ EAGER_LOOPS = {  # driver iteration loops: SGD fits, components fixpoints
     "dedup_components",
     "dedup_components_starcontract",
 }
-EAGER = EAGER_STREAMS | EAGER_LOOPS
+EAGER_WRITES = {  # physical rewrite at build, result localCheckpointed
+    "pipeline_materialize_epoch",  # writes the epoch-1 shards, audits them
+}
+EAGER = EAGER_STREAMS | EAGER_LOOPS | EAGER_WRITES
 # Lazy ITERATIVE queries whose rounds end in localCheckpoint(eager=
 # False): the fresh plan net_shuffles() sees is a checkpoint scan, so
 # a structural count would read 0 and hide every real per-round

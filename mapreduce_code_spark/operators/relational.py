@@ -1800,6 +1800,14 @@ def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     )
 
 
+# The registered profile query's table and column set — the ONE
+# definition registry.py's relational_profile reads (round-8 advisor
+# item: previously registry._DOC_COLS duplicated this list and only a
+# test pinned the two in sync; adding a profiled column now edits one
+# constant).
+PROFILE_TABLE = "documents"
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
 # Names allowed through BARE in generated oracle SQL — exactly the
 # registered profile query's table and columns, so the committed oracle
 # text stays byte-stable. Everything else is double-quoted: quoting by
@@ -1810,9 +1818,7 @@ def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
 # tests/test_relational.py::test_bare_ident_allowlist_vs_live_duckdb,
 # so list drift fails CI instead (round-7 advisor item; replaces the
 # hand-frozen _SQL_KEYWORDS snapshot).
-_BARE_IDENT_OK = frozenset(
-    ["documents", "doc_id", "text", "lang", "source", "n_chars"]
-)
+_BARE_IDENT_OK = frozenset([PROFILE_TABLE, *PROFILE_COLS])
 
 
 def _sql_ident(name: str) -> str:

@@ -456,6 +456,16 @@ SHUFFLE_SHARDS = 8
 ORD_BITS = 60  # 15 md5 hex chars — fits BIGINT in both engines
 
 
+def shuffle_ord_key(key: str, salt: str):
+    """The 60-bit md5 ordering hash of ``salt|key`` — the ONE expression
+    builder behind :func:`shuffle_order` and the written-layout readers
+    (``plans/pipeline.epoch_layout_manifest``), so the permutation's
+    hash algebra can never drift between the writer and a later reader
+    re-deriving order from bytes on disk."""
+    k = F.concat(F.lit(f"shuffle|{salt}|"), F.col(key).cast("string"))
+    return F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("bigint")
+
+
 def shuffle_order(
     df: DataFrame,
     key: str = "doc_id",
@@ -478,9 +488,8 @@ def shuffle_order(
     for the per-shard rank window — the same single-shuffle budget as
     any hive-partitioned write. ``key`` ties in ``pos``'s ORDER BY make
     rank well-defined even under md5 collisions (~n^2/2^61 chance)."""
-    k = F.concat(F.lit(f"shuffle|{salt}|"), F.col(key).cast("string"))
     step = ((1 << ORD_BITS) + n_shards - 1) // n_shards
-    ord_key = F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("bigint")
+    ord_key = shuffle_ord_key(key, salt)
     w = Window.partitionBy("shard").orderBy("ord_key", key)
     return (
         df.withColumn("ord_key", ord_key)

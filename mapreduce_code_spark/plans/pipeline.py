@@ -388,6 +388,39 @@ def ingest_training_set(
                 "Restore the staging dir that belongs to this "
                 "checkpoint, or clear BOTH to start over."
             )
+        # The hashes ledger needs the same coverage check (round-8
+        # advisor item): if staging/hashes alone was cleared or partially
+        # lost, resumed batches' history anti-join would see no ledger
+        # and silently re-admit previously-seen documents. Every
+        # committed batch wrote its own batch_id=N hash dir (empty dirs
+        # included), and compaction replaces dirs 0..M-1 with ONE
+        # batch_id=-M partition — so id N must be present either
+        # directly or subsumed by a negative id -M with M > N.
+        hash_ids = set()
+        for n in _fs_names(spark, f"{staging_dir}/hashes"):
+            if n.startswith("batch_id="):
+                try:
+                    hash_ids.add(int(n.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        subsumed_below = max((-i for i in hash_ids if i < 0), default=0)
+        missing_h = sorted(
+            n
+            for n in range(max(committed) + 1)
+            if n not in hash_ids and n >= subsumed_below
+        )
+        if missing_h:
+            raise ValueError(
+                f"ingest_training_set: checkpoint_dir {checkpoint_dir!r} "
+                f"has committed batches through {max(committed)} but the "
+                f"hash ledger under {staging_dir!r}/hashes covers "
+                f"neither (batch_id=N nor a compacted batch_id=-M, M>N) "
+                f"batches {missing_h} — resuming would anti-join against "
+                "an amputated ledger and re-admit previously-seen "
+                "documents as duplicate chunks. Restore the staging dir "
+                "that belongs to this checkpoint, or clear BOTH to "
+                "start over."
+            )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # Compacting at BATCH START is replay-safe by construction:
@@ -894,6 +927,57 @@ def materialize_epoch(
         key="chunk_key",
         salt=salt,
         drop_key=True,
+    )
+
+
+def epoch_layout_manifest(
+    spark,
+    epoch_path: str,
+    salt: str,
+) -> DataFrame:
+    """The manifest read off a WRITTEN epoch's PHYSICAL layout: ``shard``
+    comes from the hive partition column (where the bytes actually
+    landed — never recomputed), ``pos`` from re-deriving the permutation
+    rank (:func:`~mapreduce_code_spark.operators.sampling.shuffle_ord_key`
+    over the rebuilt :func:`_chunk_key`) WITHIN each physical shard, and
+    ``chunk_md5`` fingerprints the written text. Hash-matching this
+    against ``training_manifest_sql(salt=...)`` — which recomputes the
+    whole curate → chunk → shuffle chain from the RAW documents —
+    therefore pins the physical bytes themselves: a chunk written to the
+    wrong shard shifts both its ``shard`` value and every rank in the
+    two affected shards; lost/invented/corrupted chunk text breaks the
+    md5 rows. (Within-file byte ORDER is the one property a distributed
+    parquet read can't observe; that half of the contract is pinned by
+    the manifest≡written tests in test_scale_patterns.py.)
+
+    Scale shape: one scan of the epoch shards + the one rank window,
+    partitioned by the layout's own shard column — auditing a written
+    100 TB epoch against its contract costs a single pass, no text ever
+    leaves the executor (md5 reduces it in place)."""
+    from pyspark.sql import Window
+
+    from mapreduce_code_spark.operators.sampling import shuffle_ord_key
+
+    rows = (
+        spark.read.parquet(epoch_path)
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            "pred_lang",
+        )
+        .withColumn("chunk_key", _chunk_key())
+        .withColumn("ord_key", shuffle_ord_key("chunk_key", salt))
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "chunk_key")
+    return rows.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "pred_lang",
     )
 
 

@@ -42,7 +42,10 @@ _ORACLES: dict[str, str] = {}
 # batch twins events_attribution_last_touch and relational_hll_distinct
 # (their registered STREAMED twins share the byte-identical oracles)
 # plus the rows-only similarity_topk_ivf (replaced by the ORACLED
-# pinned-centroid variant), freeing rows for the r8 registrations.
+# pinned-centroid variant), freeing rows for the r8 registrations;
+# round 9 retired pipeline_epoch_manifest (the epoch-flip DESCRIPTION
+# row) in favor of pipeline_materialize_epoch, which proves the same
+# flip through physically rewritten bytes under the same oracle.
 # Oracled retirees stay pinned by
 # test_plan_shapes.test_retired_twins_still_match_their_oracles; all
 # stay callable for plan audits and tests.
@@ -96,76 +99,84 @@ def retired(name: str, oracle: str | None = None):
 # the rule is: a query goes FIRST if it is (a) new this round, (b) its
 # code was touched this round, or (c) its latest driver row is one round
 # old (rotation: nothing sits unchecked two rounds in a row). With the
-# fourteen retirees (see ``_RETIRED``'s comment for the round-4/6/7/8
+# fifteen retirees (see ``_RETIRED``'s comment for the round-4/6/7/8/9
 # retirement history) the 98-query surface sits under the 2-round
-# coverage ceiling with ~2 rows of slack — the round-8 budget decision
-# (SURVEY §8): additions beyond 100 queries require a retirement, and
-# near-twin retirement (streamed keeps the row; oracled replaces
-# rows-only) is the standing policy for funding them.
+# coverage ceiling — the round-8 budget decision (SURVEY §8): additions
+# beyond 100 queries require a retirement, and near-twin retirement
+# (streamed keeps the row; oracled replaces rows-only) is the standing
+# policy for funding them.
+#
+# BUDGET ARITHMETIC (r8 verdict #1/#7 — the test's definition, not an
+# estimate): with 98 registered and a 50-row sweep, the previous round
+# covers 50, leaving 48 stale; so structural slack is EXACTLY
+# 50 - 48 = 2 rows per round for (new + touched + swaps). Each addition
+# must be funded by a retirement AND still fit that slack; the r8
+# breach (3 new + 1 touched = 52 must-check) is now impossible to ship
+# quietly — tests/test_registry_rotation.py::
+# test_next_round_must_check_fits_budget fails at build time if the
+# stale+new set exceeds 50.
 _FIRST = [
-    # new in round 8 (r7 verdict #2/#4: the two ready-made oracled
-    # maintenance surfaces — the compaction-pinning hash ledger and the
-    # epoch-flip transfer matrix — plus the pinned-centroid IVF serving
-    # path, which replaces the retired rows-only similarity_topk_ivf
-    # with an ORACLED row)
-    "pipeline_ingest_hash_log",
-    "pipeline_epoch_transfer",
-    "similarity_topk_ivf_pinned",
-    # code touched in round 8: the streamed manifest row now runs 3
-    # micro-batches with compact_every=1 (r7 verdict #7), so it
-    # re-verifies through the compaction-active path
-    "pipeline_ingest_manifest",
-    # latest green row is r06 (rotation: due this round), minus the two
-    # round-8 budget retirements (events_attribution_last_touch and
-    # relational_hll_distinct — batch twins whose byte-identical oracles
-    # stay pinned via their registered streamed twins + _RETIRED_ORACLES)
-    "apriori_association_rules_ref",
-    "dedup_streamed_incremental",
-    "dedup_substring_spans",
-    "events_drift_chisq",
-    "events_retention_cohorts",
-    "events_streamed_anomaly",
-    "events_streamed_attribution",
-    "events_streamed_session",
-    "events_streamed_view_purchase",
-    "graph_coreness_clicks",
-    "graph_pagerank_clicks",
-    "graph_triangle_clicks",
-    "multimodal_frame_plan",
-    "pipeline_materialize_manifest",
-    "relational_above_avg_orders",
-    "relational_bloom_customers",
-    "relational_countmin_heavy_hitters",
-    "relational_cube_order_stats",
-    "relational_filter_case_orders",
-    "relational_funnel_stages",
-    "relational_grouping_sets",
-    "relational_idle_customers",
-    "relational_integrity_checks",
-    "relational_kv_upsert",
-    "relational_pivot_returnflag",
-    "relational_pointintime_prices",
-    "relational_profile",
-    "relational_regional_revenue",
-    "relational_returned_orders",
-    "relational_rollup_pricing",
-    "relational_scd2_prices",
-    "relational_setops_customers",
-    "relational_streamed_hll",
-    "relational_topk_parts_per_brand",
-    "relational_unpivot_measures",
-    "relational_winsorized_prices",
-    "sampling_chunk_documents",
-    "sampling_source_cap",
-    "sampling_temperature_mix",
-    "similarity_assign_centroids",
-    "similarity_hybrid_rrf",
-    "similarity_label_centroids",
-    "similarity_semantic_dedup",
-    "text_contamination_ngram",
-    "text_quality_classifier",
-    "text_redact_pii",
+    # the one query whose latest green row is r06: position 51 of r8's
+    # rotation truncated it off the sweep (r8 verdict #1) — it LEADS r9
     "text_repetition_gopher",
+    # new in round 9 (r8 verdict #5): the epoch flip executed to BYTES
+    # and audited off the written layout, funded by retiring its
+    # description-row near-twin pipeline_epoch_manifest (same oracle,
+    # strictly stronger proof)
+    "pipeline_materialize_epoch",
+    # latest green row is r07 (rotation: due this round), minus the
+    # round-9 retirement above
+    "apriori_frequent_items",
+    "apriori_frequent_itemsets",
+    "dedup_components_starcontract",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_near_dup_scalable",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_json_props",
+    "events_session_paths",
+    "events_sliding_window",
+    "events_streamed_tumbling",
+    "events_user_running_totals",
+    "graph_lpa_communities",
+    "multimodal_features",
+    "multimodal_meta",
+    "pipeline_curated_corpus",
+    "pipeline_quality_margins",
+    "regression_ols_stats",
+    "regression_sgd_linear",
+    "regression_sgd_logistic",
+    "relational_customer_order_history",
+    "relational_distinct_part_stats",
+    "relational_events_close_pairs",
+    "relational_events_orders_asof",
+    "relational_histogram_quantiles",
+    "relational_hourly_gapfill",
+    "relational_pricing_summary",
+    "relational_quantity_quartiles",
+    "relational_rolling_24h",
+    "sampling_global_shuffle",
+    "sampling_pack_documents",
+    "sampling_quality_weighted",
+    "sampling_streamed_stratified",
+    "sampling_train_val_split",
+    "similarity_cosine_dups",
+    "similarity_quantize_int8",
+    "similarity_topk_cosine",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    "text_tfidf",
+    "text_winnow_fingerprint",
+    # slack rows (48 must-check leaves 2 of the 50): voluntary re-checks
+    # of the two r08-green pipeline rows closest to this round's
+    # shuffle_ord_key extraction (sampling.py) and epoch-path changes
+    "pipeline_epoch_transfer",
+    "pipeline_ingest_manifest",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
@@ -1091,7 +1102,7 @@ def _epoch_shards_src(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(
+@retired(
     "pipeline_epoch_manifest",
     oracle=PIPE.training_manifest_sql(salt=EPOCH_SALT),
 )
@@ -1106,10 +1117,55 @@ def q_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash match pins both halves at once: the written shards faithfully
     hold exactly the surviving chunks, and the flip algebra equals the
     from-scratch permutation. (EPOCH_SALT != TRAIN_SALT is enforced at
-    import, where EPOCH_SALT is defined.)"""
+    import, where EPOCH_SALT is defined.)
+
+    RETIRED round 9 (r8 verdict #5): funds pipeline_materialize_epoch,
+    which proves the SAME flip through physically rewritten bytes (the
+    strictly stronger row — this query describes the flip; that one
+    executes it and audits the written layout). The description row's
+    oracle parity stays pinned here via _RETIRED_ORACLES, and the
+    epoch_manifest kernel itself stays test-pinned
+    (test_scale_patterns.py's epoch-manifest ≡ training-manifest and
+    manifest≡written-bytes tests)."""
     return PIPE.epoch_manifest(
         spark, _epoch_shards_src(spark, sf_dir), salt=EPOCH_SALT
     )
+
+
+@register(
+    "pipeline_materialize_epoch",
+    oracle=PIPE.training_manifest_sql(salt=EPOCH_SALT),
+)
+def q_materialize_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch flip closed to BYTES and audited from the bytes (round-9
+    registration, r8 verdict #5, replacing the retired description-row
+    pipeline_epoch_manifest): physically rewrite the epoch-0 shards as
+    the EPOCH_SALT epoch through plans/pipeline.materialize_epoch (the
+    same write_shuffled path epoch 0 used), then read the manifest back
+    OFF THE WRITTEN LAYOUT — shard from the hive partition column, pos
+    re-derived within each physical shard, chunk_md5 over the written
+    text (epoch_layout_manifest). The oracle recomputes the whole
+    curate → chunk → epoch-1 shuffle chain from the RAW documents, so
+    one hash match pins the rewritten bytes end to end: placement,
+    permutation algebra, and content. The epoch-0 source shards are the
+    per-corpus cache (_epoch_shards_src); the flip write + audit —
+    the operations under test — run fresh every call."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_epoch1_")
+    try:
+        out1 = f"{work}/epoch1"
+        PIPE.materialize_epoch(
+            spark, _epoch_shards_src(spark, sf_dir), out1, salt=EPOCH_SALT
+        )
+        # pin rows before the temp layout is reaped (the manifest is
+        # ~1 row/chunk, no text column)
+        return PIPE.epoch_layout_manifest(
+            spark, out1, salt=EPOCH_SALT
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -1505,12 +1561,15 @@ def q_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+# the profiled table/columns live with the profiler's bare-identifier
+# allowlist in operators/relational.py — ONE constant to edit when the
+# profile row grows a column (round-8 advisor item)
+_DOC_COLS = list(R.PROFILE_COLS)
 
 
 @register(
     "relational_profile",
-    oracle=R.profile_exact_sql("documents", _DOC_COLS),
+    oracle=R.profile_exact_sql(R.PROFILE_TABLE, _DOC_COLS),
 )
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table column profiler (r5 verdict #2): per-column

@@ -47,6 +47,27 @@ def test_surface_fits_two_round_budget():
     )
 
 
+def test_next_round_must_check_fits_budget():
+    """The r8 breach, made impossible to ship quietly (r8 verdict #1):
+    the NEXT driver sweep must cover every query with no row in the
+    NEWEST CORRECTNESS file (they'd otherwise go two rounds unchecked),
+    so that stale set must fit the 50-row budget AT REGISTRATION TIME —
+    registering a query beyond the slack fails here the moment it is
+    added, not at round end when the sweep has already truncated."""
+    from mapreduce_code_spark import registry
+
+    rows = _correctness_rows()
+    if not rows:
+        return  # round 1: no history yet
+    stale = [n for n in registry.queries() if n not in rows[0]]
+    assert len(stale) <= BUDGET, (
+        f"{len(stale)} queries lack a row in the newest CORRECTNESS "
+        f"file — the next 50-row sweep cannot cover them all; retire "
+        f"a near-twin before registering more (slack this round: "
+        f"{BUDGET - len(stale)})"
+    )
+
+
 def test_unchecked_queries_lead_the_order():
     """Every query with no row in the two newest driver CORRECTNESS
     files must sit inside the budget prefix, so the next driver run

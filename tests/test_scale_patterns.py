@@ -998,6 +998,60 @@ def test_epoch_write_obeys_the_epoch_manifest(spark, sf_dir, tmp_path):
     assert written0 != written1  # and a genuinely different layout
 
 
+def test_epoch_layout_manifest_audits_physical_placement(
+    spark, sf_dir, tmp_path
+):
+    """epoch_layout_manifest (r9 registration pipeline_materialize_epoch):
+    the manifest read OFF the written epoch-1 bytes — shard from the
+    hive partition column, pos re-ranked within each physical shard —
+    must equal the from-scratch training manifest at the epoch salt
+    (that equivalence is what lets the registered row share
+    training_manifest_sql as its oracle). And because shard is the
+    PHYSICAL placement, tampering with the layout (swapping two shard
+    directories on disk) must break the audit — the property the
+    description-row it replaced could not check."""
+    import os
+
+    from mapreduce_code_spark.plans.pipeline import (
+        epoch_layout_manifest,
+        materialize_epoch,
+        materialize_training_set,
+        training_manifest,
+    )
+    from mapreduce_code_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out0 = str(tmp_path / "epoch0")
+    out1 = str(tmp_path / "epoch1")
+    materialize_training_set(docs, out0, n_shards=4)
+    materialize_epoch(spark, out0, out1, salt="epoch1", n_shards=4)
+
+    got = sorted(
+        map(tuple, epoch_layout_manifest(spark, out1, salt="epoch1").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            training_manifest(docs, salt="epoch1", n_shards=4).collect(),
+        )
+    )
+    assert got == want and got
+
+    # physical tamper: swap two shard directories; the audit must see it
+    a, b, tmp = (
+        os.path.join(out1, "shard=0"),
+        os.path.join(out1, "shard=1"),
+        os.path.join(out1, "shard=.swap"),
+    )
+    os.rename(a, tmp)
+    os.rename(b, a)
+    os.rename(tmp, b)
+    tampered = sorted(
+        map(tuple, epoch_layout_manifest(spark, out1, salt="epoch1").collect())
+    )
+    assert tampered != want
+
+
 def test_ingest_hash_log_oracle_with_compaction(spark, sf_dir, tmp_path):
     """ingest_hash_log (r8 registration candidate): the streamed
     ingest's seen-hash ledger through the ACTUAL 3-batch checkpointed
@@ -1112,13 +1166,17 @@ def test_epoch_transfer_plan_oracle_marginals_and_pruned_window(
 
 
 def test_epoch_manifest_registration_cache_and_parity(spark, sf_dir):
-    """The registered epoch-flip row (pipeline_epoch_manifest, round 7):
-    the materialized-shards source is built once per sf_dir and
-    validated on hit (the _INGEST_SPLITS pattern — a cleaned dir is
-    rebuilt, not trusted), the flip salt genuinely differs from the
-    written epoch's, and the query matches its DuckDB oracle — which
-    recomputes the manifest from the RAW documents at EPOCH_SALT, so
-    parity pins shard fidelity and flip algebra together."""
+    """The epoch-flip registration pair (round 9: the bytes-row
+    pipeline_materialize_epoch replaced the retired description-row
+    pipeline_epoch_manifest under the SAME oracle): the
+    materialized-shards source is built once per sf_dir and validated
+    on hit (the _INGEST_SPLITS pattern — a cleaned dir is rebuilt, not
+    trusted), the flip salt genuinely differs from the written epoch's,
+    and the registered row — which physically rewrites the epoch and
+    audits the written layout — matches the oracle that recomputes the
+    manifest from the RAW documents at EPOCH_SALT, pinning placement,
+    flip algebra, and content together. The returned frame must survive
+    the temp epoch-1 directory's cleanup (it is checkpoint-pinned)."""
     import glob
     import shutil
 
@@ -1133,10 +1191,12 @@ def test_epoch_manifest_registration_cache_and_parity(spark, sf_dir):
     assert REG._epoch_shards_src(spark, sf_dir) == src  # hit, no rebuild
     assert len(glob.glob(f"{src}/shard=*")) == PIPE.TRAIN_SHARDS
 
+    # the registered bytes-row: q fn has already reaped its temp epoch-1
+    # dir by the time the frame is consumed here
     assert_parity(
-        REG.queries()["pipeline_epoch_manifest"](spark, sf_dir),
+        REG.queries()["pipeline_materialize_epoch"](spark, sf_dir),
         sf_dir,
-        REG.oracle_sql()["pipeline_epoch_manifest"],
+        REG.oracle_sql()["pipeline_materialize_epoch"],
     )
 
     # a cleaned dir is detected on hit and rebuilt, not trusted
@@ -1414,7 +1474,22 @@ def test_ingest_resume_guard_requires_contiguous_staged_batches(
     assert len(staged) == 2, staged
     # healthy resume against the REAL checkpoint layout: allowed
     ingest_training_set(stream(), out, staging, ckpt)
-    # staging partially lost under a live checkpoint: must refuse
+    # a compacted ledger layout — batches 0..1 folded into batch_id=-2,
+    # originals gone — still counts as full coverage (round-8 advisor
+    # item: the guard must understand subsumption, not demand the
+    # original per-batch dirs back)
+    shutil.move(
+        f"{staging}/hashes/batch_id=0", f"{staging}/hashes/batch_id=-2"
+    )
+    shutil.rmtree(f"{staging}/hashes/batch_id=1")
+    ingest_training_set(stream(), out, staging, ckpt)
+    # the hashes ledger ALONE lost under a live checkpoint: must refuse
+    # (chunks intact — resumed batches would anti-join against nothing
+    # and re-admit previously-seen documents)
+    shutil.rmtree(f"{staging}/hashes/batch_id=-2")
+    with pytest.raises(ValueError, match="hash ledger"):
+        ingest_training_set(stream(), out, staging, ckpt)
+    # staging chunks partially lost under a live checkpoint: must refuse
     shutil.rmtree(f"{staging}/chunks/batch_id=0")
     with pytest.raises(ValueError, match="missing chunk dirs"):
         ingest_training_set(stream(), out, staging, ckpt)
