@@ -425,19 +425,22 @@ def _pinned_d2s(centroids_q) -> "F.Column":
     shape the mapInPandas trainer can't give the serving path).
     Bounds: |q| ≤ 1e8 → per-element diff² ≤ 4e16, ×64 dims ≤ 2.6e18 <
     int64 max."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.array(*[F.lit(int(c)).cast("long") for c in cent]),
-                    F.col("qv"),
-                    lambda c, q: (c - q) * (c - q),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for cent in centroids_q
-        ]
+    # Built as ONE parsed SQL expression, not composed Column objects:
+    # the unrolled build (16 cells x 64 literal lit/cast Columns each)
+    # cost thousands of py4j round-trips — 6-12 s of DRIVER time per
+    # fresh plan, dwarfing the ~1 s execution (r8 verdict #6a, measured
+    # before/after in SURVEY §9). transform() over one literal
+    # array-of-arrays is the same exact BIGINT algebra in the same cell
+    # order, so assignment argmin ties and probe (d2, cell) orderings —
+    # and therefore the DuckDB hash oracle — are unchanged.
+    cents = ", ".join(
+        "array(" + ", ".join(f"{int(c)}L" for c in cent) + ")"
+        for cent in centroids_q
+    )
+    return F.expr(
+        f"transform(array({cents}), c -> "
+        "aggregate(zip_with(c, qv, (ci, qi) -> (ci - qi) * (ci - qi)), "
+        "0L, (acc, v) -> acc + v))"
     )
 
 

@@ -124,6 +124,11 @@ _FIRST = [
     # description-row near-twin pipeline_epoch_manifest (same oracle,
     # strictly stronger proof)
     "pipeline_materialize_epoch",
+    # code touched in round 9 (r8 verdict #6a): _pinned_d2s now builds
+    # its literal-centroid algebra as ONE parsed SQL expression — the
+    # query re-verifies through the new expression path (same exact
+    # integer semantics, 5x cheaper plan construction)
+    "similarity_topk_ivf_pinned",
     # latest green row is r07 (rotation: due this round), minus the
     # round-9 retirement above
     "apriori_frequent_items",
@@ -172,10 +177,9 @@ _FIRST = [
     "text_stats",
     "text_tfidf",
     "text_winnow_fingerprint",
-    # slack rows (48 must-check leaves 2 of the 50): voluntary re-checks
-    # of the two r08-green pipeline rows closest to this round's
-    # shuffle_ord_key extraction (sampling.py) and epoch-path changes
-    "pipeline_epoch_transfer",
+    # slack row (49 must-check leaves 1 of the 50): voluntary re-check
+    # of the r08-green pipeline row closest to this round's
+    # shuffle_ord_key extraction (sampling.py) and ingest-guard changes
     "pipeline_ingest_manifest",
 ]
 _LAST: list[str] = [
@@ -1909,3 +1913,50 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GR.lpa_communities(
         GR.click_edges(load_table(spark, sf_dir, "events"))
     )
+
+
+def evict_cached(kind: str) -> None:
+    """Drop every ``_DF_CACHE`` entry of ``kind`` (all sessions/sf
+    dirs), unpersisting the frames — so a benchmark can force the next
+    consumer to pay the build. Harmless mid-use: an evicted persist
+    recomputes, never corrupts."""
+    for k, df in list(_DF_CACHE.items()):
+        if k[0] == kind:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            del _DF_CACHE[k]
+
+
+# Deterministic benchmark attribution for the shared in-session
+# materializations (r8 verdict #3: min-of-N plus order-dependent cache
+# warming meant a shared build landed in whichever query the round's
+# rotation happened to run first — floors flapped across rounds, and a
+# cold first run read as per-query "contention"). Each shared cache has
+# ONE fixed owner query: bench.py evicts the cache before every timed
+# run of the owner (the owner ALWAYS pays the build, min-of-N stays
+# min-of-cold) and prewarms it before the sweep so every other consumer
+# ALWAYS rides it. kind -> (owner query name, builder fn(spark, sf_dir)).
+SHARED_BUILDS: dict[str, tuple[str, Callable]] = {
+    # the Apriori family's lineitem⋈part transactions prep
+    "transactions": ("apriori_frequent_items", _transactions),
+    # the shingles→LSH→rerank pairs frame: dedup_near_dup_scalable IS
+    # that computation (CacheManager substitutes the cached plan into
+    # its fresh build), so it owns the build; the components variants
+    # consume it warm
+    "near_dup_pairs": ("dedup_near_dup_scalable", _near_dup_pairs),
+    # the 8-round BPE training: text_bpe_merges RETURNS the table it
+    # owns; text_bpe_encode applies it warm
+    "bpe_merges": ("text_bpe_merges", _bpe_merge_table),
+}
+
+# Shared on-disk SOURCE FIXTURES — inputs the registered queries are
+# DEFINED over (an already-materialized epoch-0; the n-file ingest
+# split), not work the queries claim to do. bench.py builds them once,
+# untimed, before the sweep, so no query's floor silently carries a
+# fixture build depending on rotation order. fn(spark, sf_dir) -> path.
+SOURCE_FIXTURES: list[Callable] = [
+    _epoch_shards_src,
+    lambda spark, sf_dir: _ingest_split_src(spark, sf_dir),
+]
