@@ -202,18 +202,23 @@ def minhash_signatures(
     if sh_ids is None:
         sh_ids = shingle_ids(documents, k)
     hashed = sh_ids.withColumn("h", F.shiftright(F.col("sid"), 32))
+    # parsed SQL text, one py4j call per aggregate (the r9
+    # plan-construction audit: Column-composed builds cost real driver
+    # time per fresh plan). {a}L/{b}L keep the literals BIGINT exactly
+    # as F.lit(int) promoted them inside the int64 products.
     aggs = [
-        F.min(
-            (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i])) % F.lit(MINHASH_P)
+        F.expr(
+            f"min(({_MH_A[i]}L * h + {_MH_B[i]}L) % {MINHASH_P}L)"
         ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     wide = hashed.groupBy("doc_id").agg(*aggs)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i).alias("seed"), F.col(f"mh_{i}").alias("mh"))
-            for i in range(n_hashes)
-        ]
+    pairs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({i} AS seed, mh_{i} AS mh)" for i in range(n_hashes)
+        )
+        + ")"
     )
     return wide.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.seed").alias("seed"), F.col("p.mh").alias("mh")
@@ -407,23 +412,22 @@ def simhash(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .withColumn("h", _token_hash(F.col("w")))
     )
+    # per-bit aggregates as parsed SQL text, ONE py4j call each, and the
+    # 60-term reassembly as one parsed expression: the Column-composed
+    # build cost ~1.3 s of driver time per fresh plan — ~90% of this
+    # query's bench floor (the r9 plan-construction audit; same py4j
+    # anti-pattern as the IVF literal matrix, same fix)
     aggs = [
-        F.when(
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1).cast("bigint"),
-        )
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias(f"bit_{b}")
+        F.expr(
+            f"CASE WHEN sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 "
+            f"END) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias(f"bit_{b}")
         for b in range(SIMHASH_BITS)
     ]
     bits = toks.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.shiftleft(F.col(f"bit_{b}"), b)
-        sim = term if sim is None else sim + term
+    sim = F.expr(
+        " + ".join(f"shiftleft(bit_{b}, {b})" for b in range(SIMHASH_BITS))
+    )
     return bits.select("doc_id", sim.alias("simhash"))
 
 

@@ -603,8 +603,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_near_dup_scalable", oracle=dedup.near_dup_scalable_sql())
 def q_near_dup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup: LSH candidates + exact Jaccard rerank."""
-    return dedup.near_dup_pairs_scalable(load_table(spark, sf_dir, "documents"))
+    """Scale-path near-dup: LSH candidates + exact Jaccard rerank.
+    Routed through the shared ``_near_dup_pairs`` materialization (it IS
+    that computation) so this query, as the cache's bench OWNER, re-
+    registers the ``_DF_CACHE`` entry its eviction dropped — without
+    this, an owner run left the cache permanently cold for any consumer
+    sweeping later in the rotation order (review finding)."""
+    return _near_dup_pairs(spark, sf_dir)
 
 
 @register("dedup_incremental", oracle=dedup.incremental_near_dups_sql())
@@ -1958,5 +1963,5 @@ SHARED_BUILDS: dict[str, tuple[str, Callable]] = {
 # fixture build depending on rotation order. fn(spark, sf_dir) -> path.
 SOURCE_FIXTURES: list[Callable] = [
     _epoch_shards_src,
-    lambda spark, sf_dir: _ingest_split_src(spark, sf_dir),
+    _ingest_split_src,
 ]
