@@ -21,6 +21,8 @@ Design:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -191,20 +193,54 @@ def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
     )
 
 
+# State-partition count for the bounded streamed runners, applied (set
+# around .start(), restored after the run) by every runner below when
+# not None. Stateful micro-batch cost is dominated by PER-PARTITION
+# state-store commit overhead at test-corpus keyspaces — the r9 probe
+# measured the view→purchase stream-stream join at 2.45 s with 4 state
+# partitions vs 5.3 s at the session's 32 (identical rows), and the
+# availableNow finalize batch (0 input rows) alone cost 2.8 s of state
+# commits at 32. None = inherit the session conf (the r9 default: the
+# flip re-verifies all streamed rows through the driver's r10 sweep,
+# where they are all rotation-due). Production sizes this to keyspace,
+# not to a constant.
+STREAM_SHUFFLE_PARTITIONS: int | None = None
+
+
+@contextmanager
+def _stream_shuffle_conf(spark):
+    """Set/restore ``spark.sql.shuffle.partitions`` around a streaming
+    run when :data:`STREAM_SHUFFLE_PARTITIONS` is set — streaming
+    queries capture the conf at ``.start()``, and the runners here are
+    synchronous, so the session value is always restored before any
+    other query can observe it."""
+    if STREAM_SHUFFLE_PARTITIONS is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str):
     """Drive a stream through ``writeStream`` with the ``availableNow``
     trigger (process everything already on disk, then stop) into a
     memory sink; returns the materialized sink table. The synchronous
     bounded runner behind every oracled streaming query."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_conf(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -278,13 +314,14 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against a memory sink
     (synchronous — for tests and parity checks). Returns the query;
     caller reads ``spark.table(name)`` and stops it."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
+    with _stream_shuffle_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
     return q
 
 
@@ -297,13 +334,14 @@ def _dir_exists(spark, path: str) -> bool:
 def _drive_foreach_batch(stream_df: DataFrame, handle, checkpoint_dir: str):
     """Shared scaffold: foreachBatch + checkpoint + availableNow, run to
     completion."""
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_batch_transform(
@@ -439,10 +477,11 @@ def run_upsert_sink(
             raise IOError(f"could not promote {snapshot_dir}.next")
         fs.delete(bak, True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    q.processAllAvailable()
+    with _stream_shuffle_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        q.processAllAvailable()
     return q

@@ -19,6 +19,46 @@ def _norm(df):
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 
+def test_stream_shuffle_partitions_override(spark, sf_dir, monkeypatch):
+    """The streamed runners' state-partition override (r9 plumbing for
+    the r10 flip — SURVEY §9's measured 2× on the stream-stream join):
+    with STREAM_SHUFFLE_PARTITIONS set, a streamed run produces
+    row-identical results and RESTORES the session conf afterwards —
+    the partition count is physical layout, never semantics. Default
+    None must leave the conf untouched for the whole run."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+
+    baseline = _norm(
+        W.streamed_tumbling_counts(spark, sf_dir)
+    )
+    assert spark.conf.get(key) == prior  # default None: conf untouched
+
+    monkeypatch.setattr(W, "STREAM_SHUFFLE_PARTITIONS", 4)
+    seen: dict[str, str] = {}
+    orig = W._stream_shuffle_conf
+
+    def spying(s):
+        cm = orig(s)
+
+        class _Spy:
+            def __enter__(self):
+                r = cm.__enter__()
+                seen["during"] = s.conf.get(key)
+                return r
+
+            def __exit__(self, *a):
+                return cm.__exit__(*a)
+
+        return _Spy()
+
+    monkeypatch.setattr(W, "_stream_shuffle_conf", spying)
+    tuned = _norm(W.streamed_tumbling_counts(spark, sf_dir))
+    assert seen["during"] == "4"  # the override really reached the run
+    assert spark.conf.get(key) == prior  # and was restored
+    assert tuned.equals(baseline)  # identical rows either way
+
+
 def test_tumbling_batch_parity(spark, sf_dir):
     """The same tumbling plan over readStream == batch result."""
     batch = W.tumbling_counts(load_table(spark, sf_dir, "events"))
