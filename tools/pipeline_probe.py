@@ -61,7 +61,9 @@ def probe_epoch(spark, sf_dir: str, repeats: int, copies: int) -> dict:
     import hashlib
 
     from mapreduce_code_spark.plans.pipeline import (
+        epoch_layout_manifest,
         epoch_manifest,
+        materialize_epoch,
         materialize_training_set,
         training_manifest,
     )
@@ -86,8 +88,33 @@ def probe_epoch(spark, sf_dir: str, repeats: int, copies: int) -> dict:
                 repeats,
             )
             assert df == n_full, (df, n_full)  # same epoch, same rows
+            # round-9 bytes path: the flip EXECUTED (materialize_epoch
+            # rewrites the curated shards at the new salt through
+            # write_shuffled) and the written layout AUDITED
+            # (epoch_layout_manifest: physical shard column + re-ranked
+            # pos + md5 over written text). Both consume the curated
+            # set, which is growth-stable under the blowup's verbatim
+            # duplication — so like the manifest flip, both should stay
+            # FLAT while full re-curation grows with the raw corpus.
+            epoch1 = f"{work}/epoch1"
+            t_flip, _ = _timed(
+                lambda: (
+                    shutil.rmtree(epoch1, ignore_errors=True),
+                    materialize_epoch(spark, shards, epoch1, salt="epoch1"),
+                )[1],
+                repeats,
+            )
+            t_audit, n_audit = _timed(
+                lambda: epoch_layout_manifest(
+                    spark, epoch1, salt="epoch1"
+                ).count(),
+                repeats,
+            )
+            assert n_audit == n_full, (n_audit, n_full)
             result[label] = {
                 "epoch_manifest": t_epoch,
+                "flip_to_bytes": t_flip,
+                "layout_audit": t_audit,
                 "full_recuration": t_full,
                 "rows": df,
                 "speedup": round(t_full / t_epoch, 2),
