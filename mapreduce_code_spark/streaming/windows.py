@@ -208,6 +208,25 @@ STREAM_SHUFFLE_PARTITIONS: int | None = None
 
 
 @contextmanager
+def stream_partitions(n: int | None):
+    """Scope :data:`STREAM_SHUFFLE_PARTITIONS` to a block — the r10
+    flip's per-query hook, because the A/B measurement says the
+    override must be SELECTIVE: JVM-stateful runs (stream-stream join,
+    windowed aggs, dedup state) win at few partitions, while
+    applyInPandasWithState loses parallel Arrow state workers and
+    `write_shuffled`-backed foreachBatch paths need partitions ≥
+    n_shards (ADVICE r9). A registered query wraps its runner call:
+    ``with stream_partitions(4): return run_available_now(...)``."""
+    global STREAM_SHUFFLE_PARTITIONS
+    prior = STREAM_SHUFFLE_PARTITIONS
+    STREAM_SHUFFLE_PARTITIONS = n
+    try:
+        yield
+    finally:
+        STREAM_SHUFFLE_PARTITIONS = prior
+
+
+@contextmanager
 def _stream_shuffle_conf(spark):
     """Set/restore ``spark.sql.shuffle.partitions`` around a streaming
     run when :data:`STREAM_SHUFFLE_PARTITIONS` is set — streaming

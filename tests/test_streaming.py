@@ -58,6 +58,17 @@ def test_stream_shuffle_partitions_override(spark, sf_dir, monkeypatch):
     assert spark.conf.get(key) == prior  # and was restored
     assert tuned.equals(baseline)  # identical rows either way
 
+    # the per-query scoping hook restores the module constant even when
+    # the block raises (the r10 flip wraps individual runner calls)
+    monkeypatch.setattr(W, "STREAM_SHUFFLE_PARTITIONS", None)
+    with W.stream_partitions(8):
+        assert W.STREAM_SHUFFLE_PARTITIONS == 8
+    assert W.STREAM_SHUFFLE_PARTITIONS is None
+    with pytest.raises(RuntimeError):
+        with W.stream_partitions(8):
+            raise RuntimeError("boom")
+    assert W.STREAM_SHUFFLE_PARTITIONS is None
+
 
 def test_tumbling_batch_parity(spark, sf_dir):
     """The same tumbling plan over readStream == batch result."""
