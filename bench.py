@@ -32,6 +32,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from mapreduce_code_spark.operators import regression
 from mapreduce_code_spark.operators.dedup import release_persisted
 from mapreduce_code_spark.registry import (
     SHARED_BUILDS,
@@ -40,6 +41,13 @@ from mapreduce_code_spark.registry import (
     queries,
 )
 from mapreduce_code_spark.session import get_spark
+
+# registered SGD queries -> their sgd_fit link, for the sidecar's
+# iteration-count field (r9 verdict #5)
+SGD_LINKS = {
+    "regression_sgd_linear": "linear",
+    "regression_sgd_logistic": "logistic",
+}
 
 
 def net_shuffles(df) -> int:
@@ -93,8 +101,12 @@ EAGER_STREAMS = {
     "sampling_streamed_stratified",  # writeStream at build
     "events_streamed_anomaly",  # stream-static join writeStream at build
     "events_streamed_attribution",  # stateful writeStream at build
-    "pipeline_ingest_manifest",  # foreachBatch ingest + shard write at build
-    "pipeline_ingest_hash_log",  # foreachBatch ingest + compaction at build
+    # the two ingest rows share one streamed run (r9 verdict #3): the
+    # hash-log row OWNS it (pays the cold foreachBatch chain at build —
+    # evicted before each timed run), the manifest row reads it warm but
+    # still localCheckpoints its rank at build
+    "pipeline_ingest_manifest",
+    "pipeline_ingest_hash_log",
 }
 EAGER_LOOPS = {  # driver iteration loops: SGD fits, components fixpoints
     "regression_sgd_linear",
@@ -148,12 +160,21 @@ def main() -> int:
     # OWNER query below. Result: the owner always pays its build
     # (min-of-N is min-of-cold), every other consumer always rides warm,
     # and neither floors nor the contention signal depend on rotation
-    # order. Same protocol for subset runs, so a subset time is
-    # comparable to the same query's full-sweep time.
-    for fixture in SOURCE_FIXTURES:
+    # order. Subset runs prewarm only the fixtures/caches their selected
+    # queries actually consume (r9 advisor item: an unrelated
+    # single-query invocation was paying tens of seconds of pure
+    # prewarm), so a subset time stays comparable to the same query's
+    # full-sweep time without the full sweep's setup.
+    for fixture, consumers in SOURCE_FIXTURES:
+        if only and not (only & consumers):
+            continue
         fixture(spark, sf_dir)
-    cache_owner = {owner: kind for kind, (owner, _) in SHARED_BUILDS.items()}
-    for kind, (_, build) in SHARED_BUILDS.items():
+    cache_owner = {
+        owner: kind for kind, (owner, _, _) in SHARED_BUILDS.items()
+    }
+    for kind, (_, build, consumers) in SHARED_BUILDS.items():
+        if only and not (only & consumers):
+            continue
         # .count() forces materialization — persist() alone is lazy, and
         # an unmaterialized "prewarm" would leave the build cost inside
         # the first consumer's timed run (review finding)
@@ -168,6 +189,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     shuffles: dict[str, int] = {}
+    sgd_iters: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -179,8 +201,10 @@ def main() -> int:
                 # query's) warm cache; release the dedup module's
                 # internal persisted intermediates too, or run 1's
                 # shingle blocks warm runs 2..N through CacheManager
-                # plan-matching (review finding)
-                evict_cached(cache_owner[name])
+                # plan-matching (review finding). Eviction is scoped to
+                # THIS session so a concurrently-live second session's
+                # cache is never degraded (r9 advisor item).
+                evict_cached(cache_owner[name], spark)
                 release_persisted()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -200,6 +224,14 @@ def main() -> int:
         else:
             shuffles[name] = net_shuffles(fn(spark, sf_dir))
         timings[name] = round(best, 3)
+        if name in SGD_LINKS:
+            # iteration count of the timed fit (r9 verdict #5): the stop
+            # rule is trajectory-dependent, so a slow SGD line must be
+            # attributable to convergence-path variance vs a real
+            # per-iteration regression
+            it = regression.LAST_FIT_ITERATIONS.get(SGD_LINKS[name])
+            if it is not None:
+                sgd_iters[name] = it
         # release per-query persisted intermediates (shingle passes) so
         # cached blocks don't accumulate across the full-registry sweep;
         # deliberately outside the timed section, like the driver's own
@@ -302,6 +334,7 @@ def main() -> int:
                     "median_ratio_vs_prior": median_ratio,
                     "run_contended": run_contended,
                     "regressed_vs_prior": regressed,
+                    "sgd_iterations": sgd_iters,
                 },
                 indent=1,
                 sort_keys=True,

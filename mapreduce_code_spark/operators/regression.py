@@ -54,6 +54,14 @@ MAX_ITER = 50  # logisticreg.java:147 (the conf "numIter"=2 at :152 is unused)
 
 _PARTIAL_SCHEMA = "all_continue boolean, n long, theta_sum array<double>"
 
+# Most recent fit's iteration count per link, recorded by sgd_fit.
+# bench.py copies it into its sidecar (r9 verdict #5): the SGD queries'
+# wall time is iterations × per-iteration cost, and the stop rule is
+# data/trajectory-dependent, so a slow bench line needs to be
+# attributable to convergence-path variance vs a real per-iteration
+# regression.
+LAST_FIT_ITERATIONS: dict[str, int] = {}
+
 
 @dataclass
 class SGDResult:
@@ -153,6 +161,7 @@ def sgd_fit(
             if not all(r["all_continue"] for r in partials):
                 converged = True  # stop rule, logisticreg.java:203
                 break
+        LAST_FIT_ITERATIONS[link] = it
         return SGDResult(theta=theta.tolist(), iterations=it, converged=converged)
     finally:
         pts.unpersist()

@@ -421,6 +421,40 @@ def ingest_training_set(
                 "that belongs to this checkpoint, or clear BOTH to "
                 "start over."
             )
+        # Name coverage alone can be fooled (r9 advisor, low): a
+        # batch_id dir whose parquet files were deleted but whose name
+        # survives passes both checks above, and resume would silently
+        # read an empty partition where committed data should be. So
+        # every dir that PROVIDES coverage must still hold at least one
+        # data file — metadata-only listStatus, and Spark writes >= 1
+        # part file even for an empty frame (SPARK-23271), so a
+        # zero-survivor batch still passes while a gutted dir cannot.
+        covering_h = sorted(
+            i
+            for i in hash_ids
+            if i < 0 or subsumed_below <= i <= max(committed)
+        )
+        gutted = sorted(
+            f"{sub}/batch_id={i}"
+            for sub, ids in (
+                ("chunks", range(max(committed) + 1)),
+                ("hashes", covering_h),
+            )
+            for i in ids
+            if not any(
+                not c.startswith("_")
+                for c in _fs_names(spark, f"{staging_dir}/{sub}/batch_id={i}")
+            )
+        )
+        if gutted:
+            raise ValueError(
+                f"ingest_training_set: staging dirs {gutted} under "
+                f"{staging_dir!r} exist but hold no data files — the "
+                "staged parquet was deleted out from under the "
+                "checkpoint; resuming would silently treat committed "
+                "batches as empty. Restore the staging dir that belongs "
+                "to this checkpoint, or clear BOTH to start over."
+            )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # Compacting at BATCH START is replay-safe by construction:
@@ -701,7 +735,18 @@ def ingest_manifest(
     staging = _stream_ingest(
         documents, work_dir, src, n_files=3, compact_every=1
     )
-    spark = documents.sparkSession
+    return manifest_from_staging(documents.sparkSession, staging)
+
+
+def manifest_from_staging(spark, staging: str) -> DataFrame:
+    """The manifest half of :func:`ingest_manifest`, reading a COMPLETED
+    streamed-ingest staging dir (:func:`_stream_ingest`'s return): rank
+    the staged chunks with the write path's own ``shuffle_order``
+    algebra. Split out so one streamed run can serve both driver rows
+    (r9 verdict #3 — `pipeline_ingest_manifest` and
+    `pipeline_ingest_hash_log` drove byte-identical 3-batch
+    compact_every=1 runs; the registry now shares the run and each row
+    keeps its full end-to-end oracle over the run's output)."""
     staged = spark.read.parquet(f"{staging}/chunks").drop("batch_id")
     return _manifest_rows(
         staged, salt=TRAIN_SALT, n_shards=TRAIN_SHARDS
@@ -777,11 +822,19 @@ def ingest_hash_log(
 
     The returned frame is pinned (localCheckpoint — hash rows only) so
     the caller may delete ``work_dir``."""
-    import glob
-
     staging = _stream_ingest(
         documents, work_dir, src, n_files=3, compact_every=1
     )
+    return hash_log_from_staging(documents.sparkSession, staging)
+
+
+def hash_log_from_staging(spark, staging: str) -> DataFrame:
+    """The ledger half of :func:`ingest_hash_log`, reading a COMPLETED
+    streamed-ingest staging dir. The compaction guard lives HERE, at the
+    read, so EVERY consumer of a (possibly shared — r9 verdict #3) run
+    re-proves the fold happened rather than trusting the run builder."""
+    import glob
+
     parts = glob.glob(f"{staging}/hashes/batch_id=*")
     if not any("batch_id=-" in p for p in parts):
         raise RuntimeError(
@@ -789,7 +842,6 @@ def ingest_hash_log(
             f"partition in {parts} — compaction never ran; the row "
             "would stop pinning compact_hash_log"
         )
-    spark = documents.sparkSession
     return (
         spark.read.parquet(f"{staging}/hashes")
         .select("content_hash")

@@ -116,71 +116,64 @@ def retired(name: str, oracle: str | None = None):
 # test_next_round_must_check_fits_budget fails at build time if the
 # stale+new set exceeds 50.
 _FIRST = [
-    # the one query whose latest green row is r06: position 51 of r8's
-    # rotation truncated it off the sweep (r8 verdict #1) — it LEADS r9
-    "text_repetition_gopher",
-    # new in round 9 (r8 verdict #5): the epoch flip executed to BYTES
-    # and audited off the written layout, funded by retiring its
-    # description-row near-twin pipeline_epoch_manifest (same oracle,
-    # strictly stronger proof)
-    "pipeline_materialize_epoch",
-    # code touched in round 9 (r8 verdict #6a): _pinned_d2s now builds
-    # its literal-centroid algebra as ONE parsed SQL expression — the
-    # query re-verifies through the new expression path (same exact
-    # integer semantics, 5x cheaper plan construction)
-    "similarity_topk_ivf_pinned",
-    # latest green row is r07 (rotation: due this round), minus the
-    # round-9 retirement above
-    "apriori_frequent_items",
-    "apriori_frequent_itemsets",
-    "dedup_components_starcontract",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_near_dup_scalable",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_json_props",
-    "events_session_paths",
-    "events_sliding_window",
-    "events_streamed_tumbling",
-    "events_user_running_totals",
-    "graph_lpa_communities",
-    "multimodal_features",
-    "multimodal_meta",
-    "pipeline_curated_corpus",
-    "pipeline_quality_margins",
-    "regression_ols_stats",
-    "regression_sgd_linear",
-    "regression_sgd_logistic",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_events_close_pairs",
-    "relational_events_orders_asof",
-    "relational_histogram_quantiles",
-    "relational_hourly_gapfill",
-    "relational_pricing_summary",
-    "relational_quantity_quartiles",
-    "relational_rolling_24h",
-    "sampling_global_shuffle",
-    "sampling_pack_documents",
-    "sampling_quality_weighted",
-    "sampling_streamed_stratified",
-    "sampling_train_val_split",
-    "similarity_cosine_dups",
-    "similarity_quantize_int8",
-    "similarity_topk_cosine",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_lang_id",
-    "text_quality",
-    "text_stats",
-    "text_tfidf",
-    "text_winnow_fingerprint",
-    # slack row (49 must-check leaves 1 of the 50): voluntary re-check
-    # of the r08-green pipeline row closest to this round's
-    # shuffle_ord_key extraction (sampling.py) and ingest-guard changes
-    "pipeline_ingest_manifest",
+    # --- touched in round 10 (r9 verdict #1/#2/#3), all but two also
+    # rotation-stale: the selective stream state-partition flip
+    # (stream_partitions wraps) re-verifies every flipped writeStream
+    # path through the driver, and the shared streamed-ingest run
+    # re-verifies both ingest rows end-to-end over the shared run.
+    # dedup_streamed_incremental LEADS (r9 verdict #2: it rode the r9
+    # MinHash rewrite without a driver row; the row lands here).
+    "dedup_streamed_incremental",
+    "events_streamed_view_purchase",
+    "events_streamed_tumbling",  # r9-green but flipped to 4 partitions
+    "events_streamed_session",
+    "events_streamed_anomaly",
+    "relational_streamed_hll",
+    "pipeline_ingest_hash_log",  # owner of the shared ingest run
+    "pipeline_ingest_manifest",  # r9-green but now reads the shared run
+    # --- latest green row is r08 (rotation: due this round) ---
+    "apriori_association_rules_ref",
+    "similarity_label_centroids",
+    "similarity_assign_centroids",
+    "similarity_semantic_dedup",
+    "text_contamination_ngram",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "pipeline_materialize_manifest",
+    "pipeline_epoch_transfer",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "sampling_temperature_mix",
+    "dedup_substring_spans",
+    "multimodal_frame_plan",
+    "relational_regional_revenue",
+    "relational_topk_parts_per_brand",
+    "relational_rollup_pricing",
+    "relational_grouping_sets",
+    "relational_cube_order_stats",
+    "relational_pivot_returnflag",
+    "relational_kv_upsert",
+    "relational_countmin_heavy_hitters",
+    "relational_bloom_customers",
+    "relational_idle_customers",
+    "relational_scd2_prices",
+    "relational_funnel_stages",
+    "relational_unpivot_measures",
+    "relational_setops_customers",
+    "relational_filter_case_orders",
+    "relational_above_avg_orders",
+    "relational_integrity_checks",
+    "relational_profile",
+    "graph_pagerank_clicks",
+    "graph_triangle_clicks",
+    "events_drift_chisq",
+    "graph_coreness_clicks",
+    "similarity_hybrid_rrf",
+    "events_retention_cohorts",
+    "relational_winsorized_prices",
+    "events_streamed_attribution",  # deliberately NOT flipped (A/B loses)
+    "relational_pointintime_prices",
+    "relational_returned_orders",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
@@ -639,7 +632,10 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mapreduce_code_spark.sources.io import load_table_stream
-    from mapreduce_code_spark.streaming.windows import run_batch_transform
+    from mapreduce_code_spark.streaming.windows import (
+        run_batch_transform,
+        stream_partitions,
+    )
 
     corpus = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
@@ -652,14 +648,19 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 1
     )
     tmp = tempfile.mkdtemp(prefix="dedup_streamed_incremental_")
-    return run_batch_transform(
-        new_stream,
-        lambda batch: dedup.incremental_near_dups(
-            batch, corpus, corpus_sh=corp_sh
-        ),
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-    )
+    # 8 shuffle partitions (r10 flip): the per-micro-batch LSH band
+    # join + rerank are batch-sized, so 32-task stages are overhead-
+    # bound, but the join does real work — 8 beat both 32 (3.09 s) and
+    # 4 (2.74 s) at sf0.1 (2.16 s; SURVEY §9)
+    with stream_partitions(8):
+        return run_batch_transform(
+            new_stream,
+            lambda batch: dedup.incremental_near_dups(
+                batch, corpus, corpus_sh=corp_sh
+            ),
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+        )
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1010,70 @@ def _ingest_split_src(
     return src
 
 
+# One completed streamed-ingest RUN shared by the two ingest rows (r9
+# verdict #3): both queries drove byte-identical 3-micro-batch
+# compact_every=1 checkpointed runs over the same cached 3-file split —
+# the #2 cost block after streams (6.8 s combined floor) for one run's
+# worth of evidence. The run is a pure function of the corpus (the
+# batching-invariance + determinism tests pin exactly that), so it
+# materializes ONCE per sf_dir; each row still reads its OWN output
+# (chunks → manifest rank, hashes → ledger with the compaction guard at
+# the READ) against its full end-to-end oracle. Bench attribution: the
+# run is a SHARED_BUILDS entry owned by pipeline_ingest_hash_log — the
+# owner pays the cold streamed run every timed repeat (evict_cached
+# deletes the run dir), the manifest row rides warm. Plain dirs on disk
+# (no session affinity), reaped at exit.
+_INGEST_RUNS: dict[str, str] = {}
+
+
+def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    from mapreduce_code_spark.streaming.windows import stream_partitions
+
+    staging = _INGEST_RUNS.get(sf_dir)
+    # validate on hit: an exit-reaped, evicted, or externally cleaned
+    # dir rebuilds (3 chunk batches + a compacted hash partition are the
+    # run's completion signature)
+    if (
+        staging is not None
+        and len(glob.glob(f"{staging}/chunks/batch_id=*")) >= 3
+        and glob.glob(f"{staging}/hashes/batch_id=-*")
+    ):
+        return staging
+    base = tempfile.mkdtemp(prefix="spark_graft_ingestrun_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # n_shards(=8) state/shuffle partitions for the run (r9 A/B, SURVEY
+    # §9): the per-micro-batch keeper window + anti-join and the final
+    # shard write are test-corpus-sized, where per-partition overhead
+    # dominates at the session's 32; the floor is n_shards because
+    # write_shuffled's one-task-per-shard layout needs that many.
+    with stream_partitions(PIPE.TRAIN_SHARDS):
+        staging = PIPE._stream_ingest(
+            load_table(spark, sf_dir, "documents"),
+            base,
+            src=_ingest_split_src(spark, sf_dir),
+            n_files=3,
+            compact_every=1,
+        )
+    _INGEST_RUNS[sf_dir] = staging
+    return staging
+
+
+def _evict_ingest_runs() -> None:
+    """Forget (and delete) every cached streamed-ingest run — bench.py's
+    eviction hook so the owner row's timed runs always pay the cold
+    streamed path."""
+    import shutil
+
+    for sf_dir, staging in list(_INGEST_RUNS.items()):
+        shutil.rmtree(staging.rsplit("/", 1)[0], ignore_errors=True)
+        del _INGEST_RUNS[sf_dir]
+
+
 @register(
     "pipeline_ingest_manifest", oracle=PIPE.training_manifest_sql()
 )
@@ -1024,21 +1089,12 @@ def q_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-identical to the one-shot batch manifest, so the streamed path
     shares pipeline_materialize_manifest's DuckDB oracle — a hash match
     here pins the whole ingest chain, cross-batch dedup AND mid-ingest
-    compaction included, to the batch semantics."""
-    import shutil
-    import tempfile
-
-    work = tempfile.mkdtemp(prefix="spark_graft_ingest_")
-    try:
-        return PIPE.ingest_manifest(
-            load_table(spark, sf_dir, "documents"),
-            work,
-            src=_ingest_split_src(spark, sf_dir),
-        )
-    finally:
-        # the returned frame is checkpoint-pinned — nothing lazy still
-        # reads from the work dir
-        shutil.rmtree(work, ignore_errors=True)
+    compaction included, to the batch semantics. The run itself is the
+    shared per-corpus materialization (see _ingest_run_staging — r9
+    verdict #3); this row ranks the run's staged chunks fresh."""
+    return PIPE.manifest_from_staging(
+        spark, _ingest_run_staging(spark, sf_dir)
+    )
 
 
 @register("pipeline_ingest_hash_log", oracle=PIPE.ingest_hash_log_sql())
@@ -1047,26 +1103,17 @@ def q_ingest_hash_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-micro-batch checkpointed path with compact_every=1 (r7 verdict
     #2): batch 2's start genuinely folds batches 0-1's committed logs
     into one negative-id partition (plans/pipeline.compact_hash_log —
-    the fn refuses to return unless the fold really happened), and the
+    the read guard refuses unless the fold really happened), and the
     surviving ledger must be EXACTLY the distinct sha256(text) of the
     corpus — the one-line oracle that pins the whole bookkeeping chain:
     within-batch keeper window, cross-batch semi-reduce + anti-join,
     quality shadowing (low-quality first-arrivals stay logged), and a
     fold that neither loses nor resurrects hashes. This is the driver
-    row that puts compact_hash_log under CORRECTNESS."""
-    import shutil
-    import tempfile
-
-    work = tempfile.mkdtemp(prefix="spark_graft_hashlog_")
-    try:
-        return PIPE.ingest_hash_log(
-            load_table(spark, sf_dir, "documents"),
-            work,
-            src=_ingest_split_src(spark, sf_dir),
-        )
-    finally:
-        # the returned frame is checkpoint-pinned (hash rows only)
-        shutil.rmtree(work, ignore_errors=True)
+    row that puts compact_hash_log under CORRECTNESS, and the bench
+    OWNER of the shared streamed run (see _ingest_run_staging)."""
+    return PIPE.hash_log_from_staging(
+        spark, _ingest_run_staging(spark, sf_dir)
+    )
 
 
 # Process-cached materialized training set for q_epoch_manifest, keyed
@@ -1241,6 +1288,9 @@ def q_streamed_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_code_spark.sources.io import load_table_stream
     from mapreduce_code_spark.streaming.windows import run_available_now
 
+    # Deliberately NO stream_partitions override (r10 flip is
+    # selective): a stateless hash filter has no shuffle and no state
+    # store, so the conf is inert here — the 0.28 s floor is scan+sink.
     return run_available_now(
         SMP.stratified_sample(load_table_stream(spark, sf_dir, "documents")),
         "sampling_streamed_stratified_sink",
@@ -1388,17 +1438,25 @@ def q_streamed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mapreduce_code_spark.sources.io import load_table_stream
-    from mapreduce_code_spark.streaming.windows import run_streamed_distinct
+    from mapreduce_code_spark.streaming.windows import (
+        run_streamed_distinct,
+        stream_partitions,
+    )
 
     tmp = tempfile.mkdtemp(prefix="streamed_hll_")
-    state = run_streamed_distinct(
-        load_table_stream(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_orderkey"
-        ),
-        ["l_returnflag", "l_orderkey"],
-        f"{tmp}/state",
-        f"{tmp}/ckpt",
-    )
+    # 4 shuffle partitions (r10 flip): each micro-batch's distinct +
+    # anti-join + parquet append are keyspace-small, and fewer
+    # partitions also means fewer state files for later batches to
+    # re-read — 1.86 → 1.60 s at sf0.1 (SURVEY §9)
+    with stream_partitions(4):
+        state = run_streamed_distinct(
+            load_table_stream(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_orderkey"
+            ),
+            ["l_returnflag", "l_orderkey"],
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+        )
     return R.hll_from_pairs(state)
 
 
@@ -1646,8 +1704,12 @@ def q_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation executed through an actual
     writeStream (file source → stateful agg → memory sink, availableNow
     trigger) — the streaming execution path itself earns the oracle
-    comparison, not just its batch twin."""
-    return W.streamed_tumbling_counts(spark, sf_dir)
+    comparison, not just its batch twin. 4 state partitions (r10 flip,
+    r9 verdict #1): the bounded run's cost is per-partition state-store
+    commits, not data volume — 1.71 → 0.93 s at sf0.1 (r10 A/B,
+    SURVEY §9); production sizes this to keyspace instead."""
+    with W.stream_partitions(4):
+        return W.streamed_tumbling_counts(spark, sf_dir)
 
 
 @register("events_sliding_window", oracle=W.sliding_counts_sql())
@@ -1667,8 +1729,12 @@ def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME sessionization executed through an actual writeStream —
     the session-state MERGE path (sessions collapse across micro-batches
     when a bridging event arrives) earns the oracle row, not just the
-    batch twin."""
-    return W.streamed_session_windows(spark, sf_dir)
+    batch twin. 8 state partitions (r10 flip): the session merge does
+    real per-key work, so it keeps more parallelism than the
+    commit-dominated tumbling agg — 1.79 → 1.10 s at sf0.1, and 8 beat
+    4 (1.28 s) in the same-session A/B (SURVEY §9)."""
+    with W.stream_partitions(8):
+        return W.streamed_session_windows(spark, sf_dir)
 
 
 from mapreduce_code_spark.streaming import joins as SJ  # noqa: E402
@@ -1725,9 +1791,14 @@ def q_streamed_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         views.filter(F.col("event_type") == "view"),
         purchases.filter(F.col("event_type") == "purchase"),
     )
-    return run_available_now(
-        joined, "events_streamed_view_purchase_sink", output_mode="append"
-    )
+    # 4 state partitions (r10 flip, r9 verdict #1 — the #1 floor line):
+    # the dual-sided join state commits per partition per micro-batch,
+    # and the zero-row finalize batch alone cost 2.8 s at the session's
+    # 32 — 7.0 → 2.6 s at sf0.1, with 4 beating 8 (SURVEY §9).
+    with W.stream_partitions(4):
+        return run_available_now(
+            joined, "events_streamed_view_purchase_sink", output_mode="append"
+        )
 
 
 @register("events_user_running_totals", oracle=ST.user_running_totals_sql())
@@ -1802,9 +1873,13 @@ def q_streamed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = MON.value_stats(load_table(spark, sf_dir, "events"))
     scored = MON.score_zscore(stream_events(spark, sf_dir), stats)
-    return run_available_now(
-        scored, "events_streamed_anomaly_sink", output_mode="append"
-    )
+    # 8 shuffle partitions (r10 flip): stateless filter, but the
+    # reference-stats subquery re-plans per micro-batch under the
+    # session conf — 0.94 → 0.77 s at sf0.1 (SURVEY §9)
+    with W.stream_partitions(8):
+        return run_available_now(
+            scored, "events_streamed_anomaly_sink", output_mode="append"
+        )
 
 
 @register("events_drift_chisq", oracle=MON.drift_chisq_sql())
@@ -1874,6 +1949,10 @@ def q_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
+    # Deliberately NO stream_partitions override (r10 flip is
+    # selective): applyInPandasWithState runs one Arrow state worker
+    # per partition, so fewer partitions means LESS Python parallelism
+    # — the r9 A/B measured 2.06 → 3.45 s at 4; the session's 32 wins.
     rows = run_available_now(
         attribution_stream(stream_events(spark, sf_dir)),
         "events_streamed_attribution_sink",
@@ -1920,18 +1999,39 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def evict_cached(kind: str) -> None:
-    """Drop every ``_DF_CACHE`` entry of ``kind`` (all sessions/sf
-    dirs), unpersisting the frames — so a benchmark can force the next
-    consumer to pay the build. Harmless mid-use: an evicted persist
-    recomputes, never corrupts."""
+def evict_cached(kind: str, spark: SparkSession | None = None) -> None:
+    """Drop the ``kind`` shared materialization — ``_DF_CACHE`` entries
+    (unpersisted) or, for disk-backed kinds, the cached run dirs — so a
+    benchmark can force the next consumer to pay the build. Harmless
+    mid-use: an evicted persist/dir recomputes, never corrupts.
+
+    ``spark`` scopes the in-memory eviction to frames OWNED by that
+    session (r9 advisor, low): ``_cached_df`` deliberately never touches
+    a concurrently-live second session's cache, and an unscoped eviction
+    from a bench running beside another live session would silently
+    degrade that session mid-use. ``None`` keeps the old evict-all
+    behavior for single-session callers."""
+    if kind in _DISK_EVICTORS:
+        _DISK_EVICTORS[kind]()
+        return
     for k, df in list(_DF_CACHE.items()):
-        if k[0] == kind:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-            del _DF_CACHE[k]
+        if k[0] != kind:
+            continue
+        if spark is not None and df.sparkSession is not spark:
+            continue
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        del _DF_CACHE[k]
+
+
+# kind -> zero-arg evictor for shared builds that live on DISK rather
+# than in _DF_CACHE (the streamed-ingest run): same bench contract —
+# evicting before a timed owner run forces the cold build.
+_DISK_EVICTORS: dict[str, Callable[[], None]] = {
+    "ingest_run": _evict_ingest_runs,
+}
 
 
 # Deterministic benchmark attribution for the shared in-session
@@ -1942,26 +2042,70 @@ def evict_cached(kind: str) -> None:
 # ONE fixed owner query: bench.py evicts the cache before every timed
 # run of the owner (the owner ALWAYS pays the build, min-of-N stays
 # min-of-cold) and prewarms it before the sweep so every other consumer
-# ALWAYS rides it. kind -> (owner query name, builder fn(spark, sf_dir)).
-SHARED_BUILDS: dict[str, tuple[str, Callable]] = {
+# ALWAYS rides it. The CONSUMERS set names every registered query that
+# can touch the cache (r9 advisor, low): a subset bench run prewarms
+# only the builds its selected queries actually reach, instead of
+# paying tens of seconds of unrelated materialization per invocation.
+# kind -> (owner query name, builder fn(spark, sf_dir), consumers).
+SHARED_BUILDS: dict[str, tuple[str, Callable, frozenset[str]]] = {
     # the Apriori family's lineitem⋈part transactions prep
-    "transactions": ("apriori_frequent_items", _transactions),
+    "transactions": (
+        "apriori_frequent_items",
+        _transactions,
+        frozenset(
+            {
+                "apriori_frequent_items",
+                "apriori_frequent_itemsets",
+                "apriori_association_rules_ref",
+            }
+        ),
+    ),
     # the shingles→LSH→rerank pairs frame: dedup_near_dup_scalable IS
     # that computation (CacheManager substitutes the cached plan into
     # its fresh build), so it owns the build; the components variants
     # consume it warm
-    "near_dup_pairs": ("dedup_near_dup_scalable", _near_dup_pairs),
+    "near_dup_pairs": (
+        "dedup_near_dup_scalable",
+        _near_dup_pairs,
+        frozenset(
+            {"dedup_near_dup_scalable", "dedup_components_starcontract"}
+        ),
+    ),
     # the 8-round BPE training: text_bpe_merges RETURNS the table it
     # owns; text_bpe_encode applies it warm
-    "bpe_merges": ("text_bpe_merges", _bpe_merge_table),
+    "bpe_merges": (
+        "text_bpe_merges",
+        _bpe_merge_table,
+        frozenset({"text_bpe_merges", "text_bpe_encode"}),
+    ),
+    # the completed 3-micro-batch streamed-ingest run (r9 verdict #3):
+    # the ledger row owns (and re-pays) the actual streamed path; the
+    # manifest row ranks the staged chunks warm. The builder returns the
+    # ledger frame so bench's .count() prewarm has something cheap to
+    # force — the run itself happens eagerly inside _ingest_run_staging.
+    "ingest_run": (
+        "pipeline_ingest_hash_log",
+        lambda spark, sf_dir: spark.read.parquet(
+            f"{_ingest_run_staging(spark, sf_dir)}/hashes"
+        ),
+        frozenset({"pipeline_ingest_hash_log", "pipeline_ingest_manifest"}),
+    ),
 }
 
 # Shared on-disk SOURCE FIXTURES — inputs the registered queries are
 # DEFINED over (an already-materialized epoch-0; the n-file ingest
 # split), not work the queries claim to do. bench.py builds them once,
 # untimed, before the sweep, so no query's floor silently carries a
-# fixture build depending on rotation order. fn(spark, sf_dir) -> path.
-SOURCE_FIXTURES: list[Callable] = [
-    _epoch_shards_src,
-    _ingest_split_src,
+# fixture build depending on rotation order; subset runs build only the
+# fixtures their selected queries consume (r9 advisor, low).
+# (fn(spark, sf_dir) -> path, consumer query names).
+SOURCE_FIXTURES: list[tuple[Callable, frozenset[str]]] = [
+    (
+        _epoch_shards_src,
+        frozenset({"pipeline_materialize_epoch", "pipeline_epoch_transfer"}),
+    ),
+    (
+        _ingest_split_src,
+        frozenset({"pipeline_ingest_hash_log", "pipeline_ingest_manifest"}),
+    ),
 ]

@@ -200,10 +200,12 @@ def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
 # measured the view→purchase stream-stream join at 2.45 s with 4 state
 # partitions vs 5.3 s at the session's 32 (identical rows), and the
 # availableNow finalize batch (0 input rows) alone cost 2.8 s of state
-# commits at 32. None = inherit the session conf (the r9 default: the
-# flip re-verifies all streamed rows through the driver's r10 sweep,
-# where they are all rotation-due). Production sizes this to keyspace,
-# not to a constant.
+# commits at 32. None = inherit the session conf — still the module
+# default; since r10 the registered streamed queries flip it
+# SELECTIVELY per query via stream_partitions() (JVM-stateful runs at
+# 4-8, Python-stateful and stateless runs left at the session conf —
+# see each registry docstring for its A/B). Production sizes this to
+# keyspace, not to a constant.
 STREAM_SHUFFLE_PARTITIONS: int | None = None
 
 
@@ -232,7 +234,16 @@ def _stream_shuffle_conf(spark):
     run when :data:`STREAM_SHUFFLE_PARTITIONS` is set — streaming
     queries capture the conf at ``.start()``, and the runners here are
     synchronous, so the session value is always restored before any
-    other query can observe it."""
+    other query can observe it.
+
+    SINGLE-THREADED ASSUMPTION (r9 advisor, low): the override mutates
+    the SESSION conf for the duration of the synchronous run, so a
+    query started concurrently on the same session from another thread
+    during that window would silently capture it. Every harness here
+    (driver, bench, tests) drives queries sequentially; if concurrent
+    runners ever appear, scope the conf per query instead (e.g.
+    ``df.writeStream.option("spark.sql.shuffle.partitions", n)`` /
+    RuntimeConfig isolation via separate sessions)."""
     if STREAM_SHUFFLE_PARTITIONS is None:
         yield
         return

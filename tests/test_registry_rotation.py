@@ -88,3 +88,24 @@ def test_unchecked_queries_lead_the_order():
         f"the {BUDGET}-row budget prefix (position, name): {stale} — "
         "move them into registry._FIRST"
     )
+
+
+def test_shared_build_consumers_name_registered_queries():
+    """The subset-bench prewarm filter (r9 advisor item) keys off the
+    CONSUMERS sets — a typo'd or stale name there silently skips a
+    prewarm (the consumer then pays a build the full sweep attributes
+    to the owner), so every consumer must be a registered query and
+    every owner must be among its own consumers (the owner's timed runs
+    rebuild the cache they evict)."""
+    from mapreduce_code_spark import registry
+
+    reg = set(registry.queries())
+    for kind, (owner, _build, consumers) in registry.SHARED_BUILDS.items():
+        unknown = sorted(consumers - reg)
+        assert not unknown, f"{kind}: consumers not registered: {unknown}"
+        assert owner in consumers, f"{kind}: owner {owner} not a consumer"
+    for fixture, consumers in registry.SOURCE_FIXTURES:
+        unknown = sorted(consumers - reg)
+        assert not unknown, (
+            f"{fixture.__name__}: consumers not registered: {unknown}"
+        )

@@ -1483,6 +1483,15 @@ def test_ingest_resume_guard_requires_contiguous_staged_batches(
     )
     shutil.rmtree(f"{staging}/hashes/batch_id=1")
     ingest_training_set(stream(), out, staging, ckpt)
+    # a covering dir whose data FILES were deleted but whose name
+    # survives (r9 advisor item): name coverage alone would pass, so
+    # the per-dir data-file check must refuse
+    import os
+
+    for p in glob.glob(f"{staging}/hashes/batch_id=-2/*"):
+        os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+    with pytest.raises(ValueError, match="no data files"):
+        ingest_training_set(stream(), out, staging, ckpt)
     # the hashes ledger ALONE lost under a live checkpoint: must refuse
     # (chunks intact — resumed batches would anti-join against nothing
     # and re-admit previously-seen documents)
@@ -1540,3 +1549,54 @@ def test_training_manifest_is_the_written_contract(spark, sf_dir, tmp_path):
         sf_dir,
         oracle_sql()["pipeline_materialize_manifest"],
     )
+
+
+def test_ingest_run_is_shared_and_evictable(spark, sf_dir):
+    """The two ingest rows share ONE completed streamed run per corpus
+    (r9 verdict #3): the first registered query materializes it, the
+    second reuses the same staging dir (no second writeStream), and
+    evict_cached('ingest_run') — bench.py's owner hook — deletes the
+    run so the owner's next timed call pays the cold streamed path."""
+    import os
+
+    from mapreduce_code_spark import registry
+
+    registry.evict_cached("ingest_run")
+    assert sf_dir not in registry._INGEST_RUNS
+    first = registry.queries()["pipeline_ingest_manifest"](spark, sf_dir)
+    assert first.count() > 0
+    staging = registry._INGEST_RUNS[sf_dir]
+    ledger = registry.queries()["pipeline_ingest_hash_log"](spark, sf_dir)
+    assert ledger.count() > 0
+    # same run dir — the second query did NOT rebuild
+    assert registry._INGEST_RUNS[sf_dir] == staging
+    registry.evict_cached("ingest_run")
+    assert sf_dir not in registry._INGEST_RUNS
+    assert not os.path.exists(staging)
+
+
+def test_evict_cached_is_scoped_to_the_calling_session(spark, sf_dir):
+    """evict_cached(kind, spark) must leave a concurrently-live OTHER
+    session's cache untouched (r9 advisor item: _cached_df deliberately
+    never degrades a live second session; the eviction hook has to
+    honor the same policy), while evict_cached(kind) keeps the old
+    evict-all behavior."""
+    from mapreduce_code_spark import registry
+
+    class _OtherSessionFrame:
+        sparkSession = object()  # not `spark`, and can't be probed
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    other = _OtherSessionFrame()
+    key = ("transactions", 12345, "/nonexistent/sf")
+    registry._DF_CACHE[key] = other
+    try:
+        registry.evict_cached("transactions", spark)
+        assert key in registry._DF_CACHE and not other.unpersisted
+        registry.evict_cached("transactions")
+        assert key not in registry._DF_CACHE and other.unpersisted
+    finally:
+        registry._DF_CACHE.pop(key, None)
