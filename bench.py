@@ -201,9 +201,11 @@ def main() -> int:
                 # query's) warm cache; release the dedup module's
                 # internal persisted intermediates too, or run 1's
                 # shingle blocks warm runs 2..N through CacheManager
-                # plan-matching (review finding). Eviction is scoped to
-                # THIS session so a concurrently-live second session's
-                # cache is never degraded (r9 advisor item).
+                # plan-matching (review finding). In-memory eviction is
+                # scoped to THIS session so a concurrently-live second
+                # session's cache is never degraded (r9 advisor item);
+                # disk-backed kinds (the ingest run) are process-local
+                # tempdirs, so there is no cross-process cache to spare.
                 evict_cached(cache_owner[name], spark)
                 release_persisted()
             t0 = time.perf_counter()

@@ -426,14 +426,19 @@ def ingest_training_set(
         # survives passes both checks above, and resume would silently
         # read an empty partition where committed data should be. So
         # every dir that PROVIDES coverage must still hold at least one
-        # data file — metadata-only listStatus, and Spark writes >= 1
-        # part file even for an empty frame (SPARK-23271), so a
-        # zero-survivor batch still passes while a gutted dir cannot.
+        # data file — Spark writes >= 1 part file even for an empty
+        # frame (SPARK-23271), so a zero-survivor batch still passes
+        # while a gutted dir cannot. Covering negatives are ONLY the
+        # newest compacted partition (-subsumed_below): an older
+        # negative remnant emptied by an interrupted post-fold delete
+        # is fully subsumed by the newer fold, and refusing on it would
+        # break compact_hash_log's documented crash-safety (resume and
+        # re-fold, never hand-repair) — review finding.
         covering_h = sorted(
-            i
-            for i in hash_ids
-            if i < 0 or subsumed_below <= i <= max(committed)
+            i for i in hash_ids if subsumed_below <= i <= max(committed)
         )
+        if subsumed_below:
+            covering_h.insert(0, -subsumed_below)
         gutted = sorted(
             f"{sub}/batch_id={i}"
             for sub, ids in (
@@ -441,10 +446,7 @@ def ingest_training_set(
                 ("hashes", covering_h),
             )
             for i in ids
-            if not any(
-                not c.startswith("_")
-                for c in _fs_names(spark, f"{staging_dir}/{sub}/batch_id={i}")
-            )
+            if not _dir_has_data(spark, f"{staging_dir}/{sub}/batch_id={i}")
         )
         if gutted:
             raise ValueError(
@@ -560,6 +562,34 @@ def _history_hits(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:
     return seen.join(
         F.broadcast(keep.select("content_hash")), "content_hash", "left_semi"
     )
+
+
+def _dir_has_data(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one non-underscore (data) entry.
+    Local paths — every harness here, and the common single-node deploy
+    — scan with ``os.scandir``: ZERO py4j round-trips, so the resume
+    guard's per-committed-batch check stays O(µs) per dir even at
+    thousands of batches (review finding: one listStatus py4j call per
+    dir re-creates the r9-discovered driver round-trip pathology).
+    Non-local URIs fall back to the Hadoop FS API — one metadata call
+    per covering dir on a rare resume, cheap at the NameNode."""
+    import os
+
+    if ":" not in path.split("/", 1)[0]:  # no scheme: a plain local path
+        p = path
+    elif path.startswith("file:"):  # file:///x, file:/x both → /x
+        p = "/" + path[len("file:"):].lstrip("/")
+    else:  # non-local filesystem
+        return any(not n.startswith("_") for n in _fs_names(spark, path))
+    try:
+        with os.scandir(p) as it:
+            # Hadoop hidden-file convention: "_" (markers like _SUCCESS)
+            # AND "." (the local RawFS's .crc checksum shadows, which
+            # the Hadoop listStatus fallback below never surfaces but a
+            # raw scandir does) are not data.
+            return any(not e.name.startswith(("_", ".")) for e in it)
+    except (FileNotFoundError, NotADirectoryError):
+        return False
 
 
 def _fs_names(spark, path: str) -> list:

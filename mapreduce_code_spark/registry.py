@@ -1023,7 +1023,13 @@ def _ingest_split_src(
 # owner pays the cold streamed run every timed repeat (evict_cached
 # deletes the run dir), the manifest row rides warm. Plain dirs on disk
 # (no session affinity), reaped at exit.
-_INGEST_RUNS: dict[str, str] = {}
+# sf_dir -> (run base dir, staging dir): the base is stored explicitly
+# so eviction never has to re-derive it from _stream_ingest's internal
+# layout (review finding: an rsplit reconstruction would silently
+# delete the wrong dir — and leave the real run warm, turning the
+# owner's "cold" floor into a cache artifact — if that layout ever
+# deepened).
+_INGEST_RUNS: dict[str, tuple[str, str]] = {}
 
 
 def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
@@ -1034,16 +1040,21 @@ def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
 
     from mapreduce_code_spark.streaming.windows import stream_partitions
 
-    staging = _INGEST_RUNS.get(sf_dir)
+    hit = _INGEST_RUNS.get(sf_dir)
     # validate on hit: an exit-reaped, evicted, or externally cleaned
     # dir rebuilds (3 chunk batches + a compacted hash partition are the
     # run's completion signature)
-    if (
-        staging is not None
-        and len(glob.glob(f"{staging}/chunks/batch_id=*")) >= 3
-        and glob.glob(f"{staging}/hashes/batch_id=-*")
-    ):
-        return staging
+    if hit is not None:
+        old_base, staging = hit
+        if (
+            len(glob.glob(f"{staging}/chunks/batch_id=*")) >= 3
+            and glob.glob(f"{staging}/hashes/batch_id=-*")
+        ):
+            return staging
+        # half-valid remnant: reap it rather than abandoning it to the
+        # atexit hook (review finding)
+        del _INGEST_RUNS[sf_dir]
+        shutil.rmtree(old_base, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="spark_graft_ingestrun_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     # n_shards(=8) state/shuffle partitions for the run (r9 A/B, SURVEY
@@ -1059,18 +1070,21 @@ def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
             n_files=3,
             compact_every=1,
         )
-    _INGEST_RUNS[sf_dir] = staging
+    _INGEST_RUNS[sf_dir] = (base, staging)
     return staging
 
 
 def _evict_ingest_runs() -> None:
     """Forget (and delete) every cached streamed-ingest run — bench.py's
     eviction hook so the owner row's timed runs always pay the cold
-    streamed path."""
+    streamed path. The run dirs are PROCESS-local (each process mkdtemps
+    its own), so unlike the in-memory cache there is no cross-session
+    scoping question a concurrent second process could lose: deleting
+    ours never touches another process's run."""
     import shutil
 
-    for sf_dir, staging in list(_INGEST_RUNS.items()):
-        shutil.rmtree(staging.rsplit("/", 1)[0], ignore_errors=True)
+    for sf_dir, (base, _staging) in list(_INGEST_RUNS.items()):
+        shutil.rmtree(base, ignore_errors=True)
         del _INGEST_RUNS[sf_dir]
 
 

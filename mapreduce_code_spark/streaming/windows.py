@@ -202,10 +202,11 @@ def stream_events(spark, sf_dir: str, max_files_per_trigger: int | None = None):
 # availableNow finalize batch (0 input rows) alone cost 2.8 s of state
 # commits at 32. None = inherit the session conf — still the module
 # default; since r10 the registered streamed queries flip it
-# SELECTIVELY per query via stream_partitions() (JVM-stateful runs at
-# 4-8, Python-stateful and stateless runs left at the session conf —
-# see each registry docstring for its A/B). Production sizes this to
-# keyspace, not to a constant.
+# SELECTIVELY per query via stream_partitions(), every value picked by
+# A/B: JVM-stateful runs and per-micro-batch re-planned joins at 4-8,
+# the Python-stateful operator and the no-shuffle stateless filter at
+# the session conf — see each registry docstring for its measurement.
+# Production sizes this to keyspace, not to a constant.
 STREAM_SHUFFLE_PARTITIONS: int | None = None
 
 

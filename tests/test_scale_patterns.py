@@ -1483,11 +1483,19 @@ def test_ingest_resume_guard_requires_contiguous_staged_batches(
     )
     shutil.rmtree(f"{staging}/hashes/batch_id=1")
     ingest_training_set(stream(), out, staging, ckpt)
+    # an EMPTY older compacted remnant (batch_id=-1 when -2 exists) is
+    # what an interrupted post-fold delete leaves behind — it is fully
+    # subsumed by the newer fold, so resume must still be allowed
+    # (compact_hash_log's crash-safety contract: resume and re-fold,
+    # never hand-repair; review finding)
+    import os
+
+    os.makedirs(f"{staging}/hashes/batch_id=-1")
+    ingest_training_set(stream(), out, staging, ckpt)
+    shutil.rmtree(f"{staging}/hashes/batch_id=-1")
     # a covering dir whose data FILES were deleted but whose name
     # survives (r9 advisor item): name coverage alone would pass, so
     # the per-dir data-file check must refuse
-    import os
-
     for p in glob.glob(f"{staging}/hashes/batch_id=-2/*"):
         os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
     with pytest.raises(ValueError, match="no data files"):
@@ -1565,14 +1573,14 @@ def test_ingest_run_is_shared_and_evictable(spark, sf_dir):
     assert sf_dir not in registry._INGEST_RUNS
     first = registry.queries()["pipeline_ingest_manifest"](spark, sf_dir)
     assert first.count() > 0
-    staging = registry._INGEST_RUNS[sf_dir]
+    base, staging = registry._INGEST_RUNS[sf_dir]
     ledger = registry.queries()["pipeline_ingest_hash_log"](spark, sf_dir)
     assert ledger.count() > 0
     # same run dir — the second query did NOT rebuild
-    assert registry._INGEST_RUNS[sf_dir] == staging
+    assert registry._INGEST_RUNS[sf_dir] == (base, staging)
     registry.evict_cached("ingest_run")
     assert sf_dir not in registry._INGEST_RUNS
-    assert not os.path.exists(staging)
+    assert not os.path.exists(base)
 
 
 def test_evict_cached_is_scoped_to_the_calling_session(spark, sf_dir):
