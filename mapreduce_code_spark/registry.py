@@ -1836,20 +1836,36 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mapreduce_code_spark.operators import graph as GR  # noqa: E402
 
 
+def _click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparsified page-transition edge list, persisted per
+    (session, sf_dir) — the four graph queries' common INPUT (the
+    transactions-prep precedent, r3 verdict #4 / r8 SHARED_BUILDS): one
+    user_id-window shuffle + distinct + hash sparsification that every
+    graph query was rebuilding identically. Node-scale small (~2k
+    edges at sf0.1); each consumer still derives its own projection
+    (pagerank re-partitions by src, triangles/coreness project
+    undirected) — only the shared scan+window+distinct is cached."""
+    return _cached_df(
+        "click_edges",
+        spark,
+        sf_dir,
+        lambda: GR.click_edges(load_table(spark, sf_dir, "events")),
+    )
+
+
 @register("graph_pagerank_clicks", oracle=GR.pagerank_clicks_sql())
 def q_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the page-transition graph — 5 power iterations in
-    quantized int64 arithmetic (bit-exact vs the unrolled SQL twin)."""
-    return GR.pagerank(GR.click_edges(load_table(spark, sf_dir, "events")))
+    quantized int64 arithmetic (bit-exact vs the unrolled SQL twin).
+    Bench OWNER of the shared click_edges materialization."""
+    return GR.pagerank(_click_edges(spark, sf_dir))
 
 
 @register("graph_triangle_clicks", oracle=GR.triangle_clicks_sql())
 def q_triangle_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented per-node triangle counts over the undirected
     page-transition graph (oracle uses the naive ordered 3-way join)."""
-    return GR.triangle_counts(
-        GR.click_edges(load_table(spark, sf_dir, "events"))
-    )
+    return GR.triangle_counts(_click_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1907,7 +1923,7 @@ def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coreness_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node coreness via the h-index fixpoint (8 unrolled rounds,
     convergence pinned by tests; bit-exact vs the unrolled SQL twin)."""
-    return GR.coreness(GR.click_edges(load_table(spark, sf_dir, "events")))
+    return GR.coreness(_click_edges(spark, sf_dir))
 
 
 @register("similarity_hybrid_rrf", oracle=similarity.hybrid_rrf_sql())
@@ -2008,9 +2024,7 @@ def q_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (deterministic
     smallest-label tie-break, 4 unrolled rounds, bit-exact twin)."""
-    return GR.lpa_communities(
-        GR.click_edges(load_table(spark, sf_dir, "events"))
-    )
+    return GR.lpa_communities(_click_edges(spark, sf_dir))
 
 
 def evict_cached(kind: str, spark: SparkSession | None = None) -> None:
@@ -2091,6 +2105,20 @@ SHARED_BUILDS: dict[str, tuple[str, Callable, frozenset[str]]] = {
         "text_bpe_merges",
         _bpe_merge_table,
         frozenset({"text_bpe_merges", "text_bpe_encode"}),
+    ),
+    # the sparsified page-transition edge list (one window shuffle +
+    # distinct) — the four graph queries' shared input; pagerank owns it
+    "click_edges": (
+        "graph_pagerank_clicks",
+        _click_edges,
+        frozenset(
+            {
+                "graph_pagerank_clicks",
+                "graph_triangle_clicks",
+                "graph_coreness_clicks",
+                "graph_lpa_communities",
+            }
+        ),
     ),
     # the completed 3-micro-batch streamed-ingest run (r9 verdict #3):
     # the ledger row owns (and re-pays) the actual streamed path; the
