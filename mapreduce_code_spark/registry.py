@@ -614,6 +614,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dups(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
+        corpus_sh=_corpus_shingles(spark, sf_dir),
+    )
+
+
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accepted corpus's (even doc_ids) shingle pass, persisted per
+    (session, sf_dir) — shared by the batch and streamed incremental-
+    dedup rows. Semantically this IS the operator's contract ("shingles
+    computed once at acceptance time, reused for every later ingest
+    check"), so sharing it across the two ingest-demo queries is the
+    honest shape, not a bench shortcut; the streamed row owns the build
+    under bench attribution."""
+    return _cached_df(
+        "corpus_shingles",
+        spark,
+        sf_dir,
+        lambda: dedup.shingle_ids(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 2 == 0
+            )
+        ),
     )
 
 
@@ -642,8 +663,11 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus-side shingle pass materialized ONCE, outside the stream —
     # every micro-batch reuses it instead of re-shingling the static
-    # corpus per batch (the "computed once at acceptance time" shape)
-    corp_sh = dedup._persist(dedup.shingle_ids(corpus))
+    # corpus per batch (the "computed once at acceptance time" shape);
+    # shared with the batch twin via _corpus_shingles (this row owns
+    # the build under bench attribution), _DF_CACHE-persisted so the
+    # per-query release_persisted() drain doesn't evict it mid-sweep
+    corp_sh = _corpus_shingles(spark, sf_dir)
     new_stream = load_table_stream(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 1
     )
@@ -2119,6 +2143,13 @@ SHARED_BUILDS: dict[str, tuple[str, Callable, frozenset[str]]] = {
                 "graph_lpa_communities",
             }
         ),
+    ),
+    # the accepted corpus's acceptance-time shingle pass — shared input
+    # of the two incremental-dedup rows; the streamed row owns it
+    "corpus_shingles": (
+        "dedup_streamed_incremental",
+        _corpus_shingles,
+        frozenset({"dedup_incremental", "dedup_streamed_incremental"}),
     ),
     # the completed 3-micro-batch streamed-ingest run (r9 verdict #3):
     # the ledger row owns (and re-pays) the actual streamed path; the
