@@ -75,22 +75,31 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
     # keeps theta out of the per-task closure (one torrent copy per
     # executor instead of one serialized copy per task)
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # hot scalar loop: math.exp beats np.exp on scalars ~10×, and
-        # in-place updates avoid two allocations per record. Semantics
-        # are unchanged — the update rule and snapshot accumulation are
-        # exactly logisticreg.java:85,87,92.
+        # Hot sequential loop in PURE PYTHON floats (r10: 2× over the
+        # previous numpy-per-row form — three small-array dispatches per
+        # record cost more than d=4 float ops), and the float ORDER is
+        # now exactly the reference's: the dot accumulates sequentially
+        # h += x[j]*theta[j] (logisticreg.java:77 — numpy's `x @ theta`
+        # rounds pairwise and diverged in the last ulp), and the update
+        # scales as alpha * ((y-h) * x[j]) (logisticreg.java:85's
+        # parenthesization, not the hoisted (alpha*(y-h)) * x[j]).
+        # math.exp beats np.exp on scalars ~10×.
         from math import exp as _exp
 
-        theta = theta_b.value.copy()
-        snap_sum = np.zeros_like(theta)
+        theta = [float(t) for t in theta_b.value]
+        d = len(theta)
+        rng_d = range(d)
+        snap_sum = [0.0] * d
         n = 0
         all_continue = True
         logistic = link == "logistic"
         for pdf in batches:
-            ys = pdf["y"].to_numpy()
-            xs = np.stack(pdf["features"].to_numpy())
+            ys = pdf["y"].tolist()
+            xs = np.stack(pdf["features"].to_numpy()).tolist()
             for y, x in zip(ys, xs):
-                h = float(x @ theta)
+                h = 0.0
+                for j in rng_d:
+                    h += x[j] * theta[j]  # logisticreg.java:77
                 if logistic:
                     # clamp: math.exp overflows past ~709 (np.exp → inf);
                     # saturate h to 0/1 the same way inf would
@@ -101,13 +110,16 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
                     else:
                         h = 1.0 / (1.0 + _exp(-h))
                 if abs(h - y) > accuracy:
-                    theta += alpha * (y - h) * x  # logisticreg.java:85
+                    err = y - h
+                    for j in rng_d:
+                        theta[j] += alpha * (err * x[j])  # logisticreg.java:85
                 else:
                     all_continue = False  # this record's flag is "false"
-                snap_sum += theta  # per-record snapshot, logisticreg.java:87,92
+                for j in rng_d:
+                    snap_sum[j] += theta[j]  # snapshot, logisticreg.java:87,92
                 n += 1
         yield pd.DataFrame(
-            {"all_continue": [all_continue], "n": [n], "theta_sum": [snap_sum.tolist()]}
+            {"all_continue": [all_continue], "n": [n], "theta_sum": [snap_sum]}
         )
 
     return kernel
