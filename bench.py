@@ -189,11 +189,12 @@ def main() -> int:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     shuffles: dict[str, int] = {}
-    sgd_iters: dict[str, int] = {}
+    sgd_iters: dict[str, int | list[int]] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         per_run: list[float] = []
+        iters_per_run: list[int] = []
         for _ in range(max(repeats, 1)):
             if name in cache_owner:
                 # the owner pays its shared build EVERY run — evict so
@@ -212,6 +213,14 @@ def main() -> int:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             per_run.append(round(time.perf_counter() - t0, 3))
+            if name in SGD_LINKS:
+                # captured PER RUN (r10 advisor, low): min-of-N reports
+                # the fastest repeat, so a single post-loop read of the
+                # LAST repeat's count could mislabel the floor if the
+                # trajectory ever varied across repeats
+                it = regression.LAST_FIT_ITERATIONS.get(SGD_LINKS[name])
+                if it is not None:
+                    iters_per_run.append(it)
         # (the owner's last timed run leaves its cache warm for later
         # consumers in the sweep)
         best = min(per_run)
@@ -226,14 +235,19 @@ def main() -> int:
         else:
             shuffles[name] = net_shuffles(fn(spark, sf_dir))
         timings[name] = round(best, 3)
-        if name in SGD_LINKS:
+        if iters_per_run:
             # iteration count of the timed fit (r9 verdict #5): the stop
             # rule is trajectory-dependent, so a slow SGD line must be
             # attributable to convergence-path variance vs a real
-            # per-iteration regression
-            it = regression.LAST_FIT_ITERATIONS.get(SGD_LINKS[name])
-            if it is not None:
-                sgd_iters[name] = it
+            # per-iteration regression. Scalar when all repeats agree
+            # (the fit is deterministic, so they should); the per-run
+            # list otherwise, so the sidecar count always corresponds
+            # to the floor it explains (r10 advisor, low).
+            sgd_iters[name] = (
+                iters_per_run[0]
+                if len(set(iters_per_run)) == 1
+                else iters_per_run
+            )
         # release per-query persisted intermediates (shingle passes) so
         # cached blocks don't accumulate across the full-registry sweep;
         # deliberately outside the timed section, like the driver's own

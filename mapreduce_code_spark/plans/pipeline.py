@@ -574,9 +574,16 @@ def _dir_has_data(spark, path: str) -> bool:
     Non-local URIs fall back to the Hadoop FS API — one metadata call
     per covering dir on a rare resume, cheap at the NameNode."""
     import os
+    import re
 
-    if ":" not in path.split("/", 1)[0]:  # no scheme: a plain local path
-        p = path
+    # A path is a URI only when it starts with a syntactically valid
+    # scheme (RFC 3986: ALPHA then ALPHA/DIGIT/+/-/.) followed by ":/"
+    # — requiring the slash keeps a RELATIVE local path whose first
+    # segment happens to contain a colon ("run:3/out") local instead of
+    # routing it to the Hadoop FS API, which would raise on the unknown
+    # scheme rather than answer the data-file question (r10 advisor).
+    if not re.match(r"[A-Za-z][A-Za-z0-9+.\-]*:/", path):
+        p = path  # no scheme: a plain local path
     elif path.startswith("file:"):  # file:///x, file:/x both → /x
         p = "/" + path[len("file:"):].lstrip("/")
     else:  # non-local filesystem
