@@ -33,9 +33,19 @@ Spark-first execution:
   (replacing the per-JVM HDFS theta-file read, ``logisticreg.java:67-75``).
 
 Determinism: snapshot averaging depends on partition layout and
-in-partition order. ``sgd_fit`` therefore range-repartitions and sorts by
-``row_id`` so results are reproducible for a given ``n_partitions``
-(SURVEY §7.2); assertions are tolerance-based regardless.
+in-partition order. ``sgd_fit`` therefore assigns each row a RANGE split
+id by exact integer arithmetic over the ``row_id`` domain, places each
+split on its own partition exactly (hash-salt lookup — see
+``_exact_partition_salts``), and sorts within partitions by ``row_id``,
+so results are bit-reproducible for a given ``n_partitions`` and input
+layout (SURVEY §7.2). ``repartitionByRange`` was NOT enough (r11
+finding): its range boundaries come from reservoir sampling seeded by
+the RDD id, which changes across actions in one session — two identical
+6k-row fits at 8 partitions differed in the third decimal. Assertions
+are tolerance-based regardless; ``row_id`` itself
+(``monotonically_increasing_id`` over the scan) is deterministic for a
+fixed file set and session conf, like the reference's HDFS block
+splits are for a fixed cluster config.
 """
 
 from __future__ import annotations
@@ -125,6 +135,35 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
     return kernel
 
 
+_SALT_CACHE: dict[tuple[int, int], list[int]] = {}
+
+
+def _exact_partition_salts(spark, n_part: int) -> list[int]:
+    """``salts[p]`` is a BIGINT whose Spark hash-partition slot at
+    ``n_part`` partitions is exactly ``p`` — so
+    ``repartition(n_part, salt_col)`` places split ``p`` on partition
+    ``p`` alone, with no range-boundary sampling and no collisions.
+    Computed by probing Spark's own ``hash()`` (murmur3) over a small
+    ``range`` so the Python side never re-implements the JVM hash;
+    cached per (session, n_part). The probe is one tiny job per fit at
+    worst — never per iteration — and 32·n_part candidates cover all
+    residues with overwhelming probability (the loop widens if not)."""
+    key = (id(spark), n_part)
+    if key not in _SALT_CACHE:
+        found: dict[int, int] = {}
+        m = 32 * n_part
+        while len(found) < n_part:
+            probe = spark.range(m).select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id")), F.lit(n_part)).alias("p"),
+            )
+            for r in probe.collect():
+                found.setdefault(r["p"], r["id"])
+            m *= 4
+        _SALT_CACHE[key] = [found[p] for p in range(n_part)]
+    return _SALT_CACHE[key]
+
+
 def sgd_fit(
     points: DataFrame,
     link: str = "linear",
@@ -140,22 +179,54 @@ def sgd_fit(
     """
     if link not in ("linear", "logistic"):
         raise ValueError(f"unknown link {link!r}")
-    sc = points.sparkSession.sparkContext
+    spark = points.sparkSession
+    sc = spark.sparkContext
     n_part = n_partitions or points.rdd.getNumPartitions()
-    # deterministic layout → reproducible trajectory averaging (SURVEY §7.2)
+    # Deterministic layout → reproducible trajectory averaging (SURVEY
+    # §7.2). repartitionByRange is NOT deterministic (r11 finding: its
+    # boundaries are reservoir-sampled with an RDD-id-dependent seed),
+    # so the split id is computed by exact integer arithmetic over the
+    # row_id domain — contiguous ranges, like the reference's map
+    # splits — and each split is placed on its own partition exactly
+    # via the salt lookup (one cheap min/max agg + one tiny probe job,
+    # once per fit, never per iteration).
+    bounds = points.select(
+        F.min("row_id").alias("lo"), F.max("row_id").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError(
+            "sgd_fit: points frame is empty — nothing to fit "
+            "(an empty partition sweep would divide by zero)"
+        )
+    lo, span = bounds["lo"], bounds["hi"] - bounds["lo"] + 1
+    salts = _exact_partition_salts(spark, n_part)
+    # integer DIV keeps the split id exact at any id magnitude (a
+    # double-rounded floor could misassign rows sitting on a boundary);
+    # (row_id-lo)*n_part ≤ span*n_part stays far below BIGINT overflow
+    split = F.expr(
+        f"CAST(((row_id - {lo}L) * {n_part}L) DIV {span}L AS INT)"
+    )
     pts = (
-        points.repartitionByRange(n_part, "row_id")
+        points.withColumn(
+            "__salt",
+            # BIGINT cast is load-bearing: the salts were probed via
+            # hash() over BIGINT ids, and Spark's murmur3 of an INT
+            # differs from the same value as a LONG — an int literal
+            # here would land splits on the wrong partitions
+            F.element_at(
+                F.array(*[F.lit(s).cast("bigint") for s in salts]),
+                split + F.lit(1),
+            ),
+        )
+        .repartition(n_part, "__salt")
         .sortWithinPartitions("row_id")
         .select("y", "features")
     )
     pts.persist()
     try:
         head = pts.select("features").first()
-        if head is None:
-            raise ValueError(
-                "sgd_fit: points frame is empty — nothing to fit "
-                "(an empty partition sweep would divide by zero)"
-            )
+        if head is None:  # unreachable (bounds checked above); belt
+            raise ValueError("sgd_fit: points frame is empty")
         d = len(head["features"])
         theta = np.zeros(d)  # logisticreg.java:161-164
         converged = False

@@ -123,3 +123,42 @@ def test_ols_stats_oracle_parity(spark, sf_dir):
         ols_stats_exact_sql(),
         rtol=0,
     )
+
+
+def test_sgd_partition_count_stability_envelope(spark, sf_dir):
+    """The 100 TB story for partition-SGD is "partition ≈ map split"
+    (the reference runs one sequential SGD per split and averages,
+    multilinereg.java / logisticreg.java:136-138), so theta genuinely
+    DEPENDS on the split count — trajectory averaging over more, smaller
+    partitions averages less-converged trajectories. This pins the
+    measured stability envelope (r10 verdict #8) at the test SF: per
+    partition count the fit is bit-deterministic, the stop rule's
+    iteration count and convergence flag are split-invariant, and the
+    relative L2 drift of theta across 2/8/32 partitions stays inside
+    the measured envelope (sf0.001: ≤0.22 linear / ≤0.22 logistic;
+    measured to SHRINK with rows-per-partition — 0.025-0.092 at sf0.01,
+    SURVEY §9 — so the bound here is the small-SF worst case)."""
+    from mapreduce_code_spark.plans import prep
+    from mapreduce_code_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for link, pts in (
+        ("linear", prep.labeled_points_scaled(li)),
+        ("logistic", prep.labeled_points_binary(li)),
+    ):
+        fits = {
+            n: sgd_fit(pts, link=link, max_iter=5, n_partitions=n)
+            for n in (2, 8, 32)
+        }
+        # deterministic per split count (same layout -> same trajectory)
+        again = sgd_fit(pts, link=link, max_iter=5, n_partitions=8)
+        assert again.theta == fits[8].theta
+        # the stop rule is split-invariant here: every partitioning sees
+        # some record within accuracy in the same sweep
+        assert len({(f.iterations, f.converged) for f in fits.values()}) == 1
+        ref = np.asarray(fits[8].theta)  # the registered rows run at 8
+        nrm = float(np.linalg.norm(ref))
+        assert nrm > 0
+        for n, f in fits.items():
+            drift = float(np.linalg.norm(np.asarray(f.theta) - ref)) / nrm
+            assert drift <= 0.30, (link, n, drift)
