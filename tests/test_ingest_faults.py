@@ -314,3 +314,40 @@ def test_truncated_ledger_part_file_fails_loudly_not_silently(
     assert _shard_contents(out) == before
     landed = {doc for rows in before.values() for doc, _, _ in rows}
     assert landed and dup_id not in landed
+
+
+def test_dir_has_data_path_classification(tmp_path):
+    """_dir_has_data feeds the gutted-dir guard, so its local-vs-URI
+    sniff is safety-critical: a RELATIVE local path whose first segment
+    contains a colon (r10 advisor low) must stay on the os.scandir
+    branch — the old split-on-'/' sniff routed it to the Hadoop FS API,
+    which raises on the unknown scheme instead of answering the
+    data-file question. spark=None proves the local branch never
+    touches the JVM."""
+    import os
+
+    d = tmp_path / "run:3" / "out"
+    d.mkdir(parents=True)
+    (d / "part-00000.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-00000.parquet.crc").write_bytes(b"y")
+    # absolute local path, no scheme
+    assert pl._dir_has_data(None, str(d))
+    # relative local path with a colon in the first segment
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert pl._dir_has_data(None, "run:3/out")
+        assert not pl._dir_has_data(None, "run:3/missing")
+    finally:
+        os.chdir(cwd)
+    # file: URIs stay local (both spellings)
+    assert pl._dir_has_data(None, f"file://{d}")
+    assert pl._dir_has_data(None, f"file:{d}")
+    # markers and .crc shadows alone are not data
+    empty = tmp_path / "markers_only"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")
+    (empty / ".x.crc").write_bytes(b"")
+    assert not pl._dir_has_data(None, str(empty))
+    assert not pl._dir_has_data(None, str(tmp_path / "nope"))

@@ -58,6 +58,16 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
             "SELECT vec_id + {i}::BIGINT * {ds} AS vec_id, embedding, label"
             " FROM src"
         ),
+        # r11 (sf1 tier): the SGD rows fit over lineitem — remap the
+        # order identity per copy (same convention as the others; the
+        # fit itself reads only measures + returnflag, so the remap
+        # just keeps the blowup convention honest for any other reader)
+        "lineitem": (
+            "SELECT l_orderkey + {i}::BIGINT * {ds} AS l_orderkey,"
+            " l_partkey, l_suppkey, l_linenumber, l_quantity,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag,"
+            " l_linestatus, l_shipdate FROM src"
+        ),
     }
     for table, tpl in specs.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -119,17 +129,50 @@ def main() -> int:
         raise SystemExit(
             f"unknown queries: {unknown}; registered: {sorted(qs)}"
         )
+    # bench.py's shared-build attribution, replicated per DIR (r11, the
+    # sf1 tier): without it the first repeat pays a shared build and
+    # min-of-N then rides its warm cache — the ratio would compare a
+    # cold 1x against a warm Nx (or vice versa) depending on run order.
+    # Owners pay their build cold EVERY repeat; other consumers ride a
+    # prewarmed cache at both scales. Queries listed in `names` should
+    # order owners before their consumers (bench's registry order does
+    # this implicitly; here the caller controls the list).
+    from mapreduce_code_spark.operators.dedup import release_persisted
+    from mapreduce_code_spark.registry import (
+        SHARED_BUILDS,
+        SOURCE_FIXTURES,
+        evict_cached,
+    )
+
+    sel = set(names)
+    cache_owner = {
+        owner: kind for kind, (owner, _, _) in SHARED_BUILDS.items()
+    }
+    for d in (sf_dir, out_dir):
+        for fixture, consumers in SOURCE_FIXTURES:
+            if sel & consumers:
+                fixture(spark, d)
     result = {}
     for name in names:
         times = {}
         for label, d in (("1x", sf_dir), (f"{copies}x", out_dir)):
+            # warm-ensure THIS query's shared builds at THIS dir right
+            # before its repeats (an earlier owner's eviction is not
+            # per-dir, so an up-front prewarm could be stranded)
+            for kind, (owner, build, consumers) in SHARED_BUILDS.items():
+                if name in consumers and name != owner:
+                    build(spark, d).count()
             best = None
             for _ in range(repeats):
+                if name in cache_owner:
+                    evict_cached(cache_owner[name], spark)
+                    release_persisted()
                 t0 = time.monotonic()
                 df = qs[name](spark, d)
                 n = df.count()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
+                release_persisted()
             times[label] = round(best, 3)
             times[f"rows_{label}"] = n
         times["ratio"] = round(times[f"{copies}x"] / times["1x"], 2)
