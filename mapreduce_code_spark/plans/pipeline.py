@@ -1175,8 +1175,10 @@ def derive_quality_theta(documents: DataFrame, max_iter: int = 60) -> list:
     is for genuinely small annotated samples, not bootstrap labels).
     ``n_partitions=1`` pins the trajectory to the single sequential
     row_id-ordered sweep — the one layout that cannot vary with the
-    host's input-split planning (repartitionByRange with k>1 samples
-    boundaries from the upstream layout), so the recipe reproduces
+    host's input-split planning (with k>1 splits the row_id DOMAIN
+    itself — monotonically_increasing_id over the scan — shifts when
+    the host plans different input splits, even though sgd_fit's split
+    assignment is exact since r11), so the recipe reproduces
     bit-for-bit anywhere; it is also the reference's own single-reducer
     shape (`logisticreg.java:136-138`)."""
     from mapreduce_code_spark.operators.regression import sgd_fit
