@@ -135,7 +135,7 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
     return kernel
 
 
-_SALT_CACHE: dict[tuple[int, int], list[int]] = {}
+_SALT_CACHE: dict[int, list[int]] = {}
 
 
 def _exact_partition_salts(spark, n_part: int) -> list[int]:
@@ -145,10 +145,12 @@ def _exact_partition_salts(spark, n_part: int) -> list[int]:
     ``p`` alone, with no range-boundary sampling and no collisions.
     Computed by probing Spark's own ``hash()`` (murmur3) over a small
     ``range`` so the Python side never re-implements the JVM hash;
-    cached per (session, n_part). The probe is one tiny job per fit at
-    worst — never per iteration — and 32·n_part candidates cover all
-    residues with overwhelming probability (the loop widens if not)."""
-    key = (id(spark), n_part)
+    cached per n_part — the mapping depends only on the (fixed) hash
+    algorithm, never on the session, so a cached list stays correct
+    across sessions. The probe is one tiny job per fit at worst —
+    never per iteration — and 32·n_part candidates cover all residues
+    with overwhelming probability (the loop widens if not)."""
+    key = n_part
     if key not in _SALT_CACHE:
         found: dict[int, int] = {}
         m = 32 * n_part
