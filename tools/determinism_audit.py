@@ -1,0 +1,83 @@
+"""Whole-registry double-run determinism audit (r11 contract hardening).
+
+The r11 SGD finding (repartitionByRange's RDD-id-seeded boundary
+sampling made identical fits differ run-to-run) raises the obvious
+follow-up: does any OTHER registered query return different values when
+run twice in one session? The oracle hash-compare is order-insensitive
+but value-sensitive, so a query whose row SELECTION or float SUMMATION
+ORDER varies between runs would flap the driver's hash check sooner or
+later. This audit runs every registered query TWICE in a bare session
+(same session conventions as tools/driver_check.py) and requires the
+normalized results to be EXACTLY equal — bitwise, no tolerance, NaN==NaN.
+
+Usage: python tools/determinism_audit.py [sf_dir] [query_name ...]
+Prints one line per query; exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pandas as pd
+
+import __spark_entry__ as contract
+from pyspark.sql import SparkSession
+from mapreduce_code_spark.operators.dedup import release_persisted
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    # hashable projection: list/array cells break sort_values/compare
+    for c in pdf.columns:
+        if pdf[c].map(lambda v: isinstance(v, (list, tuple))).any() or str(
+            pdf[c].dtype
+        ).startswith("object"):
+            pdf[c] = pdf[c].map(repr)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("determinism_audit")
+        .getOrCreate()
+    )
+    qs = contract.queries()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN query names: {sorted(unknown)}")
+        return 2
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            first = normalize(fn(spark, sf_dir).toPandas())
+            release_persisted()
+            second = normalize(fn(spark, sf_dir).toPandas())
+            release_persisted()
+        except Exception as exc:
+            print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:160]}")
+            failures.append(name)
+            release_persisted()
+            continue
+        try:
+            pd.testing.assert_frame_equal(first, second, check_exact=True)
+            print(f"  {name}: rows={len(first)} DETERMINISTIC")
+        except AssertionError as exc:
+            print(f"  {name}: MISMATCH {str(exc)[:200]}")
+            failures.append(name)
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("ALL DETERMINISTIC")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
