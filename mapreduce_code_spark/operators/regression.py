@@ -78,6 +78,11 @@ class SGDResult:
     theta: list[float]
     iterations: int
     converged: bool  # stopped via the reference's any-record-within-accuracy rule
+    # how many partitions actually held rows: with scan-derived sparse
+    # row_ids the domain buckets track scan-block granularity, so this
+    # can be < n_partitions (Hadoop's mappers ≤ input splits, kept
+    # faithfully) — recorded so the collapse is observable, never silent
+    n_splits_effective: int = 0
 
 
 def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
@@ -202,12 +207,21 @@ def sgd_fit(
         )
     lo, span = bounds["lo"], bounds["hi"] - bounds["lo"] + 1
     salts = _exact_partition_salts(spark, n_part)
-    # integer DIV keeps the split id exact at any id magnitude (a
-    # double-rounded floor could misassign rows sitting on a boundary);
-    # (row_id-lo)*n_part ≤ span*n_part stays far below BIGINT overflow
-    split = F.expr(
-        f"CAST(((row_id - {lo}L) * {n_part}L) DIV {span}L AS INT)"
-    )
+    # Equal-WIDTH buckets via one integer DIV: exact at any id
+    # magnitude (a double-rounded floor could misassign boundary rows)
+    # and overflow-free — the review found ((row_id-lo)*n_part) can
+    # exceed BIGINT when the id domain is monotonically_increasing_id's
+    # sparse (scan_partition << 33) layout at very large scan-partition
+    # counts, while (row_id-lo) DIV width never leaves [0, n_part).
+    # Semantics note (same review): with mid-style sparse ids the
+    # domain buckets track SCAN-BLOCK granularity, not row rank — if
+    # the scan has fewer blocks than n_partitions the fit runs fewer
+    # effective trajectories. That is Hadoop's own split semantics
+    # (mappers never outnumber input splits, the reference can't
+    # either), kept deliberately; it is OBSERVABLE, not silent, via
+    # SGDResult.n_splits_effective below.
+    width = -(-span // n_part)  # exact ceil(span / n_part)
+    split = F.expr(f"CAST(((row_id - {lo}L) DIV {width}L) AS INT)")
     pts = (
         points.withColumn(
             "__salt",
@@ -247,7 +261,14 @@ def sgd_fit(
                 converged = True  # stop rule, logisticreg.java:203
                 break
         LAST_FIT_ITERATIONS[link] = it
-        return SGDResult(theta=theta.tolist(), iterations=it, converged=converged)
+        return SGDResult(
+            theta=theta.tolist(),
+            iterations=it,
+            converged=converged,
+            # every partition yields one partial (n=0 when empty), so
+            # this is a free byproduct of the last iteration's combine
+            n_splits_effective=sum(1 for r in partials if r["n"] > 0),
+        )
     finally:
         pts.unpersist()
 

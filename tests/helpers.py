@@ -27,6 +27,22 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def normalize_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive EXACT-compare projection (r11 determinism
+    checks): sorted columns, object/list cells made hashable+orderable
+    via repr, sorted rows. The ONE definition shared by the suite's
+    determinism smoke and tools/determinism_audit.py, so the two checks
+    can never silently disagree on what 'identical' means (review
+    finding: three hand-rolled copies had already begun to diverge)."""
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("object") or pdf[c].map(
+            lambda v: isinstance(v, (list, tuple))
+        ).any():
+            pdf[c] = pdf[c].map(repr)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
 def assert_parity(spark_df, sf_dir: str, sql: str, rtol: float = 1e-9) -> None:
     got = _normalize(spark_df.toPandas())
     want = _normalize(duckdb_run(sf_dir, sql))

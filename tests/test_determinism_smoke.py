@@ -19,6 +19,7 @@ import pandas as pd
 import pytest
 
 from mapreduce_code_spark import registry
+from tests.helpers import normalize_exact
 
 SMOKE = [
     "regression_sgd_logistic",
@@ -32,24 +33,28 @@ SMOKE = [
 ]
 
 
-def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)]
-    for c in pdf.columns:
-        if str(pdf[c].dtype).startswith("object"):
-            pdf[c] = pdf[c].map(repr)
-    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+def _evict_everything(spark):
+    """Drop EVERY shared cache between the two runs: a persisted
+    shared build (e.g. graph_pagerank_clicks' click_edges frame) would
+    otherwise hand run 2 the cached blocks of exactly the stage whose
+    run-to-run determinism this module exists to check (review
+    finding: the check was vacuous for shared-build owners)."""
+    from mapreduce_code_spark.operators.dedup import release_persisted
+
+    for kind in registry.SHARED_BUILDS:
+        registry.evict_cached(kind, spark)
+    release_persisted()
 
 
 @pytest.mark.parametrize("name", SMOKE)
 def test_double_run_is_bitwise_identical(spark, sf_dir, name):
-    from mapreduce_code_spark.operators.dedup import release_persisted
-
     fn = registry.queries()[name]
     try:
-        first = _normalize(fn(spark, sf_dir).toPandas())
-        release_persisted()
-        second = _normalize(fn(spark, sf_dir).toPandas())
+        _evict_everything(spark)
+        first = normalize_exact(fn(spark, sf_dir).toPandas())
+        _evict_everything(spark)
+        second = normalize_exact(fn(spark, sf_dir).toPandas())
     finally:
-        release_persisted()
+        _evict_everything(spark)
     assert len(first), f"vacuous: {name} returned no rows"
     pd.testing.assert_frame_equal(first, second, check_exact=True)

@@ -153,6 +153,11 @@ def test_sgd_partition_count_stability_envelope(spark, sf_dir):
         # deterministic per split count (same layout -> same trajectory)
         again = sgd_fit(pts, link=link, max_iter=5, n_partitions=8)
         assert again.theta == fits[8].theta
+        # dense scan-local row_ids at this SF -> every requested split
+        # holds rows (the sparse-id scan-block collapse documented on
+        # SGDResult.n_splits_effective must NOT happen here)
+        for n, f in fits.items():
+            assert f.n_splits_effective == n, (link, n, f.n_splits_effective)
         # the stop rule is split-invariant here: every partitioning sees
         # some record within accuracy in the same sweep
         assert len({(f.iterations, f.converged) for f in fits.values()}) == 1
@@ -161,4 +166,9 @@ def test_sgd_partition_count_stability_envelope(spark, sf_dir):
         assert nrm > 0
         for n, f in fits.items():
             drift = float(np.linalg.norm(np.asarray(f.theta) - ref)) / nrm
-            assert drift <= 0.30, (link, n, drift)
+            # measured worst case 0.22 (sf0.001 logistic @32) + ~10%
+            # margin for equal-width boundary placement; a drift past
+            # this is a REAL widening of the envelope, not noise (the
+            # fit is bit-deterministic, so there is no run-to-run
+            # variance to absorb)
+            assert drift <= 0.25, (link, n, drift)

@@ -25,18 +25,19 @@ import pandas as pd
 
 import __spark_entry__ as contract
 from pyspark.sql import SparkSession
+from mapreduce_code_spark import registry
 from mapreduce_code_spark.operators.dedup import release_persisted
+from tests.helpers import normalize_exact as normalize
 
 
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)]
-    # hashable projection: list/array cells break sort_values/compare
-    for c in pdf.columns:
-        if pdf[c].map(lambda v: isinstance(v, (list, tuple))).any() or str(
-            pdf[c].dtype
-        ).startswith("object"):
-            pdf[c] = pdf[c].map(repr)
-    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+def _evict_everything(spark) -> None:
+    """Drop every shared cache between the two runs — a persisted
+    shared build would otherwise hand run 2 the cached blocks of
+    exactly the stage whose run-to-run determinism is being checked
+    (review finding: the audit was vacuous for shared-build owners)."""
+    for kind in registry.SHARED_BUILDS:
+        registry.evict_cached(kind, spark)
+    release_persisted()
 
 
 def main() -> int:
@@ -57,14 +58,15 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            _evict_everything(spark)
             first = normalize(fn(spark, sf_dir).toPandas())
-            release_persisted()
+            _evict_everything(spark)
             second = normalize(fn(spark, sf_dir).toPandas())
-            release_persisted()
+            _evict_everything(spark)
         except Exception as exc:
             print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:160]}")
             failures.append(name)
-            release_persisted()
+            _evict_everything(spark)
             continue
         try:
             pd.testing.assert_frame_equal(first, second, check_exact=True)
