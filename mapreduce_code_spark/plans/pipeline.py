@@ -328,7 +328,19 @@ def ingest_training_set(
     partitions into one distinct sorted partition every K batches at
     batch start (:func:`compact_hash_log` — replay-safe there by
     construction), bounding the history scan by the distinct corpus
-    instead of the number of micro-batches ever run."""
+    instead of the number of micro-batches ever run.
+
+    SINGLE-WRITER ASSUMPTION (r11, explicit): every guard above — and
+    Structured Streaming's own checkpoint protocol — presumes at most
+    ONE driver owns a (staging_dir, checkpoint_dir) pair at a time.
+    Two concurrent resumes of the same pair, or an external
+    :func:`compact_hash_log` racing a live run, can interleave
+    overwrites the guards cannot see (they validate state at START,
+    not continuously). This matches Structured Streaming's deployment
+    contract (one query per checkpoint); coordinating writers is the
+    caller's job — run-level mutual exclusion is deliberately NOT
+    implemented here (a lock file would add a stale-lock failure mode
+    worse than the documented rule)."""
     from mapreduce_code_spark.sources.bucketing import write_shuffled
     from mapreduce_code_spark.streaming.windows import (
         _dir_exists,
