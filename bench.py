@@ -350,6 +350,14 @@ def main() -> int:
                     "median_ratio_vs_prior": median_ratio,
                     "run_contended": run_contended,
                     "regressed_vs_prior": regressed,
+                    # SIDECAR SCHEMA NOTE (r11 advisor, low): values are
+                    # int | list[int] — a scalar when every repeat's fit
+                    # took the same iteration count (the deterministic
+                    # norm), the per-run list when repeats disagreed so
+                    # the count always corresponds to the floor it
+                    # explains. Consumers must normalize first, e.g.
+                    #   its = v if isinstance(v, list) else [v]
+                    # before any arithmetic on the count.
                     "sgd_iterations": sgd_iters,
                 },
                 indent=1,

@@ -247,6 +247,10 @@ def sgd_fit(
         theta = np.zeros(d)  # logisticreg.java:161-164
         converged = False
         it = 0
+        # max_iter <= 0 means the loop body never binds `partials`; the
+        # zero-theta result must still return (r11 advisor, low) with
+        # n_splits_effective = 0 — no sweep ever touched a split
+        partials: list = []
         for it in range(1, max_iter + 1):
             theta_b = sc.broadcast(theta)
             partials = pts.mapInPandas(

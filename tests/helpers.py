@@ -27,19 +27,37 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _exact_repr(v) -> str:
+    """Full-fidelity repr for an exact-compare cell. numpy's ndarray repr
+    elides arrays past ~1000 elements with '...', so two bitwise-different
+    wide vectors could normalize to EQUAL strings (r11 advisor, low) —
+    convert array-likes to tuples element by element (recursively, for
+    nested arrays) so every element participates in the comparison."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_exact_repr(x) for x in v) + ")"
+    return repr(v)
+
+
 def normalize_exact(pdf: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive EXACT-compare projection (r11 determinism
-    checks): sorted columns, object/list cells made hashable+orderable
-    via repr, sorted rows. The ONE definition shared by the suite's
+    checks): sorted columns, object/array/list cells made hashable +
+    orderable via full-fidelity _exact_repr (never numpy's truncating
+    repr), sorted rows. The ONE definition shared by the suite's
     determinism smoke and tools/determinism_audit.py, so the two checks
     can never silently disagree on what 'identical' means (review
     finding: three hand-rolled copies had already begun to diverge)."""
+    import numpy as np
+
     pdf = pdf[sorted(pdf.columns)]
     for c in pdf.columns:
         if str(pdf[c].dtype).startswith("object") or pdf[c].map(
-            lambda v: isinstance(v, (list, tuple))
+            lambda v: isinstance(v, (list, tuple, np.ndarray))
         ).any():
-            pdf[c] = pdf[c].map(repr)
+            pdf[c] = pdf[c].map(_exact_repr)
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 

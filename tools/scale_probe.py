@@ -33,9 +33,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-USER_STRIDE = 100_000_000
-EVENT_STRIDE = 10**13
-DOC_STRIDE = 10**9
+# Remap strides are derived PER TABLE from max(src key)+1 (one cheap
+# duckdb MAX per key column) rather than fixed constants: the old fixed
+# DOC_STRIDE=1e9 was safe at the pre-banked sf10 tier (max l_orderkey
+# ~60M) but at sf100+ orderkeys (600M-6B) would collide across copies,
+# silently shrinking distinct-order cardinality for any reader that
+# groups by order identity (r11 advisor, low).
 
 
 def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
@@ -44,32 +47,38 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     specs = {
-        # remap identities per copy; keep everything else byte-identical
+        # remap identities per copy; keep everything else byte-identical.
+        # Second element = the key columns whose per-table stride is
+        # derived from max(src key)+1 below.
         "events": (
-            "SELECT event_id + {i}::BIGINT * {es} AS event_id, ts,"
-            " user_id + {i}::BIGINT * {us} AS user_id, event_type, value, props"
-            " FROM src"
+            "SELECT event_id + {i}::BIGINT * {s_event_id} AS event_id, ts,"
+            " user_id + {i}::BIGINT * {s_user_id} AS user_id,"
+            " event_type, value, props FROM src",
+            ["event_id", "user_id"],
         ),
         "documents": (
-            "SELECT doc_id + {i}::BIGINT * {ds} AS doc_id, text, lang, source,"
-            " n_chars FROM src"
+            "SELECT doc_id + {i}::BIGINT * {s_doc_id} AS doc_id, text,"
+            " lang, source, n_chars FROM src",
+            ["doc_id"],
         ),
         "embeddings": (
-            "SELECT vec_id + {i}::BIGINT * {ds} AS vec_id, embedding, label"
-            " FROM src"
+            "SELECT vec_id + {i}::BIGINT * {s_vec_id} AS vec_id, embedding,"
+            " label FROM src",
+            ["vec_id"],
         ),
         # r11 (sf1 tier): the SGD rows fit over lineitem — remap the
         # order identity per copy (same convention as the others; the
         # fit itself reads only measures + returnflag, so the remap
         # just keeps the blowup convention honest for any other reader)
         "lineitem": (
-            "SELECT l_orderkey + {i}::BIGINT * {ds} AS l_orderkey,"
+            "SELECT l_orderkey + {i}::BIGINT * {s_l_orderkey} AS l_orderkey,"
             " l_partkey, l_suppkey, l_linenumber, l_quantity,"
             " l_extendedprice, l_discount, l_tax, l_returnflag,"
-            " l_linestatus, l_shipdate FROM src"
+            " l_linestatus, l_shipdate FROM src",
+            ["l_orderkey"],
         ),
     }
-    for table, tpl in specs.items():
+    for table, (tpl, key_cols) in specs.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dst):
             continue
@@ -77,9 +86,16 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
             f"CREATE OR REPLACE VIEW src AS SELECT *"
             f" FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
+        # per-table, per-key stride = max(src key)+1: collision-free at
+        # ANY source scale, and keeps each copy's id block contiguous
+        strides = {
+            f"s_{c}": int(
+                con.sql(f"SELECT max({c}) + 1 FROM src").fetchone()[0]
+            )
+            for c in key_cols
+        }
         union = "\nUNION ALL\n".join(
-            tpl.format(i=i, es=EVENT_STRIDE, us=USER_STRIDE, ds=DOC_STRIDE)
-            for i in range(copies)
+            tpl.format(i=i, **strides) for i in range(copies)
         )
         # write-then-rename: a truncated file left by an interrupted run
         # must never pass the exists() reuse check above — only a COPY
