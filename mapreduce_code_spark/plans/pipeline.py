@@ -330,17 +330,23 @@ def ingest_training_set(
     construction), bounding the history scan by the distinct corpus
     instead of the number of micro-batches ever run.
 
-    SINGLE-WRITER ASSUMPTION (r11, explicit): every guard above — and
-    Structured Streaming's own checkpoint protocol — presumes at most
-    ONE driver owns a (staging_dir, checkpoint_dir) pair at a time.
-    Two concurrent resumes of the same pair, or an external
-    :func:`compact_hash_log` racing a live run, can interleave
-    overwrites the guards cannot see (they validate state at START,
-    not continuously). This matches Structured Streaming's deployment
-    contract (one query per checkpoint); coordinating writers is the
-    caller's job — run-level mutual exclusion is deliberately NOT
-    implemented here (a lock file would add a stale-lock failure mode
-    worse than the documented rule)."""
+    SINGLE-WRITER ASSUMPTION (r11 explicit; r12 verified at the edges):
+    every guard above — and Structured Streaming's own checkpoint
+    protocol — presumes at most ONE driver owns a (staging_dir,
+    checkpoint_dir) pair at a time. The two concrete races are now
+    fault-injected (tests/test_ingest_faults.py): (a) two concurrent
+    resumes of the same pair in one session refuse loudly at query
+    start (Spark rejects a second active query with the checkpoint's
+    query id; a second resume under a FRESH checkpoint hits the
+    stale-staging guard above), and (b) an external
+    :func:`compact_hash_log` racing a run refuses loudly when given
+    ``checkpoint_dir`` and its fold would cross the commit frontier —
+    the corrupting interleaving (self-erasure on replay) is pinned by
+    test as the reason. Cross-process coordination beyond those checks
+    remains the caller's job — run-level mutual exclusion is
+    deliberately NOT implemented (a lock file would add a stale-lock
+    failure mode worse than the documented rule; start-time validation
+    is stateless and exact)."""
     from mapreduce_code_spark.sources.bucketing import write_shuffled
     from mapreduce_code_spark.streaming.windows import (
         _dir_exists,
@@ -477,7 +483,14 @@ def ingest_training_set(
         # compact_hash_log's precondition. The current batch's own log
         # (written later this invocation) is never touched.
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_hash_log(spark, staging_dir, before_batch_id=batch_id)
+            compact_hash_log(
+                spark,
+                staging_dir,
+                before_batch_id=batch_id,
+                # defense-in-depth (r12): the construction argument above
+                # is also VERIFIED against the commit log
+                checkpoint_dir=checkpoint_dir,
+            )
         _ingest_batch(
             batch, batch_id, staging_dir, min_quality, chunk_size,
             chunk_stride,
@@ -624,7 +637,12 @@ def _fs_names(spark, path: str) -> list:
     return [st.getPath().getName() for st in fs.listStatus(jpath)]
 
 
-def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
+def compact_hash_log(
+    spark,
+    staging_dir: str,
+    before_batch_id: int,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Fold every hash-log partition with ``batch_id < before_batch_id``
     into ONE deduplicated, content_hash-sorted partition — the
     maintenance op that keeps the per-batch history scan bounded by the
@@ -638,6 +656,20 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
     batch N after N-1 committed. Compacting a batch that may still
     replay would put its hashes below its own id and re-introduce the
     self-erasure failure the replay test pins.
+
+    ``checkpoint_dir`` (r12, the concurrent-race hardening): when the
+    caller passes the owning stream's checkpoint, the precondition is
+    VERIFIED against its commit log instead of trusted — an external
+    fold racing a live/crashed run whose newest batch has NOT committed
+    (its half-written ``batch_id=N`` log is exactly what a replay's
+    ``batch_id < N`` anti-join must not see folded below N) refuses
+    loudly before touching anything. The corrupting interleaving and
+    the refusal are both pinned by tests/test_ingest_faults.py. Legacy
+    ``checkpoint_dir=None`` keeps the documented caller-owned
+    precondition (some maintenance callers fold a retired staging dir
+    whose checkpoint is gone). This is deliberately validation, not a
+    lock file: a stale lock after a crashed compactor would wedge every
+    future resume, while validation is stateless and exact.
 
     Crash-safe by write-then-delete ordering: the compacted rows land
     first in a fresh ``batch_id=-{before_batch_id}`` partition (negative
@@ -673,6 +705,32 @@ def compact_hash_log(spark, staging_dir: str, before_batch_id: int) -> None:
             old_ids.append(i)
     if len(old_ids) <= 1:
         return  # nothing to fold
+    if checkpoint_dir is not None:
+        # verified precondition (r12): every REAL id about to be folded
+        # must have committed. Negative ids are prior compactions of
+        # committed batches, so the frontier check over real ids covers
+        # everything. A fold at/below the commit frontier is exactly
+        # what the auto-compact path produces; anything above it folds
+        # a log that a replay's `batch_id <` anti-join must still see
+        # EXCLUDED — the self-erasure race.
+        committed = [
+            int(n)
+            for n in _fs_names(spark, f"{checkpoint_dir}/commits")
+            if n.isdigit()
+        ]
+        frontier = (max(committed) + 1) if committed else 0
+        unsafe = sorted(i for i in old_ids if i >= frontier)
+        if unsafe:
+            raise ValueError(
+                f"compact_hash_log: batches {unsafe} under "
+                f"{staging_dir!r}/hashes have NOT committed in "
+                f"{checkpoint_dir!r} (commit frontier {frontier}) — "
+                "folding a log that may still replay would put its "
+                "hashes below its own batch_id, and the replay's "
+                "history anti-join would erase the batch's own "
+                "documents. Compact at or below the frontier, or let "
+                "the owning run's auto-compaction do it."
+            )
     log = spark.read.parquet(hashes_dir)
     target = f"{hashes_dir}/batch_id=-{before_batch_id}"
     # pin BEFORE writing: the compacted frame reads from hashes_dir and

@@ -351,3 +351,209 @@ def test_dir_has_data_path_classification(tmp_path):
     (empty / ".x.crc").write_bytes(b"")
     assert not pl._dir_has_data(None, str(empty))
     assert not pl._dir_has_data(None, str(tmp_path / "nope"))
+
+
+def _thirds_source(spark, sf_dir, tmp_path):
+    """3-file ordered source where file 2 carries FRESH documents (the
+    2-file `_split_source` puts only a planted dup in file 2, so a
+    batch-2 self-erasure there would be invisible — the dup SHOULD
+    vanish). Returns (src, schema, set of file-2 doc_ids)."""
+    base = load_table(spark, sf_dir, "documents").limit(45).toPandas()
+    third = len(base) // 3
+    files = [base.iloc[:third], base.iloc[third : 2 * third], base.iloc[2 * third :]]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for i, pdf in enumerate(files):
+        f = src / f"f{i}.parquet"
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (now - 180 + 60 * i, now - 180 + 60 * i))
+    schema = load_table(spark, sf_dir, "documents").schema
+    return str(src), schema, set(int(d) for d in files[2]["doc_id"])
+
+
+def _half_written_batch2(spark, schema, src, tmp_path, tag, monkeypatch):
+    """Drive the stream to the replayable crash state: batches 0-1
+    committed, batch 2's hash log WRITTEN but uncommitted (chunks dir
+    removed) — the state a compaction race must not fold. Returns
+    (out, staging, ckpt)."""
+    out = str(tmp_path / f"out_{tag}")
+    staging = str(tmp_path / f"staging_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    real = pl._ingest_batch
+
+    def bomb(batch, batch_id, *args):
+        real(batch, batch_id, *args)
+        if batch_id == 2:
+            import shutil
+
+            shutil.rmtree(f"{staging}/chunks/batch_id=2")
+            raise RuntimeError("injected-kill-mid-batch-2")
+
+    monkeypatch.setattr(pl, "_ingest_batch", bomb)
+    with pytest.raises(Exception, match="injected-kill-mid-batch-2"):
+        pl.ingest_training_set(_stream(spark, schema, src), out, staging, ckpt)
+    monkeypatch.setattr(pl, "_ingest_batch", real)
+    assert _committed(ckpt) == [0, 1]
+    hash_dirs = {
+        os.path.basename(d) for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert hash_dirs == {"batch_id=0", "batch_id=1", "batch_id=2"}
+    return out, staging, ckpt
+
+
+def test_unguarded_compaction_of_uncommitted_batch_self_erases(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The CORRUPTION the r12 frontier guard exists for, demonstrated
+    end-to-end on the legacy (checkpoint-less) compaction path: batch
+    2's hash log is half-written and uncommitted; an external
+    `compact_hash_log(before_batch_id=3)` folds it to batch_id=-3;
+    the resumed run REPLAYS batch 2, whose `batch_id < 2` history
+    anti-join now sees its own hashes inside the fold — and erases
+    every file-2 document from the final training set while the
+    checkpoint reports the batch committed. Silent data loss, by
+    construction; this test pins that the failure is real (so the
+    guard is load-bearing, not theater)."""
+    src, schema, f2_docs = _thirds_source(spark, sf_dir, tmp_path)
+    out, staging, ckpt = _half_written_batch2(
+        spark, schema, src, tmp_path, "race", monkeypatch
+    )
+    # the racing external fold — precondition violated, no checkpoint
+    # given so nothing can catch it
+    pl.compact_hash_log(spark, staging, before_batch_id=3)
+    dirs = {
+        os.path.basename(d) for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert dirs == {"batch_id=-3"}
+    pl.ingest_training_set(_stream(spark, schema, src), out, staging, ckpt)
+    assert _committed(ckpt) == [0, 1, 2]  # the checkpoint LIES now
+    landed = {
+        doc for rows in _shard_contents(out).values() for doc, _, _ in rows
+    }
+    assert landed, "vacuous: nothing landed"
+    # every file-2 document that survived curation in batches 0-1's
+    # world is GONE: the replayed batch anti-joined against itself
+    assert not (landed & f2_docs), (
+        "expected self-erasure did not occur — if this fails the race "
+        "is benign and the frontier guard should be reconsidered"
+    )
+
+
+def test_checkpoint_aware_compaction_refuses_fold_past_commit_frontier(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same race, guarded: with `checkpoint_dir` passed, the external
+    fold that would cross the commit frontier refuses LOUDLY and
+    touches nothing; a fold AT the frontier (exactly what auto-compact
+    produces) is allowed mid-race, and the subsequent resume converges
+    to the uninterrupted reference layout over the fold."""
+    src, schema, f2_docs = _thirds_source(spark, sf_dir, tmp_path)
+    ref = _reference_run(spark, schema, src, tmp_path)
+    out, staging, ckpt = _half_written_batch2(
+        spark, schema, src, tmp_path, "guard", monkeypatch
+    )
+    with pytest.raises(ValueError, match="NOT committed.*frontier 2"):
+        pl.compact_hash_log(
+            spark, staging, before_batch_id=3, checkpoint_dir=ckpt
+        )
+    # refusal touched nothing: all three log dirs still in place
+    dirs = {
+        os.path.basename(d) for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert dirs == {"batch_id=0", "batch_id=1", "batch_id=2"}
+    # the SAFE fold — at the frontier, only committed batches 0-1 —
+    # is allowed while batch 2 is still pending replay
+    pl.compact_hash_log(spark, staging, before_batch_id=2, checkpoint_dir=ckpt)
+    dirs = {
+        os.path.basename(d) for d in glob.glob(f"{staging}/hashes/batch_id=*")
+    }
+    assert dirs == {"batch_id=-2", "batch_id=2"}
+    pl.ingest_training_set(_stream(spark, schema, src), out, staging, ckpt)
+    assert _committed(ckpt) == [0, 1, 2]
+    assert _shard_contents(out) == ref
+    landed = {
+        doc for rows in _shard_contents(out).values() for doc, _, _ in rows
+    }
+    assert landed & f2_docs, "file-2 documents must survive the safe fold"
+
+
+def test_two_concurrent_resumes_of_one_pair_refuse_loudly(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Two resumes racing one (staging_dir, checkpoint_dir) pair — the
+    other half of the single-writer contract. Spark's SAME-SESSION
+    semantic (discovered by this test's first draft deadlocking both
+    runs): `spark.sql.streaming.stopActiveRunOnRestart` defaults true,
+    so a second start of the same checkpoint's query id STOPS the live
+    run and takes over — serialized, never two concurrent writers, but
+    a surprise to an operator expecting a refusal. With the conf FALSE
+    the second start refuses loudly before touching state — the mode an
+    ingest deployment should pin, and what this test pins: run 1 parked
+    INSIDE batch 1 (batch 0 committed, handler blocked on an event);
+    (a) a second resume of the SAME pair raises at query start; (b) a
+    resume of the same STAGING under a FRESH checkpoint hits the
+    stale-staging guard. Run 1 then resumes unharmed and lands the
+    uninterrupted reference layout. Cross-JVM, neither mechanism
+    applies — that residue is the documented caller-owned contract."""
+    import threading
+
+    src, schema, _ = _split_source(spark, sf_dir, tmp_path)
+    ref = _reference_run(spark, schema, src, tmp_path)
+    out = str(tmp_path / "out")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    real = pl._ingest_batch
+    entered = threading.Event()
+    release = threading.Event()
+    errors: list[BaseException] = []
+
+    def parked(batch, batch_id, *args):
+        if batch_id == 1:
+            entered.set()
+            assert release.wait(timeout=120), "release never arrived"
+        return real(batch, batch_id, *args)
+
+    def run1():
+        try:
+            pl.ingest_training_set(
+                _stream(spark, schema, src), out, staging, ckpt
+            )
+        except BaseException as e:  # surfaced after join
+            errors.append(e)
+
+    key = "spark.sql.streaming.stopActiveRunOnRestart"
+    prior = spark.conf.get(key)
+    monkeypatch.setattr(pl, "_ingest_batch", parked)
+    t = threading.Thread(target=run1, daemon=True)
+    try:
+        spark.conf.set(key, "false")
+        t.start()
+        assert entered.wait(timeout=120), "run 1 never reached batch 1"
+        # (a) same pair, second resume: refused at query start (before
+        # any staging/checkpoint write). With stopActiveRunOnRestart
+        # true this would instead STOP run 1 and replay batch 1 in the
+        # new query — still single-writer, but the parked handler would
+        # deadlock both; the refusal mode is the deployment-safe one.
+        with pytest.raises(
+            Exception, match="(?i)concurrent|already active|same id"
+        ):
+            pl.ingest_training_set(
+                _stream(spark, schema, src), out, staging, ckpt
+            )
+        # (b) same staging, FRESH checkpoint: the stale-staging guard
+        with pytest.raises(ValueError, match="already holds staged batches"):
+            pl.ingest_training_set(
+                _stream(spark, schema, src),
+                str(tmp_path / "out2"),
+                staging,
+                str(tmp_path / "ckpt_fresh"),
+            )
+    finally:
+        release.set()
+        t.join(timeout=300)
+        spark.conf.set(key, prior)
+    assert not t.is_alive(), "run 1 wedged"
+    assert not errors, f"run 1 failed: {errors}"
+    assert _committed(ckpt) == [0, 1]
+    assert _shard_contents(out) == ref
