@@ -172,3 +172,46 @@ def test_sgd_partition_count_stability_envelope(spark, sf_dir):
             # fit is bit-deterministic, so there is no run-to-run
             # variance to absorb)
             assert drift <= 0.25, (link, n, drift)
+
+
+def test_sgd_sparse_row_id_domain_tracks_scan_blocks(spark, linear_micro):
+    """The exact integer-width layout buckets by row_id VALUE, so
+    `monotonically_increasing_id`-style SPARSE domains (scan_partition
+    << 33 | row) track scan-BLOCK granularity, not row rank — the
+    documented Hadoop-faithful semantics (mappers never outnumber input
+    splits; see the layout comment in sgd_fit). Pins, on a 2-block
+    mid-style frame fit with n_partitions=8 (r11 verdict #6):
+
+    - the collapse is OBSERVABLE: n_splits_effective == 2, never 8;
+    - it is DETERMINISTIC: two fits agree bitwise;
+    - it is EXACTLY the map-split story: the sparse fit equals — to the
+      bit — a dense-id fit with n_partitions == the block count, because
+      each scan block becomes one trajectory with identical row order
+      (empty splits contribute a vacuous all_continue=True and +0.0
+      partials, which perturb nothing)."""
+    import pandas as pd
+
+    rows = linear_micro.orderBy("row_id").toPandas()
+    half = len(rows) // 2
+    sparse = rows.copy()
+    # mid layout: block 0 -> ids 0..half-1, block 1 -> (1 << 33) + i
+    sparse["row_id"] = [
+        int(i) if i < half else (1 << 33) + int(i - half)
+        for i in range(len(rows))
+    ]
+    sparse_df = spark.createDataFrame(
+        sparse, schema="row_id long, y double, features array<double>"
+    )
+
+    fit_sparse = sgd_fit(sparse_df, link="linear", max_iter=5, n_partitions=8)
+    again = sgd_fit(sparse_df, link="linear", max_iter=5, n_partitions=8)
+    assert fit_sparse.n_splits_effective == 2  # 2 blocks, not 8 splits
+    assert again.theta == fit_sparse.theta  # bit-reproducible
+
+    fit_dense2 = sgd_fit(linear_micro, link="linear", max_iter=5, n_partitions=2)
+    assert fit_dense2.n_splits_effective == 2
+    assert fit_sparse.theta == fit_dense2.theta  # partition ≈ map split
+    assert (fit_sparse.iterations, fit_sparse.converged) == (
+        fit_dense2.iterations,
+        fit_dense2.converged,
+    )
