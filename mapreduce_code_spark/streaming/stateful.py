@@ -177,8 +177,13 @@ try:  # the processor API import is 4.0+; its state protocol needs protobuf
             pass
 
     HAS_TWS = True
-except ImportError:  # pragma: no cover - older Spark
+    _TWS_UNAVAILABLE = ""
+except ImportError as _exc:  # pragma: no cover - older Spark or no protobuf
     HAS_TWS = False
+    # record WHICH dependency gated it: on Spark 4 with no protobuf the
+    # old "needs Spark >= 4.0" message sent readers chasing the wrong
+    # upgrade (r12; this container IS Spark 4.1 — protobuf is the gap)
+    _TWS_UNAVAILABLE = f"{type(_exc).__name__}: {_exc}"
 
 
 def user_running_totals_tws(events: DataFrame) -> DataFrame:
@@ -187,7 +192,10 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     ``spark.sql.streaming.stateStore.providerClass`` =
     ``...RocksDBStateStoreProvider``)."""
     if not HAS_TWS:
-        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+        raise NotImplementedError(
+            "transformWithStateInPandas unavailable — needs Spark >= 4.0 "
+            f"AND protobuf (the state protocol); gated by: {_TWS_UNAVAILABLE}"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         _RunningTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,
