@@ -12,6 +12,16 @@ normalized results to be EXACTLY equal — bitwise, no tolerance, NaN==NaN.
 
 Usage: python tools/determinism_audit.py [sf_dir] [query_name ...]
 Prints one line per query; exits non-zero on any mismatch.
+
+Per-round artifact (r11 verdict #3): a FULL-registry run (no query-name
+filter) also writes ``DETERMINISM_r{N}.json`` at the repo root — one
+entry per query, ``{"status": "DETERMINISTIC"|"MISMATCH"|"ERROR",
+"rows": n}`` plus a top-level summary — so the green run is a committed
+receipt next to CORRECTNESS_r{N}.json instead of a commit-message
+claim. N defaults to the newest CORRECTNESS round on disk (the round
+in progress); override the full path with SPARK_GRAFT_DETERMINISM_OUT.
+A MISMATCH still exits 1, and the artifact records it — failing loudly
+in both channels.
 """
 
 from __future__ import annotations
@@ -40,6 +50,27 @@ def _evict_everything(spark) -> None:
     release_persisted()
 
 
+def _artifact_path() -> Path:
+    """DETERMINISM_r{N}.json for the round in progress: N = the newest
+    CORRECTNESS_r{N}.json on disk PLUS ONE (the driver writes the
+    round's CORRECTNESS at round end, so while building round N only
+    rounds <= N-1 exist). SPARK_GRAFT_DETERMINISM_OUT overrides."""
+    import os
+    import re
+
+    root = Path(__file__).resolve().parent.parent
+    env = os.environ.get("SPARK_GRAFT_DETERMINISM_OUT")
+    if env:
+        return Path(env)
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return root / f"DETERMINISM_r{n:02d}.json"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -54,6 +85,7 @@ def main() -> int:
         print(f"UNKNOWN query names: {sorted(unknown)}")
         return 2
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -66,14 +98,38 @@ def main() -> int:
         except Exception as exc:
             print(f"  {name}: ERROR {type(exc).__name__}: {str(exc)[:160]}")
             failures.append(name)
+            report[name] = {
+                "status": "ERROR",
+                "detail": f"{type(exc).__name__}: {str(exc)[:160]}",
+            }
             _evict_everything(spark)
             continue
         try:
             pd.testing.assert_frame_equal(first, second, check_exact=True)
             print(f"  {name}: rows={len(first)} DETERMINISTIC")
+            report[name] = {"status": "DETERMINISTIC", "rows": len(first)}
         except AssertionError as exc:
             print(f"  {name}: MISMATCH {str(exc)[:200]}")
             failures.append(name)
+            report[name] = {"status": "MISMATCH", "detail": str(exc)[:200]}
+    if not only:  # full-registry runs leave the committed receipt
+        import json
+
+        out = _artifact_path()
+        out.write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(report),
+                    "n_mismatch_or_error": len(failures),
+                    "all_deterministic": not failures,
+                    "queries": report,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        print(f"artifact: {out}")
     if failures:
         print(f"FAILURES: {failures}")
         return 1
