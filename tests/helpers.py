@@ -4,6 +4,7 @@ column set, and order-insensitive values (sorted columns, sorted rows)."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from mapreduce_code_spark.sources.schemas import SCHEMAS
@@ -33,8 +34,6 @@ def _exact_repr(v) -> str:
     wide vectors could normalize to EQUAL strings (r11 advisor, low) —
     convert array-likes to tuples element by element (recursively, for
     nested arrays) so every element participates in the comparison."""
-    import numpy as np
-
     if isinstance(v, np.ndarray):
         v = v.tolist()
     if isinstance(v, (list, tuple)):
@@ -50,8 +49,6 @@ def normalize_exact(pdf: pd.DataFrame) -> pd.DataFrame:
     determinism smoke and tools/determinism_audit.py, so the two checks
     can never silently disagree on what 'identical' means (review
     finding: three hand-rolled copies had already begun to diverge)."""
-    import numpy as np
-
     pdf = pdf[sorted(pdf.columns)]
     for c in pdf.columns:
         if str(pdf[c].dtype).startswith("object") or pdf[c].map(

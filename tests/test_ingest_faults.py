@@ -46,15 +46,23 @@ from mapreduce_code_spark.plans import pipeline as pl
 from mapreduce_code_spark.sources.io import load_table
 
 
-def _split_source(spark, sf_dir, tmp_path, dup_of_first=False):
-    """Write a 2-file (3 with ``dup_of_first``) ordered stream source
-    from the documents table; file i arrives as micro-batch i. The
-    optional third file carries ONE duplicate (same text, fresh doc_id)
-    of a file-0 document, so the history anti-join path is exercised on
-    resume. Returns (src_dir, schema, planted_dup_doc_id | None)."""
-    base = load_table(spark, sf_dir, "documents").limit(40).toPandas()
-    half = len(base) // 2
-    files = [base.iloc[:half], base.iloc[half:]]
+def _split_source(
+    spark, sf_dir, tmp_path, dup_of_first=False, n_rows=40, n_files=2
+):
+    """Write an ``n_files``-file (+1 with ``dup_of_first``) ordered
+    stream source of ``n_rows`` documents; file i arrives as
+    micro-batch i (mtime-pinned order). The optional extra file carries
+    ONE duplicate (same text, fresh doc_id) of a file-0 document, so
+    the history anti-join path is exercised on resume. Returns
+    (src_dir, schema, planted_dup_doc_id | None, per-file doc_id sets).
+    The ONE source builder for every fault scenario — a fix to the
+    construction (schema plumbing, mtime ordering) lands everywhere."""
+    base = load_table(spark, sf_dir, "documents").limit(n_rows).toPandas()
+    cut = len(base) // n_files
+    files = [
+        base.iloc[i * cut : (i + 1) * cut if i < n_files - 1 else len(base)]
+        for i in range(n_files)
+    ]
     dup_id = None
     if dup_of_first:
         donor = base.iloc[0]
@@ -79,9 +87,11 @@ def _split_source(spark, sf_dir, tmp_path, dup_of_first=False):
         f = src / f"f{i}.parquet"
         pdf.to_parquet(f, index=False)
         # the file source orders by modification time: pin strict order
-        os.utime(f, (now - 120 + 60 * i, now - 120 + 60 * i))
+        step = now - 60 * len(files) + 60 * i
+        os.utime(f, (step, step))
     schema = load_table(spark, sf_dir, "documents").schema
-    return str(src), schema, dup_id
+    file_ids = [set(int(d) for d in pdf["doc_id"]) for pdf in files]
+    return str(src), schema, dup_id, file_ids
 
 
 def _stream(spark, schema, src):
@@ -135,7 +145,7 @@ def test_stream_killed_between_batches_resumes_to_reference_output(
     dies before writing anything. The checkpoint + per-batch staging
     make resume exact — the re-run must process exactly batch 1 onward
     and land the uninterrupted run's byte-identical shard layout."""
-    src, schema, _ = _split_source(spark, sf_dir, tmp_path)
+    src, schema, _, _ = _split_source(spark, sf_dir, tmp_path)
     ref = _reference_run(spark, schema, src, tmp_path)
 
     out = str(tmp_path / "out")
@@ -175,7 +185,7 @@ def test_crash_after_hash_log_before_chunk_write_replays_cleanly(
     replay must not anti-join against its own half-written hash log and
     erase itself (the `_dedup_against_history` `batch_id <` contract) —
     then converge to the reference layout."""
-    src, schema, _ = _split_source(spark, sf_dir, tmp_path)
+    src, schema, _, _ = _split_source(spark, sf_dir, tmp_path)
     ref = _reference_run(spark, schema, src, tmp_path)
 
     out = str(tmp_path / "out")
@@ -225,7 +235,7 @@ def test_compaction_crash_state_keeps_dedup_and_refolds(
     carrying a duplicate of a batch-0 document: resume must be ALLOWED,
     the duplicate must STILL be dropped, and re-running compaction must
     fold the debris (originals + stale fold) into one partition."""
-    src, schema, dup_id = _split_source(
+    src, schema, dup_id, _ = _split_source(
         spark, sf_dir, tmp_path, dup_of_first=True
     )
     out = str(tmp_path / "out")
@@ -282,7 +292,7 @@ def test_truncated_ledger_part_file_fails_loudly_not_silently(
     parquet, and the run must stop before laying out a final training
     set (the silent alternative — an empty-scan anti-join re-admitting
     the planted duplicate — is the failure this pins against)."""
-    src, schema, dup_id = _split_source(
+    src, schema, dup_id, _ = _split_source(
         spark, sf_dir, tmp_path, dup_of_first=True
     )
     out = str(tmp_path / "out")
@@ -358,18 +368,10 @@ def _thirds_source(spark, sf_dir, tmp_path):
     2-file `_split_source` puts only a planted dup in file 2, so a
     batch-2 self-erasure there would be invisible — the dup SHOULD
     vanish). Returns (src, schema, set of file-2 doc_ids)."""
-    base = load_table(spark, sf_dir, "documents").limit(45).toPandas()
-    third = len(base) // 3
-    files = [base.iloc[:third], base.iloc[third : 2 * third], base.iloc[2 * third :]]
-    src = tmp_path / "src"
-    src.mkdir()
-    now = time.time()
-    for i, pdf in enumerate(files):
-        f = src / f"f{i}.parquet"
-        pdf.to_parquet(f, index=False)
-        os.utime(f, (now - 180 + 60 * i, now - 180 + 60 * i))
-    schema = load_table(spark, sf_dir, "documents").schema
-    return str(src), schema, set(int(d) for d in files[2]["doc_id"])
+    src, schema, _, file_ids = _split_source(
+        spark, sf_dir, tmp_path, n_rows=45, n_files=3
+    )
+    return src, schema, file_ids[2]
 
 
 def _half_written_batch2(spark, schema, src, tmp_path, tag, monkeypatch):
@@ -498,7 +500,7 @@ def test_two_concurrent_resumes_of_one_pair_refuse_loudly(
     applies — that residue is the documented caller-owned contract."""
     import threading
 
-    src, schema, _ = _split_source(spark, sf_dir, tmp_path)
+    src, schema, _, _ = _split_source(spark, sf_dir, tmp_path)
     ref = _reference_run(spark, schema, src, tmp_path)
     out = str(tmp_path / "out")
     staging = str(tmp_path / "staging")

@@ -18,10 +18,14 @@ filter) also writes ``DETERMINISM_r{N}.json`` at the repo root — one
 entry per query, ``{"status": "DETERMINISTIC"|"MISMATCH"|"ERROR",
 "rows": n}`` plus a top-level summary — so the green run is a committed
 receipt next to CORRECTNESS_r{N}.json instead of a commit-message
-claim. N defaults to the newest CORRECTNESS round on disk (the round
-in progress); override the full path with SPARK_GRAFT_DETERMINISM_OUT.
+claim. N defaults to the newest CORRECTNESS round on disk PLUS ONE —
+the round in progress, since the driver writes CORRECTNESS_r{N} only
+at round end; override the full path with SPARK_GRAFT_DETERMINISM_OUT.
 A MISMATCH still exits 1, and the artifact records it — failing loudly
-in both channels.
+in both channels. An existing receipt recorded at a DIFFERENT sf_dir
+is never silently replaced: the run refuses and asks for the env
+override, so a default-args rerun can't swap the committed round
+receipt for a different-scale one.
 """
 
 from __future__ import annotations
@@ -116,6 +120,22 @@ def main() -> int:
         import json
 
         out = _artifact_path()
+        if out.exists():
+            try:
+                prior_sf = json.loads(out.read_text()).get("sf_dir")
+            except (ValueError, OSError):
+                prior_sf = None
+            if prior_sf is not None and prior_sf != sf_dir:
+                # the round receipt on disk came from a different scale;
+                # overwriting it on a default-args rerun would silently
+                # swap the committed receipt. Refuse — rerun at the same
+                # sf_dir, or point SPARK_GRAFT_DETERMINISM_OUT elsewhere.
+                print(
+                    f"REFUSING to overwrite {out.name}: it records "
+                    f"sf_dir={prior_sf!r}, this run used {sf_dir!r}. "
+                    "Set SPARK_GRAFT_DETERMINISM_OUT to write elsewhere."
+                )
+                return 1 if failures else 0
         out.write_text(
             json.dumps(
                 {

@@ -87,10 +87,15 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
             f" FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
         # per-table, per-key stride = max(src key)+1: collision-free at
-        # ANY source scale, and keeps each copy's id block contiguous
+        # ANY source scale, and keeps each copy's id block contiguous.
+        # COALESCE covers an empty source table (max() is NULL): stride 1
+        # preserves the old fixed-constant behavior (empty output) instead
+        # of a bare int(None) TypeError with no table name in hand.
         strides = {
             f"s_{c}": int(
-                con.sql(f"SELECT max({c}) + 1 FROM src").fetchone()[0]
+                con.sql(
+                    f"SELECT coalesce(max({c}) + 1, 1) FROM src"
+                ).fetchone()[0]
             )
             for c in key_cols
         }
@@ -110,11 +115,15 @@ def main() -> int:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     # cache key includes the SOURCE dir — a blowup of a different sf_dir
-    # must never be silently reused (the ratios would be meaningless)
+    # must never be silently reused (the ratios would be meaningless) —
+    # AND the stride-scheme version: a dir built by the old fixed-stride
+    # code (or any future scheme change) must be rebuilt, not reused with
+    # its colliding ids. Bump _SCHEME when the remap algebra changes.
     import hashlib
 
+    _SCHEME = "v2"  # v2 = per-table max(key)+1 strides (r11 advisor fix)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    out_dir = f"/tmp/scale{copies}x_{tag}"
+    out_dir = f"/tmp/scale{copies}x_{_SCHEME}_{tag}"
     build_blowup(sf_dir, out_dir, copies)
 
     from pyspark.sql import SparkSession
@@ -172,6 +181,10 @@ def main() -> int:
     for name in names:
         times = {}
         for label, d in (("1x", sf_dir), (f"{copies}x", out_dir)):
+            # progress marker: a multi-query probe that dies mid-run
+            # (OOM, timeout) must name the query+leg it died in — the
+            # JSON line only prints at the very end
+            print(f"[scale_probe] {name} {label}", file=sys.stderr, flush=True)
             # warm-ensure THIS query's shared builds at THIS dir right
             # before its repeats (an earlier owner's eviction is not
             # per-dir, so an up-front prewarm could be stranded)
