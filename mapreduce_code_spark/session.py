@@ -19,6 +19,39 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Broadcast caps for jobs over HIGH-DUPLICATION (highly-compressible)
+# corpora — the regime every dedup job is in by definition. Both of
+# Spark's automatic broadcast decisions estimate from COMPRESSED bytes:
+# the static planner from parquet file sizes, AQE's SMJ->BHJ demotion
+# from compressed shuffle bytes. Dictionary/RLE encodings compress a
+# 99%-duplicate column ~100x, so either estimate can sit two orders of
+# magnitude under the in-memory HashedRelation a broadcast must build.
+# Measured (r12 sf10 probe tier): a 12-query run over a 100x verbatim-
+# duplicated corpus died in BroadcastExchangeExec with
+# notEnoughMemoryToBuildAndBroadcastTableError after a ~1 GiB single-
+# allocation GC-locker retry — an AQE runtime conversion whose shuffle
+# stats said "small". The 2m cap keeps worst-case in-heap expansion
+# (~100x) near 200 MB. Explicit broadcast() hints are unaffected —
+# hints bypass thresholds, and the engine only hints provably tiny dims.
+HIGH_DUPLICATION_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "2m",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "2m",
+}
+
+
+def apply_high_duplication_confs(spark: SparkSession) -> dict[str, str]:
+    """Cap automatic broadcasts for a high-duplication workload.
+
+    Both confs are runtime-settable, so this works on a live session.
+    Returns the previous values so a caller scoping the cap to one job
+    can restore them (``spark.conf.set(k, old[k])``).
+    """
+    prev = {}
+    for k, v in HIGH_DUPLICATION_CONFS.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return prev
+
 
 def get_spark(
     app_name: str = "mapreduce_code_spark",

@@ -277,3 +277,57 @@ def test_rotation_lists_name_real_queries():
     assert lead == list(REG._FIRST)
     for n in REG._LAST:
         assert names.index(n) >= len(names) - len(REG._LAST)
+
+
+def test_high_duplication_confs_flip_automatic_broadcast(spark):
+    """The HIGH_DUPLICATION_CONFS cap (session.py) must actually change
+    the automatic join strategy in the size window the r12 sf10 incident
+    lives in: a build side whose COMPRESSED estimate sits between the 2m
+    cap and the 10m default. sf0.1 orders.parquet (~2.7 MB on disk) is
+    exactly that — under defaults the planner broadcasts it; under the
+    cap the same join must fall back to a shuffle join. Explicit
+    broadcast() hints must keep working regardless (hints bypass
+    thresholds; the engine's own dim broadcasts rely on that)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_code_spark.session import (
+        HIGH_DUPLICATION_CONFS,
+        apply_high_duplication_confs,
+    )
+
+    path = "/root/testdata/sf0.1/orders.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 dataset not on this host")
+    assert (
+        2 * 1024 * 1024 < os.path.getsize(path) < 10 * 1024 * 1024
+    ), "orders.parquet left the cap..default window; pick another table"
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # full-width build side: column pruning scales the size estimate by
+    # the projected row-width ratio, so a narrow projection would fall
+    # under the 2m cap and never exercise the flip
+    orders = spark.read.parquet(path)
+    build = spark.read.parquet(path)
+    joined = orders.alias("a").join(build.alias("b"), "o_orderkey")
+
+    prev = apply_high_duplication_confs(spark)
+    try:
+        assert set(prev) == set(HIGH_DUPLICATION_CONFS)
+        capped = plan(orders.alias("a").join(build.alias("b"), "o_orderkey"))
+        assert "BroadcastHashJoin" not in capped, capped[:2000]
+        hinted = plan(
+            orders.alias("a").join(F.broadcast(build.alias("b")), "o_orderkey")
+        )
+        assert "BroadcastHashJoin" in hinted, hinted[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    default = plan(joined)
+    assert "BroadcastHashJoin" in default, default[:2000]

@@ -138,6 +138,14 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # The blowup corpus is verbatim-duplicated by construction — the
+    # exact regime where compressed-size broadcast estimates understate
+    # in-memory size ~copies-fold. The r12 sf10 tier's first full run
+    # died in BroadcastExchangeExec on an AQE conversion here; cap
+    # automatic broadcasts for every probe leg (explicit hints unaffected).
+    from mapreduce_code_spark.session import apply_high_duplication_confs
+
+    apply_high_duplication_confs(spark)
     names = (
         [n.strip() for n in sys.argv[4].split(",") if n.strip()]
         if len(sys.argv) > 4
