@@ -29,6 +29,49 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 
+def frames_match(got: pd.DataFrame, want: pd.DataFrame) -> str:
+    """Driver-faithful compare of two NORMALIZED frames; returns "OK" or
+    the first failure reason. The driver hashes canonicalized values, so
+    DuckDB HUGEINT->float64 drift against Spark's int64 is a FAILURE
+    even when values are numerically equal (e.g. 0.0 vs 0). rtol applies
+    only when BOTH sides are genuinely float; integer columns compare
+    exactly. Shared by the oracle check below and the partition-
+    invariance audit (same standard: "would the driver row stay green")."""
+    if list(got.columns) != list(want.columns):
+        return (
+            f"SCHEMA MISMATCH spark={list(got.columns)} "
+            f"oracle={list(want.columns)}"
+        )
+    if len(got) != len(want):
+        return f"ROWCOUNT MISMATCH spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        g_int = pd.api.types.is_integer_dtype(g)
+        w_int = pd.api.types.is_integer_dtype(w)
+        try:
+            if g_int != w_int and pd.api.types.is_numeric_dtype(
+                g
+            ) and pd.api.types.is_numeric_dtype(w):
+                return (
+                    f"DTYPE DRIFT in {c}: spark={g.dtype} "
+                    f"oracle={w.dtype} (driver hash would differ)"
+                )
+            if g_int and w_int:
+                if not g.astype("int64").equals(w.astype("int64")):
+                    return f"VALUE MISMATCH in {c}"
+            elif pd.api.types.is_float_dtype(
+                g
+            ) or pd.api.types.is_float_dtype(w):
+                pd.testing.assert_series_equal(
+                    g.astype(float), w.astype(float),
+                    check_names=False, rtol=1e-9, check_dtype=False)
+            elif not g.astype(str).equals(w.astype(str)):
+                return f"VALUE MISMATCH in {c}"
+        except (AssertionError, TypeError, OverflowError):
+            return f"VALUE MISMATCH in {c}"
+    return "OK"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,46 +122,7 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         want = normalize(con.sql(oracles[name]).df())
         con.close()
-        status = "OK"
-        if list(got.columns) != list(want.columns):
-            status = f"SCHEMA MISMATCH spark={list(got.columns)} oracle={list(want.columns)}"
-        elif len(got) != len(want):
-            status = f"ROWCOUNT MISMATCH spark={len(got)} oracle={len(want)}"
-        else:
-            for c in got.columns:
-                g, w = got[c], want[c]
-                # Driver-faithful compare: the driver hashes canonicalized
-                # values, so DuckDB HUGEINT->float64 drift against Spark's
-                # int64 is a FAILURE even when values are numerically equal
-                # (e.g. 0.0 vs 0). rtol applies only when BOTH sides are
-                # genuinely float; integer columns compare exactly.
-                g_int = pd.api.types.is_integer_dtype(g)
-                w_int = pd.api.types.is_integer_dtype(w)
-                try:
-                    if g_int != w_int and pd.api.types.is_numeric_dtype(
-                        g
-                    ) and pd.api.types.is_numeric_dtype(w):
-                        status = (
-                            f"DTYPE DRIFT in {c}: spark={g.dtype} "
-                            f"oracle={w.dtype} (driver hash would differ)"
-                        )
-                        break
-                    if g_int and w_int:
-                        if not g.astype("int64").equals(w.astype("int64")):
-                            status = f"VALUE MISMATCH in {c}"
-                            break
-                    elif pd.api.types.is_float_dtype(
-                        g
-                    ) or pd.api.types.is_float_dtype(w):
-                        pd.testing.assert_series_equal(
-                            g.astype(float), w.astype(float),
-                            check_names=False, rtol=1e-9, check_dtype=False)
-                    elif not g.astype(str).equals(w.astype(str)):
-                        status = f"VALUE MISMATCH in {c}"
-                        break
-                except (AssertionError, TypeError, OverflowError):
-                    status = f"VALUE MISMATCH in {c}"
-                    break
+        status = frames_match(got, want)
         print(f"  {name}: rows={len(got)} {status}")
         release_persisted()  # don't accumulate cached shingle passes
         if status != "OK":
