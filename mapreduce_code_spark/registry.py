@@ -116,66 +116,59 @@ def retired(name: str, oracle: str | None = None):
 # test_next_round_must_check_fits_budget fails at build time if the
 # stale+new set exceeds 50.
 _FIRST = [
-    # --- touched in round 12 (r11 verdict #2, the concurrent-race
-    # hardening): ingest_training_set's auto-compact now passes its
-    # checkpoint_dir into compact_hash_log's new verified-precondition
-    # guard (plans/pipeline.py), and the registered shared ingest run
-    # uses compact_every=1, so BOTH its rows re-verify end-to-end.
-    # (The round's other kernel edit — regression.py binding
-    # partials=[] for max_iter<=0 — is provably dead code for every
-    # max_iter>=1 call, which is all the registered SGD rows make;
-    # their fresh r11 rows stand, per the r11 manifest-twin precedent,
-    # and tools/driver_check.py re-ran both green on the r12 code.)
-    "pipeline_ingest_hash_log",
-    "pipeline_ingest_manifest",
-    # --- latest green row is r10 (rotation: due this round) ---
-    "apriori_association_rules_ref",
-    "similarity_label_centroids",
-    "similarity_assign_centroids",
-    "similarity_semantic_dedup",
-    "text_contamination_ngram",
-    "text_quality_classifier",
-    "text_redact_pii",
-    "pipeline_materialize_manifest",
-    "pipeline_epoch_transfer",
-    "sampling_chunk_documents",
-    "sampling_source_cap",
-    "sampling_temperature_mix",
-    "dedup_substring_spans",
-    "multimodal_frame_plan",
-    "relational_regional_revenue",
-    "relational_streamed_hll",
-    "relational_topk_parts_per_brand",
-    "relational_rollup_pricing",
-    "relational_grouping_sets",
-    "relational_cube_order_stats",
-    "relational_pivot_returnflag",
-    "relational_kv_upsert",
-    "relational_countmin_heavy_hitters",
-    "relational_bloom_customers",
-    "relational_idle_customers",
-    "relational_scd2_prices",
-    "relational_funnel_stages",
-    "relational_unpivot_measures",
-    "relational_setops_customers",
-    "relational_filter_case_orders",
-    "relational_above_avg_orders",
-    "relational_integrity_checks",
-    "relational_profile",
-    "events_streamed_tumbling",
-    "events_streamed_session",
-    "events_streamed_view_purchase",
-    "graph_pagerank_clicks",
-    "graph_triangle_clicks",
-    "events_streamed_anomaly",
-    "events_drift_chisq",
-    "graph_coreness_clicks",
-    "similarity_hybrid_rrf",
-    "events_retention_cohorts",
-    "relational_winsorized_prices",
-    "events_streamed_attribution",
-    "relational_pointintime_prices",
-    "relational_returned_orders",
+    # --- round 13 rotation: the 48 queries whose latest green row is
+    # r11 (no row in CORRECTNESS_r12.json — due this round; r13 touched
+    # no registered-query kernel: the round's code work is audit-tool
+    # and session-helper hardening, so must-check = 48, slack 2).
+    # Shared-build OWNERS lead their consumers (bench cache hygiene).
+    "apriori_frequent_itemsets",
+    "dedup_near_dup_scalable",
+    "dedup_components_starcontract",
+    "dedup_streamed_incremental",
+    "dedup_incremental",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "regression_sgd_linear",
+    "regression_sgd_logistic",
+    "regression_ols_stats",
+    "events_json_props",
+    "events_session_paths",
+    "events_sliding_window",
+    "events_user_running_totals",
+    "graph_lpa_communities",
+    "multimodal_features",
+    "multimodal_meta",
+    "pipeline_curated_corpus",
+    "pipeline_materialize_epoch",
+    "pipeline_quality_margins",
+    "relational_customer_order_history",
+    "relational_distinct_part_stats",
+    "relational_events_close_pairs",
+    "relational_events_orders_asof",
+    "relational_histogram_quantiles",
+    "relational_hourly_gapfill",
+    "relational_pricing_summary",
+    "relational_quantity_quartiles",
+    "relational_rolling_24h",
+    "sampling_global_shuffle",
+    "sampling_pack_documents",
+    "sampling_quality_weighted",
+    "sampling_streamed_stratified",
+    "sampling_train_val_split",
+    "similarity_cosine_dups",
+    "similarity_quantize_int8",
+    "similarity_topk_cosine",
+    "similarity_topk_ivf_pinned",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition_gopher",
+    "text_stats",
+    "text_tfidf",
+    "text_winnow_fingerprint",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the

@@ -39,18 +39,38 @@ HIGH_DUPLICATION_CONFS = {
 }
 
 
-def apply_high_duplication_confs(spark: SparkSession) -> dict[str, str]:
+def apply_high_duplication_confs(spark: SparkSession) -> dict[str, str | None]:
     """Cap automatic broadcasts for a high-duplication workload.
 
     Both confs are runtime-settable, so this works on a live session.
-    Returns the previous values so a caller scoping the cap to one job
-    can restore them (``spark.conf.set(k, old[k])``).
+    Returns the previous values for ``restore_confs``. A value of
+    ``None`` means the conf was NEVER EXPLICITLY SET on this session
+    (``conf.get(k, None)`` returns the passed default, not the
+    registered SQL default) — the common case for
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold``. Restoring such a
+    key requires ``spark.conf.unset(k)``; ``conf.set(k, None)`` raises.
+    Use ``restore_confs(spark, prev)``, which handles both cases.
     """
     prev = {}
     for k, v in HIGH_DUPLICATION_CONFS.items():
         prev[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     return prev
+
+
+def restore_confs(spark: SparkSession, prev: dict[str, str | None]) -> None:
+    """Restore confs saved by ``apply_high_duplication_confs``.
+
+    ``None`` means the key was unset before the apply — unset it again
+    so the session returns to the registered SQL default (the canonical
+    session's registered plans/floors depend on defaults, so a scoped
+    apply/restore cycle must be plan-transparent; pinned in
+    tests/test_plan_shapes.py)."""
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def get_spark(

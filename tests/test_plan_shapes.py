@@ -295,14 +295,27 @@ def test_high_duplication_confs_flip_automatic_broadcast(spark):
     from mapreduce_code_spark.session import (
         HIGH_DUPLICATION_CONFS,
         apply_high_duplication_confs,
+        restore_confs,
     )
 
     path = "/root/testdata/sf0.1/orders.parquet"
     if not os.path.exists(path):
         pytest.skip("sf0.1 dataset not on this host")
-    assert (
-        2 * 1024 * 1024 < os.path.getsize(path) < 10 * 1024 * 1024
-    ), "orders.parquet left the cap..default window; pick another table"
+    # a Spark-style parquet DIRECTORY must be sized as the sum of its
+    # data files — os.path.getsize on the dir returns the inode size
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        size = os.path.getsize(path)
+    if not 2 * 1024 * 1024 < size < 10 * 1024 * 1024:
+        pytest.skip(
+            f"orders.parquet is {size} bytes — outside the 2m..10m "
+            "cap..default window this test needs; the fixture changed"
+        )
 
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
@@ -324,10 +337,61 @@ def test_high_duplication_confs_flip_automatic_broadcast(spark):
         )
         assert "BroadcastHashJoin" in hinted, hinted[:2000]
     finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        restore_confs(spark, prev)
     default = plan(joined)
     assert "BroadcastHashJoin" in default, default[:2000]
+
+
+def test_high_duplication_confs_restore_is_plan_transparent(spark):
+    """Verdict r12 item 6: a scoped apply/restore cycle must leave the
+    canonical session's plans byte-identical — the registered floors
+    depend on default broadcast behavior, so a caller that caps for one
+    dedup job and restores must not leave residue that flips any later
+    automatic-broadcast decision. Compares the physical plan string of a
+    broadcast-sensitive join BEFORE the cycle and AFTER restore (plan id
+    counters stripped), and asserts the conf values themselves round-trip
+    including the None-means-unset case."""
+    import os
+    import re
+
+    from mapreduce_code_spark.session import (
+        HIGH_DUPLICATION_CONFS,
+        apply_high_duplication_confs,
+        restore_confs,
+    )
+
+    path = "/root/testdata/sf0.1/orders.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 dataset not on this host")
+
+    def plan(df):
+        # strip per-plan id counters (#123) and exchange ids so two
+        # plans for the same query compare byte-identical
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"plan_id=\d+", "plan_id=", re.sub(r"#\d+", "#", s))
+
+    def confs():
+        return {
+            k: spark.conf.get(k, None) for k in HIGH_DUPLICATION_CONFS
+        }
+
+    orders = spark.read.parquet(path)
+    build = spark.read.parquet(path)
+
+    def joined():
+        # rebuilt per call — a DataFrame memoizes its QueryExecution, so
+        # reusing one instance would show the pre-cap plan forever
+        return orders.alias("a").join(build.alias("b"), "o_orderkey")
+
+    before_confs = confs()
+    before_plan = plan(joined())
+    assert "BroadcastHashJoin" in before_plan  # the default the floors use
+
+    prev = apply_high_duplication_confs(spark)
+    assert prev == before_confs  # saved exactly what was there
+    capped_plan = plan(joined())
+    assert "BroadcastHashJoin" not in capped_plan  # cap took effect
+    restore_confs(spark, prev)
+
+    assert confs() == before_confs, "restore left conf residue"
+    assert plan(joined()) == before_plan, "restore changed the default plan"

@@ -67,7 +67,12 @@ def frames_match(got: pd.DataFrame, want: pd.DataFrame) -> str:
                     check_names=False, rtol=1e-9, check_dtype=False)
             elif not g.astype(str).equals(w.astype(str)):
                 return f"VALUE MISMATCH in {c}"
-        except (AssertionError, TypeError, OverflowError):
+        except (AssertionError, TypeError, OverflowError, ValueError):
+            # ValueError: astype(float) on a non-numeric column when one
+            # side is float and the other string — a genuine mismatch,
+            # not an audit crash (r12 advisor low: the extraction exposed
+            # partition_invariance_audit, whose frames_match call sits
+            # outside its per-query try, to an uncaught ValueError).
             return f"VALUE MISMATCH in {c}"
     return "OK"
 

@@ -17,10 +17,13 @@ registered queries at 1x vs 10x on local[32], min-of-N. Expected shapes:
   ~corpus-scan-linear, never pair-quadratic.
 
 Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies] [names]
-``names`` is a comma-separated list of registered queries (default: the
-three round-4 families). Writes the blowup to /tmp/scale{copies}x
-(reused if present), prints one JSON line with per-query 1x/Nx min
-times and ratios.
+[tables]. ``names`` is a comma-separated list of registered queries
+(default: the three round-4 families); ``tables`` optionally restricts
+which source tables the blowup builds (r13 1000x tier: only
+events,embeddings — the four fixpoint-family queries read nothing
+else, and lineitem at 1000x would cost ~11 GB for nothing). Writes the
+blowup to /tmp/scale{copies}x (reused if present), prints one JSON
+line with per-query 1x/Nx min times and ratios.
 """
 
 from __future__ import annotations
@@ -41,7 +44,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # groups by order identity (r11 advisor, low).
 
 
-def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
+def build_blowup(
+    sf_dir: str,
+    out_dir: str,
+    copies: int,
+    tables: set[str] | None = None,
+) -> None:
+    """``tables``: build only these (default all). The r13 1000x tier
+    needs only events+embeddings (graph trio + semantic dedup); building
+    lineitem at 1000x would burn ~11 GB for nothing."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -79,6 +90,8 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
         ),
     }
     for table, (tpl, key_cols) in specs.items():
+        if tables is not None and table not in tables:
+            continue
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dst):
             continue
@@ -99,9 +112,25 @@ def build_blowup(sf_dir: str, out_dir: str, copies: int) -> None:
             )
             for c in key_cols
         }
-        union = "\nUNION ALL\n".join(
-            tpl.format(i=i, **strides) for i in range(copies)
-        )
+        if copies <= 16:
+            union = "\nUNION ALL\n".join(
+                tpl.format(i=i, **strides) for i in range(copies)
+            )
+        else:
+            # large copy counts (the r13 1000x tier): a 1000-branch
+            # UNION ALL is 1000 scans; a cross join against range(n)
+            # is one scan with identical values (i = copy index).
+            body = tpl.format(i="cp.i", **strides)
+            union = (
+                f"{body}, (SELECT unnest(range({copies}))::BIGINT AS i) cp"
+                if " FROM src" not in body
+                else body.replace(
+                    " FROM src",
+                    f" FROM src CROSS JOIN"
+                    f" (SELECT unnest(range({copies}))::BIGINT AS i) cp",
+                    1,
+                )
+            )
         # write-then-rename: a truncated file left by an interrupted run
         # must never pass the exists() reuse check above — only a COPY
         # that completed lands at the final path
@@ -124,7 +153,12 @@ def main() -> int:
     _SCHEME = "v2"  # v2 = per-table max(key)+1 strides (r11 advisor fix)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out_dir = f"/tmp/scale{copies}x_{_SCHEME}_{tag}"
-    build_blowup(sf_dir, out_dir, copies)
+    tables = (
+        {t.strip() for t in sys.argv[5].split(",") if t.strip()}
+        if len(sys.argv) > 5
+        else None
+    )
+    build_blowup(sf_dir, out_dir, copies, tables)
 
     from pyspark.sql import SparkSession
 
