@@ -49,14 +49,19 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def dirty_code_paths() -> list[str]:
-    out = _git("status", "--porcelain")
+def classify_dirty(porcelain: str) -> list[str]:
+    """Paths from ``git status --porcelain`` output that are CODE (would
+    invalidate a receipt); round artifacts (*.json, *.md, logs) pass."""
     dirty = []
-    for line in out.splitlines():
+    for line in porcelain.splitlines():
         path = line[3:].split(" -> ")[-1].strip().strip('"')
         if any(path.startswith(g) or path == g for g in CODE_GLOBS):
             dirty.append(path)
     return dirty
+
+
+def dirty_code_paths() -> list[str]:
+    return classify_dirty(_git("status", "--porcelain"))
 
 
 def last_code_commit_epoch() -> tuple[str, int]:
