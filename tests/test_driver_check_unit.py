@@ -1,6 +1,9 @@
-"""Pure-pandas unit pins for tools/driver_check.frames_match — the
-compare standard shared by the oracle check, the determinism audit, and
-the partition-invariance audit. No SparkSession needed.
+"""Pure-pandas unit pins for tools/compare.frames_match — the compare
+standard shared by the oracle check (driver_check), the determinism
+audit, and the partition-invariance audit. Imports tools/compare
+directly (pandas-only; importing driver_check would pull in duckdb,
+pyspark, and the full engine registry just to test three pandas
+functions — r13 review finding).
 
 The r12 advisor found that a float-vs-string column pair raised an
 uncaught ValueError out of frames_match (astype(float) on non-numeric
@@ -18,7 +21,7 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from driver_check import frames_match, normalize  # noqa: E402
+from compare import frames_match, normalize  # noqa: E402
 
 
 def test_float_vs_string_column_reports_mismatch_not_crash():

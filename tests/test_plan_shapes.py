@@ -279,30 +279,18 @@ def test_rotation_lists_name_real_queries():
         assert names.index(n) >= len(names) - len(REG._LAST)
 
 
-def test_high_duplication_confs_flip_automatic_broadcast(spark):
-    """The HIGH_DUPLICATION_CONFS cap (session.py) must actually change
-    the automatic join strategy in the size window the r12 sf10 incident
-    lives in: a build side whose COMPRESSED estimate sits between the 2m
-    cap and the 10m default. sf0.1 orders.parquet (~2.7 MB on disk) is
-    exactly that — under defaults the planner broadcasts it; under the
-    cap the same join must fall back to a shuffle join. Explicit
-    broadcast() hints must keep working regardless (hints bypass
-    thresholds; the engine's own dim broadcasts rely on that)."""
+def _orders_in_broadcast_window() -> str:
+    """sf0.1 orders.parquet, skipping unless its COMPRESSED size sits in
+    the 2m..10m window between the HIGH_DUPLICATION cap and the 10m
+    default — the regime both broadcast-flip tests need. Sums data files
+    when the fixture is a Spark-style parquet directory (getsize on a
+    dir returns the inode size), and skips — naming the real cause —
+    rather than failing if the fixture drifts out of the window."""
     import os
-
-    from pyspark.sql import functions as F
-
-    from mapreduce_code_spark.session import (
-        HIGH_DUPLICATION_CONFS,
-        apply_high_duplication_confs,
-        restore_confs,
-    )
 
     path = "/root/testdata/sf0.1/orders.parquet"
     if not os.path.exists(path):
         pytest.skip("sf0.1 dataset not on this host")
-    # a Spark-style parquet DIRECTORY must be sized as the sum of its
-    # data files — os.path.getsize on the dir returns the inode size
     if os.path.isdir(path):
         size = sum(
             os.path.getsize(os.path.join(path, f))
@@ -314,8 +302,29 @@ def test_high_duplication_confs_flip_automatic_broadcast(spark):
     if not 2 * 1024 * 1024 < size < 10 * 1024 * 1024:
         pytest.skip(
             f"orders.parquet is {size} bytes — outside the 2m..10m "
-            "cap..default window this test needs; the fixture changed"
+            "cap..default window these tests need; the fixture changed"
         )
+    return path
+
+
+def test_high_duplication_confs_flip_automatic_broadcast(spark):
+    """The HIGH_DUPLICATION_CONFS cap (session.py) must actually change
+    the automatic join strategy in the size window the r12 sf10 incident
+    lives in: a build side whose COMPRESSED estimate sits between the 2m
+    cap and the 10m default. sf0.1 orders.parquet (~2.7 MB on disk) is
+    exactly that — under defaults the planner broadcasts it; under the
+    cap the same join must fall back to a shuffle join. Explicit
+    broadcast() hints must keep working regardless (hints bypass
+    thresholds; the engine's own dim broadcasts rely on that)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_code_spark.session import (
+        HIGH_DUPLICATION_CONFS,
+        apply_high_duplication_confs,
+        restore_confs,
+    )
+
+    path = _orders_in_broadcast_window()
 
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
@@ -351,7 +360,6 @@ def test_high_duplication_confs_restore_is_plan_transparent(spark):
     broadcast-sensitive join BEFORE the cycle and AFTER restore (plan id
     counters stripped), and asserts the conf values themselves round-trip
     including the None-means-unset case."""
-    import os
     import re
 
     from mapreduce_code_spark.session import (
@@ -360,9 +368,10 @@ def test_high_duplication_confs_restore_is_plan_transparent(spark):
         restore_confs,
     )
 
-    path = "/root/testdata/sf0.1/orders.parquet"
-    if not os.path.exists(path):
-        pytest.skip("sf0.1 dataset not on this host")
+    # same 2m..10m fixture guard as the flip test: below the cap the
+    # "capped plan loses its broadcast" assertion would fail with a
+    # message blaming apply_high_duplication_confs for fixture drift
+    path = _orders_in_broadcast_window()
 
     def plan(df):
         # strip per-plan id counters (#123) and exchange ids so two

@@ -7,16 +7,27 @@ verdict flagged exactly that. This script makes the ordering a
 mechanical property instead of a discipline:
 
 1. Refuses to run if the working tree has uncommitted CODE changes
-   (tracked .py files under mapreduce_code_spark/, tools/, tests/, or
-   the contract/bench entry points) — receipts generated over a dirty
-   tree certify nothing. Round artifacts (*.json, *.md) may be dirty.
+   (anything under mapreduce_code_spark/, tools/, tests/, or the
+   contract/bench entry points — deliberately coarser than "*.py":
+   a dirty path under a code dir fails SAFE even if it is a stray
+   .md, because the cost of a spurious refusal is one commit, while
+   the cost of a miscertified receipt is an argument with the judge).
+   Root-level round artifacts (SURVEY.md, *_r{N}.json, logs) may be
+   dirty. A rename counts as dirty if EITHER side is a code path.
 2. Runs the determinism audit (sf0.01) and the partition-invariance
    audit (sf0.01 per r12 verdict item 2 — r12 banked it at sf0.001,
    where several queries have too few rows to exercise multi-partition
    reduction trees) as SUBPROCESSES, so each gets the same bare-session
-   environment the standalone tools use.
-3. Verifies both written receipts' mtimes postdate the last code
-   commit, and prints the timestamps for the commit message.
+   environment the standalone tools use. The SPARK_GRAFT_*_OUT
+   overrides are stripped from the child env so the receipts land at
+   their canonical round paths.
+3. Verifies each receipt by PROVENANCE, not glob-newest mtime: the
+   audit prints ``artifact: <path>`` only after writing; round_close
+   captures that exact path, re-reads it, checks its recorded sf_dir
+   matches this run's, and only then checks its mtime postdates the
+   last code commit. (A refuse-to-overwrite exit, an env-redirected
+   receipt, or a stale checked-out file can therefore never be
+   certified — the r13 review finding.)
 
 Usage: python tools/round_close.py [--skip-determinism]
        [--skip-invariance]
@@ -25,6 +36,9 @@ Exit 0 = both audits green and ordering verified.
 
 from __future__ import annotations
 
+import json
+import os
+import re
 import subprocess
 import sys
 import time
@@ -49,14 +63,26 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
+def _is_code(path: str) -> bool:
+    return any(path.startswith(g) or path == g for g in CODE_GLOBS)
+
+
 def classify_dirty(porcelain: str) -> list[str]:
-    """Paths from ``git status --porcelain`` output that are CODE (would
-    invalidate a receipt); round artifacts (*.json, *.md, logs) pass."""
+    """Paths from ``git status --porcelain`` output that sit under the
+    code globs (would invalidate a receipt). Root-level round artifacts
+    pass. A rename is dirty if EITHER endpoint is a code path — a
+    rename FROM code removes code from the tree just as surely as an
+    edit (review finding: the destination-only check let
+    'R tools/x.py -> NOTES.md' escape)."""
     dirty = []
     for line in porcelain.splitlines():
-        path = line[3:].split(" -> ")[-1].strip().strip('"')
-        if any(path.startswith(g) or path == g for g in CODE_GLOBS):
-            dirty.append(path)
+        rest = line[3:].strip()
+        sides = [s.strip().strip('"') for s in rest.split(" -> ")]
+        hits = [s for s in sides if _is_code(s)]
+        if hits:
+            # report the code-side path(s); for a code->code rename the
+            # destination is what is dirty now
+            dirty.append(hits[-1])
     return dirty
 
 
@@ -68,6 +94,25 @@ def last_code_commit_epoch() -> tuple[str, int]:
     sha = _git("log", "-1", "--format=%H", "--", *CODE_GLOBS)
     epoch = int(_git("show", "-s", "--format=%ct", sha))
     return sha, epoch
+
+
+def _run_audit(cmd: list[str]) -> tuple[int, str | None]:
+    """Run an audit subprocess, teeing stdout through, and return
+    (returncode, artifact_path) where artifact_path is parsed from the
+    audit's own ``artifact: <path>`` line — printed only after a
+    successful write, so it is the receipt's provenance."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_DETERMINISM_OUT", "SPARK_GRAFT_PARTITION_OUT")
+    }
+    proc = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+    m = None
+    for m in re.finditer(r"^artifact: (.+)$", proc.stdout, re.M):
+        pass  # keep the last one
+    return proc.returncode, (m.group(1).strip() if m else None)
 
 
 def main() -> int:
@@ -88,37 +133,52 @@ def main() -> int:
         f"{time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(code_epoch))}"
     )
 
-    steps: list[tuple[str, list[str], str]] = []
+    steps: list[tuple[str, list[str]]] = []
     if not skip_det:
         steps.append(
-            (
-                "determinism",
-                [sys.executable, "tools/determinism_audit.py", SF_DIR],
-                "DETERMINISM_r*.json",
-            )
+            ("determinism", [sys.executable, "tools/determinism_audit.py", SF_DIR])
         )
     if not skip_inv:
         steps.append(
             (
                 "partition-invariance",
                 [sys.executable, "tools/partition_invariance_audit.py", SF_DIR],
-                "PARTITION_INVARIANCE_r*.json",
             )
         )
 
     failures = []
-    for label, cmd, glob in steps:
+    for label, cmd in steps:
         print(f"\n=== {label} audit ({SF_DIR}) ===")
-        rc = subprocess.run(cmd, cwd=ROOT).returncode
+        rc, artifact = _run_audit(cmd)
         if rc != 0:
             print(f"{label}: FAILED (exit {rc})")
             failures.append(label)
             continue
-        newest = max(ROOT.glob(glob), key=lambda p: p.stat().st_mtime)
-        mtime = int(newest.stat().st_mtime)
+        if artifact is None:
+            # exit 0 with no artifact line = the audit's
+            # refuse-to-overwrite path (or a filtered run) — nothing was
+            # written this run, so there is nothing to certify
+            print(f"{label}: NO RECEIPT WRITTEN this run (refused overwrite?)")
+            failures.append(label)
+            continue
+        path = Path(artifact)
+        try:
+            recorded_sf = json.loads(path.read_text()).get("sf_dir")
+        except (OSError, ValueError) as exc:
+            print(f"{label}: receipt {path} unreadable: {exc}")
+            failures.append(label)
+            continue
+        if recorded_sf != SF_DIR:
+            print(
+                f"{label}: receipt {path.name} records sf_dir={recorded_sf!r},"
+                f" expected {SF_DIR!r}"
+            )
+            failures.append(label)
+            continue
+        mtime = int(path.stat().st_mtime)
         ok = mtime > code_epoch
         print(
-            f"{label}: {newest.name} mtime "
+            f"{label}: {path.name} mtime "
             f"{time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(mtime))} "
             f"{'POSTDATES' if ok else 'PREDATES'} last code commit"
         )

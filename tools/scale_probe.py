@@ -120,16 +120,16 @@ def build_blowup(
             # large copy counts (the r13 1000x tier): a 1000-branch
             # UNION ALL is 1000 scans; a cross join against range(n)
             # is one scan with identical values (i = copy index).
+            # The rewrite REQUIRES the template to read FROM src — a
+            # template without it would need a different rewrite, so
+            # fail loudly instead of generating invalid SQL.
             body = tpl.format(i="cp.i", **strides)
-            union = (
-                f"{body}, (SELECT unnest(range({copies}))::BIGINT AS i) cp"
-                if " FROM src" not in body
-                else body.replace(
-                    " FROM src",
-                    f" FROM src CROSS JOIN"
-                    f" (SELECT unnest(range({copies}))::BIGINT AS i) cp",
-                    1,
-                )
+            assert " FROM src" in body, f"{table}: template lacks ' FROM src'"
+            union = body.replace(
+                " FROM src",
+                f" FROM src CROSS JOIN"
+                f" (SELECT unnest(range({copies}))::BIGINT AS i) cp",
+                1,
             )
         # write-then-rename: a truncated file left by an interrupted run
         # must never pass the exists() reuse check above — only a COPY
