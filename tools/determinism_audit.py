@@ -54,6 +54,24 @@ def _evict_everything(spark) -> None:
     release_persisted()
 
 
+def _head_sha() -> str | None:
+    """Current HEAD commit, recorded in the receipt as the code state it
+    certifies. None outside a git checkout (the receipt is then
+    mtime-ordered only, as before)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=Path(__file__).resolve().parent.parent,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
 def _artifact_path() -> Path:
     """DETERMINISM_r{N}.json for the round in progress: N = the newest
     CORRECTNESS_r{N}.json on disk PLUS ONE (the driver writes the
@@ -140,6 +158,12 @@ def main() -> int:
             json.dumps(
                 {
                     "sf_dir": sf_dir,
+                    # the commit this receipt CERTIFIES — provenance as
+                    # content, not mtime (r13: a regenerated receipt over
+                    # unchanged results is byte-identical, so git history
+                    # could show the receipt's commit predating the code
+                    # commit it actually followed; the sha settles it)
+                    "head_sha": _head_sha(),
                     "n_queries": len(report),
                     "n_mismatch_or_error": len(failures),
                     "all_deterministic": not failures,

@@ -154,10 +154,15 @@ def main() -> int:
                     "Set SPARK_GRAFT_PARTITION_OUT to write elsewhere."
                 )
                 return 1 if failures else 0
+        from determinism_audit import _head_sha
+
         out.write_text(
             json.dumps(
                 {
                     "sf_dir": sf_dir,
+                    # commit certified by this receipt (see
+                    # determinism_audit._head_sha for rationale)
+                    "head_sha": _head_sha(),
                     "shuffle_partitions": {"base": base_n, "alt": alt_n},
                     "n_queries": len(report),
                     "n_mismatch_or_error": len(failures),

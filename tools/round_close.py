@@ -24,10 +24,14 @@ mechanical property instead of a discipline:
 3. Verifies each receipt by PROVENANCE, not glob-newest mtime: the
    audit prints ``artifact: <path>`` only after writing; round_close
    captures that exact path, re-reads it, checks its recorded sf_dir
-   matches this run's, and only then checks its mtime postdates the
-   last code commit. (A refuse-to-overwrite exit, an env-redirected
-   receipt, or a stale checked-out file can therefore never be
-   certified — the r13 review finding.)
+   matches this run's AND its recorded ``head_sha`` equals the current
+   HEAD (the receipt names the commit it certifies — content, not
+   mtime: a regenerated receipt over unchanged results is
+   byte-identical, so git history alone cannot order it), and only
+   then checks its mtime postdates the last code commit. (A
+   refuse-to-overwrite exit, an env-redirected receipt, or a stale
+   checked-out file can therefore never be certified — the r13 review
+   finding.)
 
 Usage: python tools/round_close.py [--skip-determinism]
        [--skip-invariance]
@@ -163,22 +167,34 @@ def main() -> int:
             continue
         path = Path(artifact)
         try:
-            recorded_sf = json.loads(path.read_text()).get("sf_dir")
+            receipt = json.loads(path.read_text())
         except (OSError, ValueError) as exc:
             print(f"{label}: receipt {path} unreadable: {exc}")
             failures.append(label)
             continue
-        if recorded_sf != SF_DIR:
+        if receipt.get("sf_dir") != SF_DIR:
             print(
-                f"{label}: receipt {path.name} records sf_dir={recorded_sf!r},"
-                f" expected {SF_DIR!r}"
+                f"{label}: receipt {path.name} records "
+                f"sf_dir={receipt.get('sf_dir')!r}, expected {SF_DIR!r}"
+            )
+            failures.append(label)
+            continue
+        # the strong check: the receipt names the commit it certifies
+        # (content, not mtime — a regenerated receipt over unchanged
+        # results is byte-identical, so git history alone can't order it)
+        head = _git("rev-parse", "HEAD")
+        recorded_sha = receipt.get("head_sha")
+        if recorded_sha != head:
+            print(
+                f"{label}: receipt {path.name} certifies "
+                f"head_sha={str(recorded_sha)[:12]}, but HEAD is {head[:12]}"
             )
             failures.append(label)
             continue
         mtime = int(path.stat().st_mtime)
         ok = mtime > code_epoch
         print(
-            f"{label}: {path.name} mtime "
+            f"{label}: {path.name} certifies HEAD {head[:12]}; mtime "
             f"{time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(mtime))} "
             f"{'POSTDATES' if ok else 'PREDATES'} last code commit"
         )
