@@ -57,6 +57,12 @@ def build_blowup(
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # A COPY preserving insertion order buffers the ENTIRE result before
+    # writing (observed: 600 M rows of 1000x lineitem sat at ~53 GB RSS
+    # with a 0-byte output file). The blowup's row order is immaterial —
+    # the probe times queries and counts rows, it never value-compares
+    # against an order-sensitive oracle — so let DuckDB stream.
+    con.execute("SET preserve_insertion_order=false")
     specs = {
         # remap identities per copy; keep everything else byte-identical.
         # Second element = the key columns whose per-table stride is
