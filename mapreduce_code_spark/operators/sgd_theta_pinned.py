@@ -1,0 +1,101 @@
+"""Pinned golden thetas for the two registered SGD fits (r13 verdict #2).
+
+``SGD_GOLDEN`` is ``sgd_fit`` run at the registered layout — sf0.01
+``lineitem`` through ``prep.labeled_points_scaled`` /
+``labeled_points_binary``, ``max_iter=5, n_partitions=8``, bare driver
+session — captured once and frozen as literals, the
+``IVF_CENTROIDS_Q`` / ``QUALITY_THETA`` precedent
+(operators/ivf_centroids_pinned.py, plans/pipeline.py:1276). The
+reference prints exactly this artifact and nothing else: the final
+theta line of ``logisticreg.java:216-218`` / ``multilinereg.java``'s
+driver loop, so a literal SELECT of the converged coefficients IS the
+reference's own observable output, not a weakened check.
+
+Golden-vs-recompute tradeoff, stated honestly: a recomputing oracle
+(what every other registered row has) re-derives the expected answer
+from the raw tables inside DuckDB, so it catches input-data drift as
+well as engine bugs; SGD's trajectory averaging is not
+SQL-expressible (SURVEY §5.1), so its rows spent twelve rounds as
+rows-only checks. The golden oracle is the strictly STRONGER swap at
+constant surface (§10(2)): the driver now hash-compares the fresh
+fit's 8 doubles bit-for-bit against frozen literals, which certifies
+the full kernel — split assignment, the reference-faithful float
+parenthesization (``logisticreg.java:77,85``), the AND-of-continue
+stop rule (``logisticreg.java:203``), and the reducer average
+(``logisticreg.java:136-138``) — instead of certifying only
+``spark_rows == 4``. What justifies freezing floats at all is the
+committed receipt pair: DETERMINISM (run-to-run bit-stability of the
+fit at sf0.01) and PARTITION_INVARIANCE (shuffle-width portability,
+SGD pair included); scan-split sensitivity is bounded because sf0.01
+``lineitem.parquet`` (~1 MB) is below
+``spark.sql.files.openCostInBytes`` (4 MB), so every ``local[N]``
+plans ONE scan partition and ``monotonically_increasing_id`` yields
+the same dense ``row_id`` domain — verified empirically: local[3] and
+local[8] fits are bit-identical. The literals below would go stale
+only if the fixture data, the prep plan, or the kernel changes — and
+``tests/test_sgd_theta_pinned.py`` re-derives them from a fresh
+``sgd_fit`` run every suite run, so staleness is a loud test failure,
+never a silent wrong-oracle.
+
+Literal format: every theta is emitted in scientific notation
+(``5.173819550800712e-1``) because DuckDB parses a bare decimal
+literal as DECIMAL first and the cast to DOUBLE can round an ulp off
+(observed on 2 of these 8 values); an e-notation literal is parsed
+directly as DOUBLE with correct rounding, bit-identical to Python's
+``repr`` round-trip on both engines.
+"""
+
+from __future__ import annotations
+
+# (theta tuple, iterations, converged) per link — sgd_fit at the
+# registered layout, sf0.01. Linear converges on iteration 1 (the
+# scaled targets start inside the accuracy band); logistic runs the
+# full 5 iterations without tripping the stop rule.
+SGD_GOLDEN: dict[str, tuple[tuple[float, ...], int, bool]] = {
+    "linear": (
+        (
+            0.5173819550800712,
+            0.017302843634449793,
+            0.029504291107419138,
+            0.018041545591677952,
+        ),
+        1,
+        True,
+    ),
+    "logistic": (
+        (
+            -0.6774654946578742,
+            -0.026547455084282336,
+            -0.021634732074917326,
+            -0.03812292628263761,
+        ),
+        5,
+        False,
+    ),
+}
+
+
+def double_literal(v: float) -> str:
+    """Render ``v`` so DuckDB parses it as DOUBLE with correct rounding
+    (bit-identical to the Python float): force scientific notation,
+    since a bare decimal literal goes through DECIMAL and can lose the
+    last ulp."""
+    r = repr(v)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def sgd_theta_oracle_sql(link: str) -> str:
+    """Literal SELECT of the pinned fit — the DuckDB twin of
+    ``regression.sgd_fit_df``'s ``(coef_idx int, theta double,
+    iterations int, converged boolean)`` frame at sf0.01."""
+    theta, iterations, converged = SGD_GOLDEN[link]
+    rows = ",\n  ".join(
+        f"({i}, {double_literal(t)}, {iterations}, {str(converged).lower()})"
+        for i, t in enumerate(theta)
+    )
+    return (
+        "SELECT coef_idx::INTEGER AS coef_idx, theta::DOUBLE AS theta,\n"
+        "       iterations::INTEGER AS iterations, converged AS converged\n"
+        f"FROM (VALUES\n  {rows}\n"
+        ") AS t(coef_idx, theta, iterations, converged)"
+    )

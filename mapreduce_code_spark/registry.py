@@ -116,59 +116,63 @@ def retired(name: str, oracle: str | None = None):
 # test_next_round_must_check_fits_budget fails at build time if the
 # stale+new set exceeds 50.
 _FIRST = [
-    # --- round 13 rotation: the 48 queries whose latest green row is
-    # r11 (no row in CORRECTNESS_r12.json — due this round; r13 touched
-    # no registered-query kernel: the round's code work is audit-tool
-    # and session-helper hardening, so must-check = 48, slack 2).
-    # Shared-build OWNERS lead their consumers (bench cache hygiene).
-    "apriori_frequent_itemsets",
-    "dedup_near_dup_scalable",
-    "dedup_components_starcontract",
-    "dedup_streamed_incremental",
-    "dedup_incremental",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # --- round 14 rotation: the 2 SGD rows LEAD (touched this round —
+    # their oracles swapped from rows-only to pinned-theta golden
+    # SELECTs, r13 verdict #2), then the 48 queries whose latest green
+    # row is r12 (no row in CORRECTNESS_r13.json — due this round).
+    # must-check = 48 stale + 2 touched = 50, exactly the budget; the
+    # slack is consumed by the §10(2) swap. Shared-build OWNERS lead
+    # their consumers (bench cache hygiene).
     "regression_sgd_linear",
     "regression_sgd_logistic",
-    "regression_ols_stats",
-    "events_json_props",
-    "events_session_paths",
-    "events_sliding_window",
-    "events_user_running_totals",
-    "graph_lpa_communities",
-    "multimodal_features",
-    "multimodal_meta",
-    "pipeline_curated_corpus",
-    "pipeline_materialize_epoch",
-    "pipeline_quality_margins",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_events_close_pairs",
-    "relational_events_orders_asof",
-    "relational_histogram_quantiles",
-    "relational_hourly_gapfill",
-    "relational_pricing_summary",
-    "relational_quantity_quartiles",
-    "relational_rolling_24h",
-    "sampling_global_shuffle",
-    "sampling_pack_documents",
-    "sampling_quality_weighted",
-    "sampling_streamed_stratified",
-    "sampling_train_val_split",
-    "similarity_cosine_dups",
-    "similarity_quantize_int8",
-    "similarity_topk_cosine",
-    "similarity_topk_ivf_pinned",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition_gopher",
-    "text_stats",
-    "text_tfidf",
-    "text_winnow_fingerprint",
+    "similarity_label_centroids",
+    "similarity_assign_centroids",
+    "similarity_semantic_dedup",
+    "text_contamination_ngram",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "pipeline_materialize_manifest",
+    "pipeline_ingest_manifest",
+    "pipeline_ingest_hash_log",
+    "pipeline_epoch_transfer",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "sampling_temperature_mix",
+    "dedup_substring_spans",
+    "multimodal_frame_plan",
+    "relational_regional_revenue",
+    "relational_streamed_hll",
+    "relational_topk_parts_per_brand",
+    "relational_rollup_pricing",
+    "relational_grouping_sets",
+    "relational_cube_order_stats",
+    "relational_pivot_returnflag",
+    "relational_kv_upsert",
+    "relational_countmin_heavy_hitters",
+    "relational_bloom_customers",
+    "relational_idle_customers",
+    "relational_scd2_prices",
+    "relational_funnel_stages",
+    "relational_unpivot_measures",
+    "relational_setops_customers",
+    "relational_filter_case_orders",
+    "relational_above_avg_orders",
+    "relational_integrity_checks",
+    "relational_profile",
+    "events_streamed_tumbling",
+    "events_streamed_session",
+    "events_streamed_view_purchase",
+    "graph_pagerank_clicks",
+    "graph_triangle_clicks",
+    "events_streamed_anomaly",
+    "events_drift_chisq",
+    "graph_coreness_clicks",
+    "similarity_hybrid_rrf",
+    "events_retention_cohorts",
+    "relational_winsorized_prices",
+    "events_streamed_attribution",
+    "relational_pointintime_prices",
+    "relational_returned_orders",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
@@ -509,18 +513,30 @@ def q_ols_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression.ols_stats_exact(load_table(spark, sf_dir, "lineitem"))
 
 
-@register("regression_sgd_linear")  # iterative — rows-only check (SURVEY §5.1)
+from mapreduce_code_spark.operators.sgd_theta_pinned import (  # noqa: E402
+    sgd_theta_oracle_sql,
+)
+
+
+@register("regression_sgd_linear", oracle=sgd_theta_oracle_sql("linear"))
 def q_sgd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple linear regression via partition-SGD trajectory averaging
-    (multilinereg.java; SURVEY §2: I2, I3, A3, A4, F5)."""
+    (multilinereg.java; SURVEY §2: I2, I3, A3, A4, F5).
+
+    Oracle is the pinned-theta golden SELECT (r13 verdict #2,
+    §10(2) strictly-stronger swap): the fresh fit's doubles must
+    hash-match the frozen sf0.01 fit bit-for-bit — see
+    operators/sgd_theta_pinned.py for the derivation, the receipts
+    that justify it, and the golden-vs-recompute tradeoff."""
     pts = prep.labeled_points_scaled(load_table(spark, sf_dir, "lineitem"))
     return regression.sgd_fit_df(pts, link="linear", max_iter=5, n_partitions=8)
 
 
-@register("regression_sgd_logistic")  # iterative — rows-only check
+@register("regression_sgd_logistic", oracle=sgd_theta_oracle_sql("logistic"))
 def q_sgd_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression via partition-SGD (logisticreg.java; adds the
-    sigmoid link, logisticreg.java:79 — SURVEY §2: F4)."""
+    sigmoid link, logisticreg.java:79 — SURVEY §2: F4). Pinned-theta
+    golden oracle, same contract as the linear row above."""
     pts = prep.labeled_points_binary(load_table(spark, sf_dir, "lineitem"))
     return regression.sgd_fit_df(pts, link="logistic", max_iter=5, n_partitions=8)
 
