@@ -57,19 +57,36 @@ def _evict_everything(spark) -> None:
 def _head_sha() -> str | None:
     """Current HEAD commit, recorded in the receipt as the code state it
     certifies. None outside a git checkout (the receipt is then
-    mtime-ordered only, as before)."""
+    mtime-ordered only, as before).
+
+    A ``-dirty`` suffix (r13 advisor low) marks a receipt produced over
+    uncommitted CODE changes — a standalone audit run on a dirty tree
+    would otherwise embed a sha whose committed tree did not produce
+    the results. Dirtiness uses round_close's own classifier
+    (``classify_dirty`` over the same CODE_GLOBS), so the two tools
+    can never disagree about what counts; round_close's strict
+    ``recorded_sha == HEAD`` equality then rejects dirty-stamped
+    receipts mechanically ("abc123-dirty" never equals a sha)."""
     import subprocess
 
+    here = Path(__file__).resolve().parent
+    if str(here) not in sys.path:
+        sys.path.insert(0, str(here))
+    from round_close import classify_dirty
+
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=Path(__file__).resolve().parent.parent,
+        run = lambda *a: subprocess.run(  # noqa: E731
+            ["git", *a],
+            cwd=here.parent,
             capture_output=True,
             text=True,
             check=True,
         ).stdout.strip()
+        sha = run("rev-parse", "HEAD")
+        porcelain = run("status", "--porcelain")
     except (OSError, subprocess.CalledProcessError):
         return None
+    return f"{sha}-dirty" if classify_dirty(porcelain) else sha
 
 
 def _artifact_path() -> Path:

@@ -26,7 +26,11 @@ from mapreduce_code_spark.sources.schemas import SCHEMAS
 # normalize/frames_match live in tools/compare.py (pandas-only, so the
 # unit pins and any light caller can import them without pulling in
 # duckdb/pyspark/the engine registry); re-exported here for the
-# existing audit imports.
+# existing audit imports. The script-dir insert makes the sibling
+# import explicit (r13 advisor low: it used to rely on the implicit
+# script-dir path entry, which `python -m tools.driver_check` and an
+# importing caller don't get).
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 from compare import frames_match, normalize  # noqa: F401,E402
 
 

@@ -42,6 +42,9 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# sibling tools/ imports, made explicit (r13 advisor low — see
+# driver_check.py's note on the implicit script-dir path entry)
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as contract
 from pyspark.sql import SparkSession
@@ -50,6 +53,25 @@ from mapreduce_code_spark.operators.dedup import release_persisted
 from driver_check import frames_match, normalize
 
 ENVELOPE_QUERIES = {"regression_sgd_linear", "regression_sgd_logistic"}
+
+# Queries whose CORRECT sf0.01 result is empty (r13 advisor low: the
+# VACUOUS rule would otherwise turn a legitimate 0-row answer — e.g.
+# an integrity check with no violations — into a permanent audit
+# failure with no escape). Membership is a pinned, reviewable claim
+# like ENVELOPE_QUERIES; empty today because every registered query
+# returns rows at sf0.01, and the receipt still surfaces the distinct
+# VACUOUS_ALLOWED status so an allowlisted row is never mistaken for
+# evidence of invariance.
+EMPTY_OK_QUERIES: frozenset[str] = frozenset()
+
+
+def vacuous_status(name: str) -> tuple[str, bool]:
+    """(status, is_failure) for a query whose two legs both returned 0
+    rows and matched trivially. Factored out so the allowlist semantics
+    are unit-pinnable without a Spark run."""
+    if name in EMPTY_OK_QUERIES:
+        return "VACUOUS_ALLOWED", False
+    return "VACUOUS", True
 
 
 def _evict_everything(spark) -> None:
@@ -121,10 +143,14 @@ def main() -> int:
             # Two empty frames match trivially — that is not evidence of
             # invariance, it is an empty-result regression hiding behind
             # one (r12 advisor low: the smoke test asserts len(at_base);
-            # the full-registry receipt must hold the same standard).
-            print(f"  {name}: VACUOUS (0 rows at both widths)")
-            failures.append(name)
-            report[name] = {"status": "VACUOUS", "rows": 0}
+            # the full-registry receipt must hold the same standard) —
+            # unless the query's correct answer IS empty and says so on
+            # the pinned allowlist (non-fatal, distinct status).
+            vstatus, fatal = vacuous_status(name)
+            print(f"  {name}: {vstatus} (0 rows at both widths)")
+            if fatal:
+                failures.append(name)
+            report[name] = {"status": vstatus, "rows": 0}
         elif status == "OK":
             print(f"  {name}: rows={len(at_base)} INVARIANT")
             report[name] = {"status": "INVARIANT", "rows": len(at_base)}

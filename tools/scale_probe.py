@@ -17,7 +17,10 @@ registered queries at 1x vs 10x on local[32], min-of-N. Expected shapes:
   ~corpus-scan-linear, never pair-quadratic.
 
 Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies] [names]
-[tables]. ``names`` is a comma-separated list of registered queries
+[tables], or ``--cleanup`` to delete every blowup tier the probe has
+built under /tmp (the sf1000 tier alone is ~11-12 GB — reclaim it
+before building a new tier on a disk-constrained host).
+``names`` is a comma-separated list of registered queries
 (default: the three round-4 families); ``tables`` optionally restricts
 which source tables the blowup builds (r13 1000x tier: only
 events,embeddings — the four fixpoint-family queries read nothing
@@ -145,7 +148,32 @@ def build_blowup(
         os.replace(tmp, dst)
 
 
+def cleanup_blowups() -> int:
+    """Remove every blowup tier this probe ever built (``--cleanup``,
+    r13 verdict #7: the sf1000 tier leaves ~11-12 GB under /tmp and a
+    disk-constrained round must be able to reclaim it without knowing
+    the naming scheme). Matches only the probe's own
+    ``/tmp/scale{N}x_{scheme}_{srctag}`` convention — nothing else
+    under /tmp is touched."""
+    import glob
+    import shutil
+
+    freed = 0
+    for d in sorted(glob.glob("/tmp/scale*x_v*_*")):
+        if os.path.isdir(d):
+            size = sum(
+                f.stat().st_size for f in Path(d).rglob("*") if f.is_file()
+            )
+            shutil.rmtree(d)
+            freed += size
+            print(f"removed {d} ({size / 1e9:.2f} GB)")
+    print(f"freed {freed / 1e9:.2f} GB")
+    return 0
+
+
 def main() -> int:
+    if "--cleanup" in sys.argv:
+        return cleanup_blowups()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
