@@ -6,10 +6,12 @@
 session — captured once and frozen as literals, the
 ``IVF_CENTROIDS_Q`` / ``QUALITY_THETA`` precedent
 (operators/ivf_centroids_pinned.py, plans/pipeline.py:1276). The
-reference prints exactly this artifact and nothing else: the final
-theta line of ``logisticreg.java:216-218`` / ``multilinereg.java``'s
-driver loop, so a literal SELECT of the converged coefficients IS the
-reference's own observable output, not a weakened check.
+reference publishes exactly this artifact and nothing else: on the
+stop condition its driver loop writes the final theta string to the
+output ``/theta`` file (``logisticreg.java:203-209``;
+``multilinereg.java`` likewise), so a literal SELECT of the converged
+coefficients IS the reference's own observable output, not a weakened
+check.
 
 Golden-vs-recompute tradeoff, stated honestly: a recomputing oracle
 (what every other registered row has) re-derives the expected answer
