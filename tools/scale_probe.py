@@ -20,6 +20,18 @@ Usage: python tools/scale_probe.py [sf_dir] [repeats] [copies] [names]
 [tables], or ``--cleanup`` to delete every blowup tier the probe has
 built under /tmp (the sf1000 tier alone is ~11-12 GB — reclaim it
 before building a new tier on a disk-constrained host).
+
+MEASUREMENT CAVEAT (r14 pack_documents incident): the probe's action
+is ``count()``. For queries whose plan is ROW-COUNT-INVARIANT end to
+end (pure per-row projections/windows — no filter, join, explode, or
+aggregate), Catalyst prunes every unused column and the count
+collapses to a bare scan: ``sampling_pack_documents`` read 1.12x at
+1000x copies while a checksum aggregate over its output columns (the
+honest action for that shape) measured 3.27x. Every other registered
+family's count is load-bearing (aggregation/join/dedup/explode decide
+the row count), so their ratios stand — but a NEW probe target with a
+projection-only plan needs a checksum-agg sidecar run, not this
+harness's count.
 ``names`` is a comma-separated list of registered queries
 (default: the three round-4 families); ``tables`` optionally restricts
 which source tables the blowup builds (r13 1000x tier: only
