@@ -76,7 +76,9 @@ def main() -> int:
     ratios = sorted(
         new_floors[n] / old_floors[n] for n in names if old_floors[n] > 0
     )
-    host_delta = round(ratios[len(ratios) // 2], 3)
+    # every committed floor is >0 in practice; None (not a crash) if a
+    # degenerate sidecar ever makes the median undefined
+    host_delta = round(ratios[len(ratios) // 2], 3) if ratios else None
 
     archive.write_text(json.dumps(old, indent=1, sort_keys=True))
     last = sweeps[-1]
@@ -97,8 +99,11 @@ def main() -> int:
             "archived_floors": archive.name,
             "archived_total_sec": old.get("total_sec"),
             "sweep_files": [p.name for p in sweep_paths],
+            # min over queries, so the count is the GUARANTEED number of
+            # samples behind every floor (a set-iteration sample could
+            # overstate a query that lost a repeat)
             "n_samples_per_query": sum(
-                len(s["runs"][next(iter(names))]) for s in sweeps
+                min(len(s["runs"][n]) for n in names) for s in sweeps
             ),
             "median_host_delta_vs_archived": host_delta,
         },
