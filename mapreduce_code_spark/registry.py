@@ -132,8 +132,8 @@ _FIRST = [
     "text_quality_classifier",
     "text_redact_pii",
     "pipeline_materialize_manifest",
-    "pipeline_ingest_manifest",
     "pipeline_ingest_hash_log",
+    "pipeline_ingest_manifest",
     "pipeline_epoch_transfer",
     "sampling_chunk_documents",
     "sampling_source_cap",
