@@ -60,6 +60,21 @@ def test_vacuous_status_fatal_off_list_allowed_on_list(monkeypatch):
     )
 
 
+def test_blowup_builder_name_matches_cleaner_regex():
+    """The scale probe's tier naming lives in ONE place: whatever
+    blowup_dir() writes, cleanup_blowups()'s regex must match (review
+    finding: a scheme bump stranding tiers the cleaner can't see), and
+    lookalike /tmp names must NOT match."""
+    import re
+
+    import scale_probe
+
+    base = Path(scale_probe.blowup_dir(1000, "/root/testdata/sf0.1")).name
+    assert re.match(scale_probe._BLOWUP_RE, base)
+    for lookalike in ("scale_relax_v1_data", "scale10x_v2_short", "scales"):
+        assert not re.match(scale_probe._BLOWUP_RE, lookalike)
+
+
 def test_driver_check_importable_as_module_without_script_dir():
     """`from compare import ...` inside driver_check must not depend on
     the caller having tools/ on sys.path already (r13 advisor low:

@@ -72,21 +72,17 @@ def _head_sha() -> str | None:
     here = Path(__file__).resolve().parent
     if str(here) not in sys.path:
         sys.path.insert(0, str(here))
-    from round_close import classify_dirty
+    # reuse round_close's own git wrapper AND dirty classifier — one
+    # source of truth, so the porcelain invocation and the path
+    # classification can't drift apart by hand (review finding)
+    from round_close import _git, dirty_code_paths
 
     try:
-        run = lambda *a: subprocess.run(  # noqa: E731
-            ["git", *a],
-            cwd=here.parent,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout.strip()
-        sha = run("rev-parse", "HEAD")
-        porcelain = run("status", "--porcelain")
+        sha = _git("rev-parse", "HEAD")
+        dirty = dirty_code_paths()
     except (OSError, subprocess.CalledProcessError):
         return None
-    return f"{sha}-dirty" if classify_dirty(porcelain) else sha
+    return f"{sha}-dirty" if dirty else sha
 
 
 def _artifact_path() -> Path:

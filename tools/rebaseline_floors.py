@@ -63,10 +63,21 @@ def main() -> int:
 
     names = set(old.get("queries", {}))
     for s, p in zip(sweeps, sweep_paths):
-        missing = names - set(s.get("runs", {}))
+        # empty lists count as missing: a floor computed from fewer
+        # samples than the advertised protocol must refuse, not shrink
+        missing = {n for n in names if not s.get("runs", {}).get(n)}
         if missing:
             print(f"REFUSING: {p.name} lacks runs for {sorted(missing)[:5]}...")
             return 2
+        # a sweep query with no incumbent floor gets NO floor here — the
+        # same policy as bench.py (newly registered queries earn their
+        # entry on the next clean run) — but loudly, never silently
+        extra = set(s["runs"]) - names
+        if extra:
+            print(
+                f"note: {p.name} measured {sorted(extra)} which have no "
+                "incumbent floor; they are NOT given floors by this tool"
+            )
 
     new_floors = {
         n: round(min(t for s in sweeps for t in s["runs"][n]), 3)

@@ -160,19 +160,37 @@ def build_blowup(
         os.replace(tmp, dst)
 
 
+# Blowup-tier naming convention — ONE definition for the builder and
+# the cleaner (review finding: a scheme bump must never strand tiers
+# --cleanup can't see). A tier dir is
+#   /tmp/scale{copies}x_{scheme}_{8-hex-md5-of-source-dir}
+# and the cleaner matches the full structured shape, so an unrelated
+# /tmp/scale_something dir can never be swept up.
+_SCHEME = "v2"  # v2 = per-table max(key)+1 strides (r11 advisor fix)
+_BLOWUP_RE = r"^scale\d+x_[A-Za-z0-9]+_[0-9a-f]{8}$"
+
+
+def blowup_dir(copies: int, sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"/tmp/scale{copies}x_{_SCHEME}_{tag}"
+
+
 def cleanup_blowups() -> int:
     """Remove every blowup tier this probe ever built (``--cleanup``,
     r13 verdict #7: the sf1000 tier leaves ~11-12 GB under /tmp and a
     disk-constrained round must be able to reclaim it without knowing
-    the naming scheme). Matches only the probe's own
-    ``/tmp/scale{N}x_{scheme}_{srctag}`` convention — nothing else
-    under /tmp is touched."""
+    the naming scheme). Matches the full structured tier-name shape
+    (any scheme version, so pre-bump tiers are reclaimed too) — nothing
+    else under /tmp is touched."""
     import glob
+    import re
     import shutil
 
     freed = 0
-    for d in sorted(glob.glob("/tmp/scale*x_v*_*")):
-        if os.path.isdir(d):
+    for d in sorted(glob.glob("/tmp/scale*")):
+        if re.match(_BLOWUP_RE, os.path.basename(d)) and os.path.isdir(d):
             size = sum(
                 f.stat().st_size for f in Path(d).rglob("*") if f.is_file()
             )
@@ -193,12 +211,10 @@ def main() -> int:
     # must never be silently reused (the ratios would be meaningless) —
     # AND the stride-scheme version: a dir built by the old fixed-stride
     # code (or any future scheme change) must be rebuilt, not reused with
-    # its colliding ids. Bump _SCHEME when the remap algebra changes.
-    import hashlib
-
-    _SCHEME = "v2"  # v2 = per-table max(key)+1 strides (r11 advisor fix)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    out_dir = f"/tmp/scale{copies}x_{_SCHEME}_{tag}"
+    # its colliding ids. Bump the module-level _SCHEME when the remap
+    # algebra changes (the naming convention lives next to cleanup_blowups
+    # so the cleaner always matches what the builder writes).
+    out_dir = blowup_dir(copies, sf_dir)
     tables = (
         {t.strip() for t in sys.argv[5].split(",") if t.strip()}
         if len(sys.argv) > 5
