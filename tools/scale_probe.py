@@ -64,10 +64,19 @@ def build_blowup(
     out_dir: str,
     copies: int,
     tables: set[str] | None = None,
+    row_group_size: int | None = None,
 ) -> None:
     """``tables``: build only these (default all). The r13 1000x tier
     needs only events+embeddings (graph trio + semantic dedup); building
-    lineitem at 1000x would burn ~11 GB for nothing."""
+    lineitem at 1000x would burn ~11 GB for nothing.
+
+    ``row_group_size``: parquet row-group rows (DuckDB default ~122k).
+    The strong-scaling probe passes a small value because scan-split
+    parallelism cannot exceed row-group granularity — a single-file
+    tier written with default groups caps every downstream per-row
+    stage at a handful of tasks no matter how many cores the session
+    has (measured r14: 1.6x speedup for 16x cores on all three probed
+    families before this knob existed)."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -156,7 +165,10 @@ def build_blowup(
         # must never pass the exists() reuse check above — only a COPY
         # that completed lands at the final path
         tmp = dst + ".tmp"
-        con.execute(f"COPY ({union}) TO '{tmp}' (FORMAT PARQUET)")
+        opts = "FORMAT PARQUET"
+        if row_group_size:
+            opts += f", ROW_GROUP_SIZE {int(row_group_size)}"
+        con.execute(f"COPY ({union}) TO '{tmp}' ({opts})")
         os.replace(tmp, dst)
 
 
@@ -167,14 +179,19 @@ def build_blowup(
 # and the cleaner matches the full structured shape, so an unrelated
 # /tmp/scale_something dir can never be swept up.
 _SCHEME = "v2"  # v2 = per-table max(key)+1 strides (r11 advisor fix)
-_BLOWUP_RE = r"^scale\d+x_[A-Za-z0-9]+_[0-9a-f]{8}$"
+_BLOWUP_RE = r"^scale\d+x_[A-Za-z0-9]+_[0-9a-f]{8}(_[A-Za-z0-9]+)?$"
 
 
-def blowup_dir(copies: int, sf_dir: str) -> str:
+def blowup_dir(copies: int, sf_dir: str, variant: str = "") -> str:
+    """``variant`` distinguishes tiers that differ in physical layout
+    (e.g. ``rg8192`` for the strong-scaling probe's fine-row-group
+    build) — same remap algebra, different parquet granularity, so
+    they must never silently reuse each other's files."""
     import hashlib
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"/tmp/scale{copies}x_{_SCHEME}_{tag}"
+    suffix = f"_{variant}" if variant else ""
+    return f"/tmp/scale{copies}x_{_SCHEME}_{tag}{suffix}"
 
 
 def cleanup_blowups() -> int:
