@@ -39,15 +39,60 @@ only if the fixture data, the prep plan, or the kernel changes — and
 ``sgd_fit`` run every suite run, so staleness is a loud test failure,
 never a silent wrong-oracle.
 
-Literal format: every theta is emitted in scientific notation
-(``5.173819550800712e-1``) because DuckDB parses a bare decimal
+Literal format: every theta is emitted in e-notation — ``repr(v)``
+with ``e0`` appended when repr has no exponent, e.g.
+``0.5173819550800712e0`` — because DuckDB parses a bare decimal
 literal as DECIMAL first and the cast to DOUBLE can round an ulp off
 (observed on 2 of these 8 values); an e-notation literal is parsed
 directly as DOUBLE with correct rounding, bit-identical to Python's
 ``repr`` round-trip on both engines.
+
+Recapture procedure (the sanctioned path for a legitimate
+environment bump — e.g. a Spark/JDK upgrade that reorders the float
+reduction and flips the driver row and the re-derivation test
+together): run ``sgd_fit`` for each link at the registered layout
+(sf0.01 lineitem, ``max_iter=5, n_partitions=8``, bare driver
+session — exactly what ``tests/test_sgd_theta_pinned.py`` builds),
+paste the fresh ``repr`` literals plus (iterations, converged) into
+``SGD_GOLDEN``, and record the environment change in SURVEY §9.
+
+Scale pin: these literals are valid ONLY at sf0.01 (PINNED_SF_DIR);
+``assert_pinned_sf`` makes a run against any other sf_dir fail with
+a self-describing error instead of a confusing hash mismatch on two
+correct rows.
 """
 
 from __future__ import annotations
+
+import os
+
+# The ONLY sf tier the golden literals are valid at. Unlike the
+# IVF_CENTROIDS_Q / QUALITY_THETA precedents — pinned *parameters*
+# whose oracles still recompute the answer from the data views, hence
+# valid at any sf — these oracles ARE the answer, frozen, so running
+# the comparison at any other sf_dir would hash-mismatch two perfectly
+# correct rows (r14 verdict #3).
+PINNED_SF_DIR = "sf0.01"
+
+# The registered rows carrying sf-pinned literal oracles; consumed by
+# tools/driver_check.py to fail self-describingly instead.
+PINNED_SF_QUERIES = ("regression_sgd_linear", "regression_sgd_logistic")
+
+
+def assert_pinned_sf(sf_dir: str, query_name: str) -> None:
+    """Raise a self-describing error when an sf-pinned literal oracle is
+    about to be compared at any sf_dir other than the one its literals
+    were captured at."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base != PINNED_SF_DIR:
+        raise ValueError(
+            f"{query_name}: golden oracle is pinned to {PINNED_SF_DIR} "
+            f"(operators/sgd_theta_pinned.py) — an oracle comparison at "
+            f"{sf_dir!r} would hash-mismatch a correct result. Run the "
+            f"comparison at {PINNED_SF_DIR}, or recapture the literals "
+            f"per the recapture procedure in this module's docstring."
+        )
+
 
 # (theta tuple, iterations, converged) per link — sgd_fit at the
 # registered layout, sf0.01. Linear converges on iteration 1 (the

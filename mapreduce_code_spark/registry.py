@@ -116,63 +116,64 @@ def retired(name: str, oracle: str | None = None):
 # test_next_round_must_check_fits_budget fails at build time if the
 # stale+new set exceeds 50.
 _FIRST = [
-    # --- round 14 rotation: the 2 SGD rows LEAD (touched this round —
-    # their oracles swapped from rows-only to pinned-theta golden
-    # SELECTs, r13 verdict #2), then the 48 queries whose latest green
-    # row is r12 (no row in CORRECTNESS_r13.json — due this round).
-    # must-check = 48 stale + 2 touched = 50, exactly the budget; the
-    # slack is consumed by the §10(2) swap. Shared-build OWNERS lead
-    # their consumers (bench cache hygiene).
-    "regression_sgd_linear",
-    "regression_sgd_logistic",
-    "similarity_label_centroids",
-    "similarity_assign_centroids",
-    "similarity_semantic_dedup",
-    "text_contamination_ngram",
-    "text_quality_classifier",
-    "text_redact_pii",
-    "pipeline_materialize_manifest",
-    "pipeline_ingest_hash_log",
-    "pipeline_ingest_manifest",
-    "pipeline_epoch_transfer",
-    "sampling_chunk_documents",
-    "sampling_source_cap",
-    "sampling_temperature_mix",
-    "dedup_substring_spans",
-    "multimodal_frame_plan",
-    "relational_regional_revenue",
-    "relational_streamed_hll",
-    "relational_topk_parts_per_brand",
-    "relational_rollup_pricing",
-    "relational_grouping_sets",
-    "relational_cube_order_stats",
-    "relational_pivot_returnflag",
-    "relational_kv_upsert",
-    "relational_countmin_heavy_hitters",
-    "relational_bloom_customers",
-    "relational_idle_customers",
-    "relational_scd2_prices",
-    "relational_funnel_stages",
-    "relational_unpivot_measures",
-    "relational_setops_customers",
-    "relational_filter_case_orders",
-    "relational_above_avg_orders",
-    "relational_integrity_checks",
-    "relational_profile",
-    "events_streamed_tumbling",
-    "events_streamed_session",
-    "events_streamed_view_purchase",
-    "graph_pagerank_clicks",
-    "graph_triangle_clicks",
-    "events_streamed_anomaly",
-    "events_drift_chisq",
-    "graph_coreness_clicks",
-    "similarity_hybrid_rrf",
-    "events_retention_cohorts",
-    "relational_winsorized_prices",
-    "events_streamed_attribution",
-    "relational_pointintime_prices",
-    "relational_returned_orders",
+    # --- round 15 rotation: the 48 queries whose latest green row is
+    # r13 (no row in CORRECTNESS_r14.json — due this round). No query
+    # kernel or oracle string was touched in r15 (the round's code work
+    # is bench fold policy, tools, and the sgd sf-pin guard — all
+    # outside the query/oracle path), so must-check = 48 stale + 0
+    # touched, slack 2. Shared-build OWNERS lead their consumers
+    # (bench cache hygiene): apriori_frequent_items -> its two
+    # consumers, dedup_near_dup_scalable -> components_starcontract,
+    # dedup_streamed_incremental -> dedup_incremental,
+    # text_bpe_merges -> text_bpe_encode.
+    "apriori_frequent_items",
+    "apriori_frequent_itemsets",
+    "apriori_association_rules_ref",
+    "regression_ols_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_near_dup_scalable",
+    "dedup_components_starcontract",
+    "dedup_streamed_incremental",
+    "dedup_incremental",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_cosine_dups",
+    "similarity_topk_ivf_pinned",
+    "similarity_quantize_int8",
+    "text_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf",
+    "text_winnow_fingerprint",
+    "text_repetition_gopher",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "pipeline_curated_corpus",
+    "pipeline_materialize_epoch",
+    "pipeline_quality_margins",
+    "sampling_train_val_split",
+    "sampling_streamed_stratified",
+    "sampling_quality_weighted",
+    "sampling_pack_documents",
+    "sampling_global_shuffle",
+    "multimodal_meta",
+    "multimodal_features",
+    "relational_pricing_summary",
+    "relational_histogram_quantiles",
+    "relational_rolling_24h",
+    "relational_hourly_gapfill",
+    "relational_distinct_part_stats",
+    "relational_quantity_quartiles",
+    "relational_customer_order_history",
+    "relational_events_close_pairs",
+    "relational_events_orders_asof",
+    "events_sliding_window",
+    "events_user_running_totals",
+    "events_json_props",
+    "events_session_paths",
+    "graph_lpa_communities",
 ]
 _LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the

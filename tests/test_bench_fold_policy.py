@@ -1,0 +1,105 @@
+"""Pins bench.py's sidecar fold + contention/regression policy (r15).
+
+The r15 change: the run-level contended test and the per-query
+regression bar compare against per-query TYPICAL (median honest-idle
+time, non-ratcheting) instead of the min-folded floor. Rationale in
+``bench.fold_policy``'s docstring — floors are per-query minima over
+an ever-growing sample count, so vs-floor medians of honest runs
+drift up (two ps-verified-idle r15 sweeps read 1.271/1.278 vs floors
+carrying 8 samples) and the old test labeled the host's steady state
+as contention. These tests pin every branch without a Spark run.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import fold_policy
+
+
+def test_idle_run_vs_typical_reads_clean_even_when_floors_are_tight():
+    """The motivating case: fresh ~1.27x the min-folded floors but
+    ~1.0x typical must NOT be contended (the old vs-floor test fired)."""
+    timings = {"a": 1.27, "b": 0.635, "c": 2.54}
+    runs = {n: [t, t + 0.05] for n, t in timings.items()}
+    prior = {"a": 1.0, "b": 0.5, "c": 2.0}       # tight envelope
+    typical = {"a": 1.25, "b": 0.63, "c": 2.5}   # honest-idle medians
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["run_contended"] is False
+    assert out["regressed"] == []
+    # uncontended run folds floors (min-merge: no change here) and
+    # re-medians typical
+    assert out["merged"] == prior
+    assert set(out["typical"]) == set(timings)
+
+
+def test_contended_run_flags_and_freezes_both_references():
+    timings = {"a": 2.0, "b": 1.0, "c": 5.0}
+    runs = {n: [t, t] for n, t in timings.items()}
+    prior = {"a": 1.0, "b": 0.5, "c": 0.9}
+    typical = {"a": 1.05, "b": 0.52, "c": 1.0}
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["run_contended"] is True
+    # contended: floors AND typical keep their priors untouched
+    assert out["merged"] == prior
+    assert out["typical"] == typical
+    # uniform ~1.9x slowdown is absorbed by the scaled bar
+    # (1.5 * median = 2.87); the 5x outlier still flags through it
+    assert out["regressed"] == ["c"]
+
+
+def test_regression_flags_against_typical_not_floor():
+    """A query 1.6x its FLOOR but 1.05x its TYPICAL is the adjudicated
+    r14 pattern (ten noise-shaped flags) — must not flag."""
+    timings = {"a": 1.6, "b": 0.6}
+    runs = {n: [t, t] for n, t in timings.items()}
+    prior = {"a": 1.0, "b": 0.55}
+    typical = {"a": 1.55, "b": 0.58}
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["run_contended"] is False
+    assert out["regressed"] == []
+
+
+def test_real_regression_still_flags_on_a_clean_run():
+    """One query 2x its typical while the run median sits at 1.0 is a
+    code signal and must flag at the UNscaled 1.5x bar."""
+    timings = {"a": 1.0, "b": 0.5, "c": 4.0}
+    runs = {n: [t, t] for n, t in timings.items()}
+    prior = {"a": 0.9, "b": 0.45, "c": 1.8}
+    typical = {"a": 1.0, "b": 0.5, "c": 2.0}
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["run_contended"] is False
+    assert out["regressed"] == ["c"]
+
+
+def test_new_query_falls_back_to_floor_and_seeds_typical():
+    timings = {"new": 1.0}
+    runs = {"new": [1.0, 1.1]}
+    out = fold_policy(timings, runs, {"new": 0.95}, {})
+    assert out["run_contended"] is False
+    # uncontended fold seeds typical from this run (median of min + runs)
+    assert out["typical"]["new"] == 1.0
+    assert out["merged"]["new"] == 0.95
+
+
+def test_sub_noise_floor_queries_never_flag():
+    timings = {"tiny": 0.15}
+    runs = {"tiny": [0.15, 0.15]}
+    out = fold_policy(timings, runs, {"tiny": 0.05}, {"tiny": 0.06})
+    assert out["regressed"] == []
+
+
+def test_typical_fold_moves_both_directions():
+    """min-folded floors only ever decrease; typical must track drift
+    BOTH ways (3-element median of incumbent + this run's repeats)."""
+    runs_fast = {"a": [0.8, 0.85]}
+    out = fold_policy({"a": 0.8}, runs_fast, {"a": 0.79}, {"a": 1.0})
+    assert out["typical"]["a"] == 0.85  # moved down
+    runs_slow = {"a": [1.2, 1.25]}
+    out = fold_policy({"a": 1.2}, runs_slow, {"a": 0.79}, {"a": 1.0})
+    # 1.2/1.0 median ratio = 1.2 < 1.25: still clean, typical moves up
+    assert out["run_contended"] is False
+    assert out["typical"]["a"] == 1.2

@@ -69,3 +69,39 @@ def test_double_literal_survives_duckdb_round_trip():
         got = con.sql(f"SELECT {double_literal(v)} AS t").fetchone()[0]
         assert got.hex() == v.hex(), v
     con.close()
+
+
+def test_assert_pinned_sf_guards_other_tiers():
+    """r14 verdict #3: the golden literals are valid ONLY at sf0.01, so
+    the guard must pass that tier (any path spelling) and fail every
+    other tier with a self-describing error naming the pinned sf and
+    the recapture path — never a silent hash mismatch on correct rows."""
+    from mapreduce_code_spark.operators.sgd_theta_pinned import (
+        PINNED_SF_DIR,
+        PINNED_SF_QUERIES,
+        assert_pinned_sf,
+    )
+
+    assert PINNED_SF_DIR == "sf0.01"
+    # both registered SGD rows carry the pin, and only they do
+    assert PINNED_SF_QUERIES == (
+        "regression_sgd_linear",
+        "regression_sgd_logistic",
+    )
+    for ok in ("/root/testdata/sf0.01", "/root/testdata/sf0.01/", "sf0.01"):
+        assert_pinned_sf(ok, "regression_sgd_linear")
+    for bad in ("/root/testdata/sf0.1", "/root/testdata/sf0.001", "sf1"):
+        with pytest.raises(ValueError, match="pinned to sf0.01"):
+            assert_pinned_sf(bad, "regression_sgd_logistic")
+
+
+def test_driver_check_consults_the_pin():
+    """tools/driver_check.py must import the guard so a correctness run
+    at a non-pinned sf fails self-describingly before the Spark run —
+    pinned here so a refactor can't silently drop the wiring."""
+    import pathlib
+
+    src = pathlib.Path(
+        __file__
+    ).resolve().parent.parent.joinpath("tools", "driver_check.py").read_text()
+    assert "assert_pinned_sf" in src and "PINNED_SF_QUERIES" in src

@@ -74,13 +74,16 @@ def _head_sha() -> str | None:
         sys.path.insert(0, str(here))
     # reuse round_close's own git wrapper AND dirty classifier — one
     # source of truth, so the porcelain invocation and the path
-    # classification can't drift apart by hand (review finding)
-    from round_close import _git, dirty_code_paths
-
+    # classification can't drift apart by hand (review finding). The
+    # import sits INSIDE the try: a missing/renamed round_close.py is
+    # the same documented non-git degradation as a failed git call
+    # (r14 advisor low), never a raise.
     try:
+        from round_close import _git, dirty_code_paths
+
         sha = _git("rev-parse", "HEAD")
         dirty = dirty_code_paths()
-    except (OSError, subprocess.CalledProcessError):
+    except (ImportError, OSError, subprocess.CalledProcessError):
         return None
     return f"{sha}-dirty" if dirty else sha
 

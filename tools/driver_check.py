@@ -20,6 +20,10 @@ import duckdb
 import __spark_entry__ as contract
 from pyspark.sql import SparkSession
 from mapreduce_code_spark.operators.dedup import release_persisted
+from mapreduce_code_spark.operators.sgd_theta_pinned import (
+    PINNED_SF_QUERIES,
+    assert_pinned_sf,
+)
 from mapreduce_code_spark.sources.schemas import SCHEMAS
 
 
@@ -66,6 +70,11 @@ def main() -> int:
         # The driver records a per-query err and moves on; a raising query
         # must not mask the health of everything registered after it.
         try:
+            # sf-pinned LITERAL oracles (r14 verdict #3): comparing them
+            # at any other sf would hash-mismatch two correct rows —
+            # fail self-describingly before burning the Spark run.
+            if name in PINNED_SF_QUERIES and name in oracles:
+                assert_pinned_sf(sf_dir, name)
             sdf = fn(spark, sf_dir)
             if name not in oracles:
                 print(f"  {name}: rows-only check, rows={sdf.count()}")

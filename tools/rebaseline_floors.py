@@ -30,6 +30,7 @@ Usage: python tools/rebaseline_floors.py <archive_tag> <sweep.json>...
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 from pathlib import Path
 
@@ -88,8 +89,11 @@ def main() -> int:
         new_floors[n] / old_floors[n] for n in names if old_floors[n] > 0
     )
     # every committed floor is >0 in practice; None (not a crash) if a
-    # degenerate sidecar ever makes the median undefined
-    host_delta = round(ratios[len(ratios) // 2], 3) if ratios else None
+    # degenerate sidecar ever makes the median undefined. True median
+    # (averages the two middle elements on even-length lists — 98
+    # queries is even; r14 advisor low: the upper-middle shortcut could
+    # sit half a gap off).
+    host_delta = round(statistics.median(ratios), 3) if ratios else None
 
     archive.write_text(json.dumps(old, indent=1, sort_keys=True))
     last = sweeps[-1]

@@ -135,7 +135,10 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
             release_persisted()
             result[name][f"c{cores}"] = round(best, 3)
-            result[name]["rows"] = rows
+            # record rows PER LEG: a cores-dependent row-count divergence
+            # is a correctness signal this probe catches for free (r14
+            # advisor low — a single overwritten scalar masked it)
+            result[name].setdefault("rows_by_cores", {})[f"c{cores}"] = rows
             print(
                 f"[strong_scaling] {name} local[{cores}]: {best:.3f}s",
                 file=sys.stderr,
@@ -143,6 +146,7 @@ def main() -> int:
         spark.stop()
 
     lo, hi = min(cores_list), max(cores_list)
+    divergent = []
     for name in names:
         t_lo, t_hi = result[name][f"c{lo}"], result[name][f"c{hi}"]
         speedup = round(t_lo / t_hi, 2) if t_hi > 0 else None
@@ -151,12 +155,31 @@ def main() -> int:
         result[name][f"efficiency_{lo}to{hi}"] = (
             round(speedup / (hi / lo), 2) if speedup else None
         )
+        # rows must be cores-invariant; collapse to a scalar only when
+        # every leg agrees, else keep the per-leg dict and fail the run
+        leg_rows = set(result[name].get("rows_by_cores", {}).values())
+        if len(leg_rows) == 1:
+            result[name]["rows"] = leg_rows.pop()
+            del result[name]["rows_by_cores"]
+        elif leg_rows:
+            result[name]["rows_divergent"] = True
+            divergent.append(name)
+            print(
+                f"[strong_scaling] ROWS DIVERGED across cores for {name}: "
+                f"{result[name]['rows_by_cores']}",
+                file=sys.stderr,
+            )
     print(
         json.dumps(
-            {"copies": copies, "cores": cores_list, "queries": result}
+            {
+                "copies": copies,
+                "cores": cores_list,
+                "rows_divergent": divergent,
+                "queries": result,
+            }
         )
     )
-    return 0
+    return 1 if divergent else 0
 
 
 if __name__ == "__main__":
