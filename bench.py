@@ -363,13 +363,13 @@ def main() -> int:
     # Maintain the per-query engine-time floor (committed sidecar mins;
     # r5 verdict #1/#3: min-of-N inside ONE invocation cannot see
     # cross-invocation host contention — r4/r5 driver runs landed a
-    # uniform 1.4x host tax over the builder's clean runs). Merge is
-    # per-query, same-sf only, and only over queries in THIS run's set
-    # (retired/renamed entries drop out); a run-level flag fires when
-    # this run's median ratio vs the floor exceeds 1.25x (the
-    # whole-run-contended signature — uniform slowdown that per-query
-    # max/min spread cannot catch), and such a run is excluded from the
-    # floor entirely.
+    # uniform 1.4x host tax over the builder's clean runs) and the
+    # per-query TYPICAL (median honest-idle time). Merge is per-query,
+    # same-sf only, and only over queries in THIS run's set
+    # (retired/renamed entries drop out). The contended test, fold
+    # rules, and regression bar live in fold_policy above — since r15
+    # they compare against typical-where-present-else-floor; a run
+    # flagged contended is excluded from both references entirely.
     prior: dict[str, float] = {}
     prior_typical: dict[str, float] = {}
     sidecar_path = here / "bench_timings.json"

@@ -58,6 +58,9 @@ def test_happy_path_min_over_all_samples_and_provenance(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     out = json.loads((tmp_path / "bench_timings.json").read_text())
     assert out["queries"] == {"q1": 1.5, "q2": 2.6}  # min over all 6
+    # typical seeded from the SAME samples (r15: median over all 6),
+    # so a re-baseline never drops bench.fold_policy's reference
+    assert out["typical"] == {"q1": 1.75, "q2": 2.85}
     assert out["run_contended"] is False
     rb = out["rebaselined"]
     assert rb["archived_floors"] == "bench_floors_oldhost.json"

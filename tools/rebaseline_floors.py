@@ -84,6 +84,17 @@ def main() -> int:
         n: round(min(t for s in sweeps for t in s["runs"][n]), 3)
         for n in sorted(names)
     }
+    # seed TYPICAL from the same samples (r15: bench.fold_policy's
+    # contended test and regression bar compare against typical, the
+    # median honest-idle time — a re-baseline that wrote only min
+    # floors would silently drop the reference and resume the
+    # vs-min-envelope ratchet the typical exists to prevent)
+    new_typical = {
+        n: round(
+            statistics.median(t for s in sweeps for t in s["runs"][n]), 3
+        )
+        for n in sorted(names)
+    }
     old_floors = old["queries"]
     ratios = sorted(
         new_floors[n] / old_floors[n] for n in names if old_floors[n] > 0
@@ -104,6 +115,7 @@ def main() -> int:
         "sf": sf,
         "repeats": last.get("repeats"),
         "queries": new_floors,
+        "typical": new_typical,
         "runs": last.get("runs"),
         "contended": last.get("contended"),
         "median_ratio_vs_prior": 1.0,
