@@ -70,9 +70,21 @@ def fold_policy(
     non-ratcheting (3-element median fold, moves both ways), so
     fresh/typical ~ 1.0 stays the honest-idle reading and >1.25 again
     means real contention or a real uniform regression. Queries with no
-    typical yet (newly registered) fall back to their floor.
+    typical yet (newly registered) fall back to their floor — a
+    committed typical of 0.0 is treated as absent, not as a reference
+    (r15 advisor: ``.get(n, prior.get(n))`` selected the zero and the
+    truthiness filter then silently dropped the query from both the
+    contended median and the regression check).
+
+    The typical fold takes WITHIN-BAR samples only (r15 verdict #2):
+    a query this same run flags as regressed keeps its prior typical
+    untouched (or stays unseeded). With repeats=2, folding flagged
+    samples moved typical straight to the flagged reading — r15's two
+    driver-window flags contaminated their typicals to 6.019/4.503 s,
+    which would have let a real 2-3x regression pass the next round's
+    1.5x-of-typical bar silently.
     """
-    reference = {n: prior_typical.get(n, prior.get(n)) for n in timings}
+    reference = {n: prior_typical.get(n) or prior.get(n) for n in timings}
     reference = {n: r for n, r in reference.items() if r}
     ratios = [timings[n] / reference[n] for n in reference]
     # true median (two-middle average on even lengths — 98 is even),
@@ -80,6 +92,23 @@ def fold_policy(
     # advisor low
     median_ratio = round(statistics.median(ratios), 3) if ratios else None
     run_contended = bool(median_ratio and median_ratio > 1.25)
+    # Per-query regression flag (computed BEFORE the fold so the fold
+    # can exclude flagged samples): a query whose fresh min exceeds its
+    # reference (typical where it exists, else the floor) by 1.5x is a
+    # REGRESSION candidate. Same ratchet argument as the run-level test:
+    # vs-floor bars tighten with every fold and start flapping on
+    # sub-second queries (the r14 driver run flagged 12, ten of them
+    # noise-shaped; all 12 adjudicated within-bar in r15's idle sweeps).
+    # Only a run-level contention flag earns a scaled threshold —
+    # scaling by median_ratio on a CLEAN run would let a uniform code
+    # regression raise its own bar and hide (round-6 advisor item).
+    reg_bar = 1.5 * (max(1.0, median_ratio or 1.0) if run_contended else 1.0)
+    regressed = sorted(
+        n
+        for n in reference
+        if reference[n] > 0.2  # sub-noise-floor queries flap, skip them
+        and timings[n] / reference[n] > reg_bar
+    )
     # Fold this run into the per-query engine-time floor ONLY when the
     # run itself is credible: a contended run's samples (including the
     # occasionally-lucky fast ones) are host noise, so the sidecar keeps
@@ -99,32 +128,26 @@ def fold_policy(
         # non-ratcheting typical fold: median of (incumbent, this run's
         # repeats) tracks genuine drift in BOTH directions, so typical
         # stays an honest-idle expectation instead of a best-case
-        # envelope; a query with no incumbent seeds from this run's min
-        typical = {
-            n: round(
-                statistics.median(
-                    [prior_typical.get(n, timings[n]), *runs[n]]
-                ),
-                3,
+        # envelope. Within-bar samples only (docstring above): a flagged
+        # query's samples ARE the suspected regression, so its typical
+        # keeps the prior (or stays unseeded). A query with no incumbent
+        # seeds from the median of this run's repeats — NOT from a list
+        # that re-includes the min (r15 advisor: median([min, r1, r2])
+        # is always the min with repeats=2, a best-case seed that made
+        # the next honest run read ~1.27x against it).
+        typical = {}
+        for n in timings:
+            incumbent = prior_typical.get(n)
+            if n in regressed:
+                if incumbent is not None:
+                    typical[n] = round(incumbent, 3)
+                continue
+            samples = (
+                [incumbent, *runs[n]]
+                if incumbent is not None
+                else list(runs[n])
             )
-            for n in timings
-        }
-    # Per-query regression flag: a query whose fresh min exceeds its
-    # reference (typical where it exists, else the floor) by 1.5x is a
-    # REGRESSION candidate. Same ratchet argument as the run-level test:
-    # vs-floor bars tighten with every fold and start flapping on
-    # sub-second queries (the r14 driver run flagged 12, ten of them
-    # noise-shaped; all 12 adjudicated within-bar in r15's idle sweeps).
-    # Only a run-level contention flag earns a scaled threshold —
-    # scaling by median_ratio on a CLEAN run would let a uniform code
-    # regression raise its own bar and hide (round-6 advisor item).
-    reg_bar = 1.5 * (max(1.0, median_ratio or 1.0) if run_contended else 1.0)
-    regressed = sorted(
-        n
-        for n in reference
-        if reference[n] > 0.2  # sub-noise-floor queries flap, skip them
-        and timings[n] / reference[n] > reg_bar
-    )
+            typical[n] = round(statistics.median(samples), 3)
     return {
         "median_ratio": median_ratio,
         "run_contended": run_contended,
@@ -411,6 +434,13 @@ def main() -> int:
                     "typical": typical,
                     "runs": runs,
                     "contended": contended,
+                    # canonical key since r16; the old name said
+                    # "vs_prior" when the r15 fold-policy change made
+                    # the denominator typical-where-present-else-floor.
+                    # Dual-written for one round (r15 advisor, low) —
+                    # consumers keying on the stale name keep working;
+                    # the old key drops in r17.
+                    "median_ratio_vs_reference": median_ratio,
                     "median_ratio_vs_prior": median_ratio,
                     "reference": "typical-where-present-else-floor",
                     "run_contended": run_contended,

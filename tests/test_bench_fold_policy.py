@@ -73,6 +73,27 @@ def test_real_regression_still_flags_on_a_clean_run():
     out = fold_policy(timings, runs, prior, typical)
     assert out["run_contended"] is False
     assert out["regressed"] == ["c"]
+    # r16 (r15 verdict #2): the flagged query's samples are EXCLUDED
+    # from the typical fold — its typical keeps the prior instead of
+    # jumping to the flagged reading (which would raise next round's
+    # 1.5x bar to 1.5x-the-regression and hide it)
+    assert out["typical"]["c"] == 2.0
+    # unflagged queries still fold normally
+    assert out["typical"]["a"] == 1.0
+
+
+def test_flagged_query_without_incumbent_stays_unseeded():
+    """A newly-registered query whose first clean-run reading flags vs
+    its floor must NOT seed typical from the flagged samples — it earns
+    its typical on a future within-bar run."""
+    timings = {"new": 2.0, "ok": 1.0, "ok2": 1.0, "ok3": 1.0}
+    runs = {n: [t, t + 0.1] for n, t in timings.items()}
+    prior = {n: 1.0 for n in timings}
+    out = fold_policy(timings, runs, prior, {})
+    assert out["run_contended"] is False
+    assert out["regressed"] == ["new"]
+    assert "new" not in out["typical"]
+    assert out["typical"]["ok"] == 1.05
 
 
 def test_new_query_falls_back_to_floor_and_seeds_typical():
@@ -80,9 +101,25 @@ def test_new_query_falls_back_to_floor_and_seeds_typical():
     runs = {"new": [1.0, 1.1]}
     out = fold_policy(timings, runs, {"new": 0.95}, {})
     assert out["run_contended"] is False
-    # uncontended fold seeds typical from this run (median of min + runs)
-    assert out["typical"]["new"] == 1.0
+    # uncontended fold seeds typical from the MEDIAN of this run's
+    # repeats — not a list re-including the min, which with repeats=2
+    # always collapsed to the min (r15 advisor, low)
+    assert out["typical"]["new"] == 1.05
     assert out["merged"]["new"] == 0.95
+
+
+def test_zero_typical_falls_back_to_floor_not_dropped():
+    """A committed typical of 0.0 must degrade to the floor reference
+    instead of silently removing the query from the contended median
+    and the regression check (r15 advisor, low)."""
+    timings = {"z": 1.0, "a": 1.0, "b": 1.0, "c": 1.0}
+    runs = {n: [t, t] for n, t in timings.items()}
+    prior = {"z": 0.5, "a": 1.0, "b": 1.0, "c": 1.0}
+    out = fold_policy(timings, runs, prior, {"z": 0.0})
+    # z's reference is its floor 0.5 -> ratio 2.0 -> flags on a run
+    # whose median (1.0) stays clean
+    assert out["run_contended"] is False
+    assert out["regressed"] == ["z"]
 
 
 def test_sub_noise_floor_queries_never_flag():

@@ -12,6 +12,7 @@ everything else fixed. If the plateau lifts with n_shards, the cap is
 the documented knob, not a hidden serial stage.
 
 Usage: python tools/probe_pack_shards.py [sf_dir] [copies] [shards_csv]
+       [repeats]
 Emits one JSON line; write it to probe_pack_shards.json (receipt).
 """
 
@@ -35,7 +36,9 @@ def main() -> int:
         int(s)
         for s in (sys.argv[3] if len(sys.argv) > 3 else "8,32,128").split(",")
     ]
-    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # clamp like bench.py: repeats=0 would leave best=None and crash at
+    # the round() below (r15 advisor, low)
+    repeats = max(int(sys.argv[4]) if len(sys.argv) > 4 else 2, 1)
 
     out_dir = blowup_dir(copies, sf_dir, variant="rg8192")
     build_blowup(sf_dir, out_dir, copies, {"documents"}, row_group_size=8192)
@@ -58,29 +61,53 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{out_dir}/documents.parquet")
 
-    def checksum(df) -> int:
+    def checksum(df) -> tuple[int, int]:
+        """Forces the full pack and returns the n_shards-INVARIANT
+        aggregates (row count, sum of n_tokens): both are properties of
+        the input corpus, not the shard layout, so a divergence across
+        shard counts is a correctness bug in the knob. start_offset and
+        pack_id are legitimately shard-dependent, so they participate in
+        the forced action but are not compared (r15 advisor, low: the
+        old version discarded everything but the row count, so a
+        shards-dependent token-sum divergence would have passed)."""
         row = df.agg(
             F.sum("start_offset").alias("so"),
             F.sum("n_tokens").alias("nt"),
             F.max("pack_id").alias("mp"),
             F.count("*").alias("n"),
         ).collect()[0]
-        return row["n"]
+        return row["n"], row["nt"]
 
     result: dict = {}
+    invariants: set[tuple[int, int]] = set()
     for n_shards in shards_list:
-        best, rows = None, None
+        best, inv = None, None
         for _ in range(repeats):
             t0 = time.monotonic()
-            rows = checksum(pack_documents(docs, n_shards=n_shards))
+            inv = checksum(pack_documents(docs, n_shards=n_shards))
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        result[f"shards{n_shards}"] = {"sec": round(best, 3), "rows": rows}
+        invariants.add(inv)
+        result[f"shards{n_shards}"] = {
+            "sec": round(best, 3),
+            "rows": inv[0],
+            "sum_n_tokens": inv[1],
+        }
         print(
-            f"[pack_shards] n_shards={n_shards}: {best:.3f}s rows={rows}",
+            f"[pack_shards] n_shards={n_shards}: {best:.3f}s "
+            f"rows={inv[0]} sum_n_tokens={inv[1]}",
             file=sys.stderr,
         )
     spark.stop()
+    # mirror strong_scaling_probe's rows_by_cores check: the invariant
+    # pair must be identical across every shard count
+    shard_invariant = len(invariants) == 1
+    if not shard_invariant:
+        print(
+            f"[pack_shards] INVARIANT VIOLATION across shard counts: "
+            f"{sorted(invariants)}",
+            file=sys.stderr,
+        )
 
     lo, hi = shards_list[0], shards_list[-1]
     speedup = (
@@ -95,11 +122,12 @@ def main() -> int:
                 "cores": 32,
                 "shards": shards_list,
                 f"speedup_{lo}to{hi}": speedup,
+                "shard_invariant": shard_invariant,
                 "results": result,
             }
         )
     )
-    return 0
+    return 0 if shard_invariant else 1
 
 
 if __name__ == "__main__":
