@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_code_spark.operators import frequent, regression, rules
+from mapreduce_code_spark.rotation import ROUND_FIRST, ROUND_LAST
 from mapreduce_code_spark.plans import prep
 from mapreduce_code_spark.sources.io import load_table
 
@@ -93,92 +94,15 @@ def retired(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver verifies queries in the order this dict yields them and has
-# a finite per-round budget (~50 rows: 50 of the 101 then-registered
-# queries got a round-4 row). So ordering is part of the contract, and
-# the rule is: a query goes FIRST if it is (a) new this round, (b) its
-# code was touched this round, or (c) its latest driver row is one round
-# old (rotation: nothing sits unchecked two rounds in a row). With the
-# fifteen retirees (see ``_RETIRED``'s comment for the round-4/6/7/8/9
-# retirement history) the 98-query surface sits under the 2-round
-# coverage ceiling — the round-8 budget decision (SURVEY §8): additions
-# beyond 100 queries require a retirement, and near-twin retirement
-# (streamed keeps the row; oracled replaces rows-only) is the standing
-# policy for funding them.
-#
-# BUDGET ARITHMETIC (r8 verdict #1/#7 — the test's definition, not an
-# estimate): with 98 registered and a 50-row sweep, the previous round
-# covers 50, leaving 48 stale; so structural slack is EXACTLY
-# 50 - 48 = 2 rows per round for (new + touched + swaps). Each addition
-# must be funded by a retirement AND still fit that slack; the r8
-# breach (3 new + 1 touched = 52 must-check) is now impossible to ship
-# quietly — tests/test_registry_rotation.py::
-# test_next_round_must_check_fits_budget fails at build time if the
-# stale+new set exceeds 50.
-_FIRST = [
-    # --- round 15 rotation: the 48 queries whose latest green row is
-    # r13 (no row in CORRECTNESS_r14.json — due this round). No query
-    # kernel or oracle string was touched in r15 (the round's code work
-    # is bench fold policy, tools, and the sgd sf-pin guard — all
-    # outside the query/oracle path), so must-check = 48 stale + 0
-    # touched, slack 2. Shared-build OWNERS lead their consumers
-    # (bench cache hygiene): apriori_frequent_items -> its two
-    # consumers, dedup_near_dup_scalable -> components_starcontract,
-    # dedup_streamed_incremental -> dedup_incremental,
-    # text_bpe_merges -> text_bpe_encode.
-    "apriori_frequent_items",
-    "apriori_frequent_itemsets",
-    "apriori_association_rules_ref",
-    "regression_ols_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_near_dup_scalable",
-    "dedup_components_starcontract",
-    "dedup_streamed_incremental",
-    "dedup_incremental",
-    "dedup_simhash",
-    "similarity_topk_cosine",
-    "similarity_cosine_dups",
-    "similarity_topk_ivf_pinned",
-    "similarity_quantize_int8",
-    "text_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_tfidf",
-    "text_winnow_fingerprint",
-    "text_repetition_gopher",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "pipeline_curated_corpus",
-    "pipeline_materialize_epoch",
-    "pipeline_quality_margins",
-    "sampling_train_val_split",
-    "sampling_streamed_stratified",
-    "sampling_quality_weighted",
-    "sampling_pack_documents",
-    "sampling_global_shuffle",
-    "multimodal_meta",
-    "multimodal_features",
-    "relational_pricing_summary",
-    "relational_histogram_quantiles",
-    "relational_rolling_24h",
-    "relational_hourly_gapfill",
-    "relational_distinct_part_stats",
-    "relational_quantity_quartiles",
-    "relational_customer_order_history",
-    "relational_events_close_pairs",
-    "relational_events_orders_asof",
-    "events_sliding_window",
-    "events_user_running_totals",
-    "events_json_props",
-    "events_session_paths",
-    "graph_lpa_communities",
-]
-_LAST: list[str] = [
-    # (empty this round: the four batch twins that used to be the
-    # designated budget cut are retired from the surface entirely)
-]
+# The driver verifies queries in the order this dict yields them and
+# has a finite per-round budget (~50 rows). Ordering is therefore part
+# of the contract; the ordering rule, the budget arithmetic, and the
+# per-round _FIRST/_LAST lists live in ``rotation.py`` (r15 verdict #7:
+# the lists churn every round and were swamping this kernel-bearing
+# file's diff). Re-exported under the historical names the rotation
+# tests pin.
+_FIRST = ROUND_FIRST
+_LAST = ROUND_LAST
 
 
 def _ordered(d: dict) -> dict:
