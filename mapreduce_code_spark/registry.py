@@ -586,8 +586,7 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is batching-invariant (each new doc is checked against the
     static corpus independently), so it hash-matches the batch twin's
     oracle no matter how the file source slices micro-batches."""
-    import tempfile
-
+    from mapreduce_code_spark.scratch import scratch_dir
     from mapreduce_code_spark.sources.io import load_table_stream
     from mapreduce_code_spark.streaming.windows import (
         run_batch_transform,
@@ -614,7 +613,13 @@ def q_streamed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_stream = load_table_stream(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 1
     )
-    tmp = tempfile.mkdtemp(prefix="dedup_streamed_incremental_")
+    # RAM-backed scratch (exit-cleaned): the /tmp checkpoint + per-batch
+    # parquet sink put small fsync'd commits in the timed path — the
+    # reproduced driver-window mechanism (r15 verdict #1, scratch.py) —
+    # and the old mkdtemp leaked one dir per run (211 by r15). The out
+    # dir must outlive this call (the returned frame reads it lazily),
+    # so exit-time cleanup, not eager discard.
+    tmp = scratch_dir("dedup_streamed_incremental_")
     # 8 shuffle partitions (r10 flip): the per-micro-batch LSH band
     # join + rerank are batch-sized, so 32-task stages are overhead-
     # bound, but the join does real work — 8 beat both 32 (3.09 s) and
@@ -1416,15 +1421,17 @@ def q_streamed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin's bit-for-bit under ANY batching. The
     mergeable-sketch-over-a-stream story, same oracle as the batch
     query."""
-    import tempfile
-
+    from mapreduce_code_spark.scratch import scratch_dir
     from mapreduce_code_spark.sources.io import load_table_stream
     from mapreduce_code_spark.streaming.windows import (
         run_streamed_distinct,
         stream_partitions,
     )
 
-    tmp = tempfile.mkdtemp(prefix="streamed_hll_")
+    # RAM-backed scratch (exit-cleaned): checkpoint commits and the
+    # per-batch state appends were /tmp disk I/O inside the timed path
+    # (r15 verdict #1 mechanism, scratch.py) and leaked one dir per run
+    tmp = scratch_dir("streamed_hll_")
     # 4 shuffle partitions (r10 flip): each micro-batch's distinct +
     # anti-join + parquet append are keyspace-small, and fewer
     # partitions also means fewer state files for later batches to

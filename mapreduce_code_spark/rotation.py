@@ -33,13 +33,18 @@ from __future__ import annotations
 
 ROUND_FIRST: list[str] = [
     # --- round 16 rotation: the 48 queries whose latest green row is
-    # r14 (no row in CORRECTNESS_r15.json — due this round). No query
-    # kernel or oracle string touched so far this round (r16 code work
-    # is bench fold policy + tools + this module split — all outside
-    # the query/oracle path), so must-check = 48 stale + 0 touched,
-    # slack 2. Shared-build OWNERS lead their consumers (bench cache
-    # hygiene): graph_pagerank_clicks -> triangle/coreness,
-    # pipeline_ingest_hash_log -> pipeline_ingest_manifest.
+    # r14 (no row in CORRECTNESS_r15.json — due this round) PLUS the
+    # two r15-covered queries whose build path was TOUCHED by the r16
+    # scratch-dir fix (r15 verdict #1): dedup_streamed_incremental
+    # (its checkpoint/sink site) and sampling_streamed_stratified
+    # (run_available_now's explicit checkpoint — its five other
+    # consumers are already in the stale set). Must-check = 48 + 2 =
+    # 50, slack fully consumed. Shared-build OWNERS lead their
+    # consumers (bench cache hygiene): graph_pagerank_clicks ->
+    # triangle/coreness, pipeline_ingest_hash_log ->
+    # pipeline_ingest_manifest.
+    "dedup_streamed_incremental",
+    "sampling_streamed_stratified",
     "similarity_label_centroids",
     "similarity_assign_centroids",
     "similarity_semantic_dedup",

@@ -1,0 +1,70 @@
+"""RAM-backed scratch directories for bounded streaming runs.
+
+The registered streamed queries are CORRECTNESS vehicles: availableNow
+/ foreachBatch runs whose checkpoints, state stores, and staging sinks
+exist only to drive the real streaming engine through a bounded input —
+the durable-checkpoint contract they exercise belongs, in production,
+to a distributed filesystem, not to this host's root disk. Placing
+them under /tmp (disk-backed) put dozens of small synchronous
+create/fsync/rename commits inside the timed path of exactly those
+queries — and the r16 probe (`tools/probe_streamed_window.py`)
+reproduced the recurring driver-window flags with a single concurrent
+small-file fsync writer: memory-sink streams inflated 2.0-2.4x, the
+foreachBatch stream 1.5x, batch controls <=1.3x, run median unmoved —
+the precise signature of the r14/r15 driver bench artifacts. The fix:
+scratch space lives on /dev/shm (tmpfs) when available, so scaffold
+commits are memory-speed and immune to whatever else the host is
+fsyncing; /tmp remains the fallback.
+
+Every directory handed out here is recorded and removed at process
+exit (tmpfs pages are RAM — leaks would be worse than the /tmp debris
+they replace: r15 left 211 orphaned checkpoint dirs under /tmp).
+Callers whose results are consumed lazily (a returned DataFrame
+reading a scratch parquet sink) rely on exactly this exit-time
+cleanup; callers done with a dir sooner should `discard()` it.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+_CREATED: list[str] = []
+
+
+def _ram_base() -> str | None:
+    base = "/dev/shm"
+    if os.path.isdir(base) and os.access(base, os.W_OK):
+        return base
+    return None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh private scratch directory — tmpfs-backed when the host
+    has /dev/shm, else the default temp root — removed at process
+    exit. Fresh per call: streaming file sources remember processed
+    files in their checkpoint, so a REUSED checkpoint would make a
+    second bounded run read "no new data" and return empty."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=_ram_base())
+    _CREATED.append(d)
+    return d
+
+
+def discard(path: str) -> None:
+    """Remove one scratch dir now (idempotent) — for callers that know
+    the dir is dead before exit, e.g. a runner deleting its checkpoint
+    as soon as the bounded query terminates."""
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _CREATED.remove(path)
+    except ValueError:
+        pass
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in _CREATED:
+        shutil.rmtree(d, ignore_errors=True)
+    _CREATED.clear()

@@ -1,0 +1,80 @@
+"""Pins the RAM-backed scratch-dir contract (r15 verdict #1 fix).
+
+The streamed bench rows' checkpoints/state/staging move from /tmp
+(disk — whose small fsync'd commits were the reproduced driver-window
+slowdown, tools/probe_streamed_window.py) to /dev/shm-backed scratch
+dirs that are tracked and removed at process exit. These tests pin the
+placement, the freshness-per-call invariant the streaming file source
+requires, the cleanup hooks, and that the bounded memory-sink runner
+leaves no checkpoint behind."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mapreduce_code_spark import scratch as SC
+
+
+def test_scratch_dir_prefers_dev_shm_when_available():
+    d = SC.scratch_dir("sg_test_")
+    try:
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            assert d.startswith("/dev/shm/"), d
+        assert os.path.isdir(d)
+        assert Path(d).name.startswith("sg_test_")
+    finally:
+        SC.discard(d)
+
+
+def test_scratch_dir_fresh_per_call():
+    """A streaming file source remembers processed files in its
+    checkpoint, so two runs must never share a scratch dir."""
+    a, b = SC.scratch_dir("sg_fresh_"), SC.scratch_dir("sg_fresh_")
+    try:
+        assert a != b
+    finally:
+        SC.discard(a)
+        SC.discard(b)
+
+
+def test_discard_removes_and_untracks():
+    d = SC.scratch_dir("sg_disc_")
+    (Path(d) / "x").write_text("1")
+    SC.discard(d)
+    assert not os.path.exists(d)
+    assert d not in SC._CREATED
+    SC.discard(d)  # idempotent
+
+
+def test_exit_cleanup_sweeps_tracked_dirs():
+    d = SC.scratch_dir("sg_exit_")
+    (Path(d) / "x").write_text("1")
+    SC._cleanup()
+    assert not os.path.exists(d)
+    assert SC._CREATED == []
+
+
+def test_run_available_now_cleans_its_checkpoint(spark, tmp_path):
+    """The bounded memory-sink runner checkpoints to a scratch dir and
+    discards it as soon as the query terminates — the sink rows live in
+    the JVM, and a leaked tmpfs checkpoint would hold RAM until exit."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_code_spark.streaming import windows as W
+
+    src = tmp_path / "src"
+    spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("id long, k long").parquet(str(src))
+    before = set(SC._CREATED)
+    out = W.run_available_now(
+        stream.groupBy("k").count(), "scratch_ckpt_probe", "complete"
+    )
+    assert out.count() == 3
+    leaked = [d for d in SC._CREATED if d not in before]
+    assert leaked == [], f"checkpoint scratch not discarded: {leaked}"

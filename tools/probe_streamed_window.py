@@ -31,7 +31,7 @@ inflation should vanish, because tmpfs commits never touch the disk
 queue the contender is stalling.
 
 Usage: python tools/probe_streamed_window.py [mode] [out.json]
-  mode: "both" (default) | "idle" | "contended" | "meta" | "cpu"
+  mode: "both" (default) | "idle" | "contended" | "meta" | "cpu" | "mix"
   ("meta" = contended leg with the small-file create+fsync+rename
   contender; "cpu" = contended leg with N short-burst CPU spinners —
   models a driver process doing its own work during the bench window)
@@ -107,11 +107,19 @@ def run_leg(contended: bool, contender_mode: str = "bulk") -> dict:
     work = None
     if contended:
         work = tempfile.mkdtemp(prefix="probe_contender_", dir="/tmp")
-        n_procs = 4 if contender_mode == "cpu" else 1
-        for _ in range(n_procs):
+        # "mix" models a live driver process: CPU bookkeeping bursts +
+        # small-file fsync writes at once
+        modes = (
+            ["cpu"] * 4
+            if contender_mode == "cpu"
+            else ["cpu", "cpu", "meta", "bulk"]
+            if contender_mode == "mix"
+            else [contender_mode]
+        )
+        for m in modes:
             procs.append(
                 subprocess.Popen(
-                    [sys.executable, "-c", _CONTENDER, work, contender_mode]
+                    [sys.executable, "-c", _CONTENDER, work, m]
                 )
             )
     t0 = time.monotonic()
@@ -150,8 +158,8 @@ def main() -> int:
     if mode in ("both", "idle"):
         legs["idle"] = run_leg(False)
         print(f"[probe] idle: {legs['idle']['timings']}", file=sys.stderr)
-    if mode in ("both", "contended", "meta", "cpu"):
-        cmode = mode if mode in ("meta", "cpu") else "bulk"
+    if mode in ("both", "contended", "meta", "cpu", "mix"):
+        cmode = mode if mode in ("meta", "cpu", "mix") else "bulk"
         legs["contended"] = run_leg(True, contender_mode=cmode)
         legs["contended"]["contender_mode"] = cmode
         print(
