@@ -83,6 +83,27 @@ def fold_policy(
     driver-window flags contaminated their typicals to 6.019/4.503 s,
     which would have let a real 2-3x regression pass the next round's
     1.5x-of-typical bar silently.
+
+    r16 verdict #2 closed the residual ratchet the within-bar rule
+    left open — a dirty-but-sub-bar window still folded BOTH inflated
+    repeats, and median(prior, r1, r2) with two inflated samples jumps
+    to min(r1, r2): one r16 driver window moved five heavy rows'
+    typicals up 1.26-1.43x, including a row the SAME run marked
+    contended. Two rules close it:
+    - CONTENDED-marked queries (max/min repeat ratio > 3x — the same
+      definition the sidecar's "contended" list has always used, now
+      computed here) keep their prior typical exactly like regressed
+      ones: a repeat set that noisy is host evidence, not engine time.
+    - The fold's UPWARD movement is clamped to 10% per fold: typical
+      tracks genuine drift both ways, but a single window can no
+      longer teleport it to the inflated reading — a real sustained
+      slowdown still gets there (and meanwhile flags at the 1.5x bar),
+      while a one-window artifact decays on the next clean run.
+      Downward movement stays unclamped: it only ever TIGHTENS next
+      round's regression bar.
+    A committed typical of 0.0 is treated as absent on the fold side
+    too (r16 advisor, low): the query re-seeds from this run's repeats
+    instead of writing 0.0 back (or biasing its median with it) forever.
     """
     reference = {n: prior_typical.get(n) or prior.get(n) for n in timings}
     reference = {n: r for n, r in reference.items() if r}
@@ -109,6 +130,14 @@ def fold_policy(
         if reference[n] > 0.2  # sub-noise-floor queries flap, skip them
         and timings[n] / reference[n] > reg_bar
     )
+    # Per-query contended marker: repeats of the SAME query spreading
+    # >3x within one run is per-query host noise even when the run-level
+    # median is clean (a mid-sweep contention window). Computed here so
+    # the fold can exclude the marked queries (r16 verdict #2) — the
+    # sidecar's "contended" list is this value.
+    contended = sorted(
+        n for n, rs in runs.items() if len(rs) > 1 and max(rs) > 3 * min(rs)
+    )
     # Fold this run into the per-query engine-time floor ONLY when the
     # run itself is credible: a contended run's samples (including the
     # occasionally-lucky fast ones) are host noise, so the sidecar keeps
@@ -118,9 +147,10 @@ def fold_policy(
         # keep ONLY the prior floor: a query with no prior entry (newly
         # registered) gets no floor at all rather than a
         # contention-inflated one — it earns its entry on the next
-        # clean run
+        # clean run (zero-valued typicals drop instead of round-tripping
+        # — r16 advisor, low)
         merged = {n: round(t, 3) for n, t in prior.items()}
-        typical = {n: round(t, 3) for n, t in prior_typical.items()}
+        typical = {n: round(t, 3) for n, t in prior_typical.items() if t}
     else:
         merged = {
             n: round(min(t, prior.get(n, t)), 3) for n, t in timings.items()
@@ -129,31 +159,36 @@ def fold_policy(
         # repeats) tracks genuine drift in BOTH directions, so typical
         # stays an honest-idle expectation instead of a best-case
         # envelope. Within-bar samples only (docstring above): a flagged
-        # query's samples ARE the suspected regression, so its typical
-        # keeps the prior (or stays unseeded). A query with no incumbent
-        # seeds from the median of this run's repeats — NOT from a list
-        # that re-includes the min (r15 advisor: median([min, r1, r2])
-        # is always the min with repeats=2, a best-case seed that made
-        # the next honest run read ~1.27x against it).
+        # OR contended-marked query's samples ARE the suspected
+        # regression/noise, so its typical keeps the prior (or stays
+        # unseeded). A query with no incumbent seeds from the median of
+        # this run's repeats — NOT from a list that re-includes the min
+        # (r15 advisor: median([min, r1, r2]) is always the min with
+        # repeats=2, a best-case seed that made the next honest run
+        # read ~1.27x against it). Upward movement clamps at 10% per
+        # fold (docstring above — the r16-verdict-#2 ratchet).
         typical = {}
         for n in timings:
-            incumbent = prior_typical.get(n)
-            if n in regressed:
+            # `or None`: a committed 0.0 typical is absent, not a value
+            incumbent = prior_typical.get(n) or None
+            if n in regressed or n in contended:
                 if incumbent is not None:
                     typical[n] = round(incumbent, 3)
                 continue
-            samples = (
-                [incumbent, *runs[n]]
-                if incumbent is not None
-                else list(runs[n])
-            )
-            typical[n] = round(statistics.median(samples), 3)
+            if incumbent is None:
+                typical[n] = round(statistics.median(runs[n]), 3)
+                continue
+            candidate = statistics.median([incumbent, *runs[n]])
+            if candidate > incumbent:
+                candidate = min(candidate, incumbent * 1.10)
+            typical[n] = round(candidate, 3)
     return {
         "median_ratio": median_ratio,
         "run_contended": run_contended,
         "merged": merged,
         "typical": typical,
         "regressed": regressed,
+        "contended": contended,
     }
 
 
@@ -380,9 +415,6 @@ def main() -> int:
         (here / "bench_shuffles.json").write_text(
             json.dumps(shuffles, indent=1, sort_keys=True)
         )
-    contended = sorted(
-        n for n, rs in runs.items() if len(rs) > 1 and max(rs) > 3 * min(rs)
-    )
     # Maintain the per-query engine-time floor (committed sidecar mins;
     # r5 verdict #1/#3: min-of-N inside ONE invocation cannot see
     # cross-invocation host contention — r4/r5 driver runs landed a
@@ -419,6 +451,7 @@ def main() -> int:
     merged = policy["merged"]
     typical = policy["typical"]
     regressed = policy["regressed"]
+    contended = policy["contended"]
     fresh_total = round(sum(timings.values()), 3)
     merged_total = round(sum(merged.values()), 3)
     if not only:
@@ -434,14 +467,10 @@ def main() -> int:
                     "typical": typical,
                     "runs": runs,
                     "contended": contended,
-                    # canonical key since r16; the old name said
-                    # "vs_prior" when the r15 fold-policy change made
-                    # the denominator typical-where-present-else-floor.
-                    # Dual-written for one round (r15 advisor, low) —
-                    # consumers keying on the stale name keep working;
-                    # the old key drops in r17.
+                    # canonical key since r16 (the old
+                    # median_ratio_vs_prior name was dual-written for
+                    # one round and dropped in r17 as declared)
                     "median_ratio_vs_reference": median_ratio,
-                    "median_ratio_vs_prior": median_ratio,
                     "reference": "typical-where-present-else-floor",
                     "run_contended": run_contended,
                     "regressed_vs_prior": regressed,

@@ -972,6 +972,11 @@ def _ingest_split_src(
     # validate on hit: an exit-reaped or externally cleaned dir rebuilds
     if src is not None and len(glob.glob(f"{src}/f*.parquet")) == n_files:
         return src
+    # still a raw disk mkdtemp (r16 verdict #6 names it): moving this
+    # site to scratch_dir touches the two ingest rows' build path, and
+    # both are r16-fresh — the r17 must-check budget (48 stale + the
+    # epoch-shards touch) has no slack for them. Migrates in r18 when
+    # the ingest rows are stale-due anyway.
     base = tempfile.mkdtemp(prefix="spark_graft_split_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = f"{base}/src"
@@ -1027,6 +1032,8 @@ def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
         # atexit hook (review finding)
         del _INGEST_RUNS[sf_dir]
         shutil.rmtree(old_base, ignore_errors=True)
+    # raw disk mkdtemp retained for the same budget reason as
+    # _ingest_split_src above — migrates to scratch_dir in r18
     base = tempfile.mkdtemp(prefix="spark_graft_ingestrun_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     # n_shards(=8) state/shuffle partitions for the run (r9 A/B, SURVEY
@@ -1127,17 +1134,20 @@ if EPOCH_SALT == PIPE.TRAIN_SALT:
 
 
 def _epoch_shards_src(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
     import glob
-    import shutil
-    import tempfile
+
+    from mapreduce_code_spark.scratch import scratch_dir
 
     out = _EPOCH_SHARDS.get(sf_dir)
     # validate on hit: an exit-reaped or externally cleaned dir rebuilds
     if out is not None and len(glob.glob(f"{out}/shard=*")) == PIPE.TRAIN_SHARDS:
         return out
-    base = tempfile.mkdtemp(prefix="spark_graft_shards_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # scratch_dir (tmpfs-backed, exit-swept) instead of a raw mkdtemp:
+    # one of the four leaked-/tmp tempdir sites named by r16 verdict #6
+    # — and parquet reads of the cached shards stop touching the root
+    # disk the driver window contends (SPARK_GRAFT_DISK_LOCAL=1 opts
+    # blowup-tier probes back onto disk)
+    base = scratch_dir("spark_graft_shards_")
     out = f"{base}/shards"
     PIPE.materialize_training_set(load_table(spark, sf_dir, "documents"), out)
     _EPOCH_SHARDS[sf_dir] = out
@@ -1192,10 +1202,12 @@ def q_materialize_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation algebra, and content. The epoch-0 source shards are the
     per-corpus cache (_epoch_shards_src); the flip write + audit —
     the operations under test — run fresh every call."""
-    import shutil
-    import tempfile
+    from mapreduce_code_spark.scratch import discard, scratch_dir
 
-    work = tempfile.mkdtemp(prefix="spark_graft_epoch1_")
+    # scratch_dir + discard instead of a raw mkdtemp (r16 verdict #6):
+    # the epoch-1 rewrite — the timed operation under test — commits
+    # its shard files to tmpfs, not the contended root disk
+    work = scratch_dir("spark_graft_epoch1_")
     try:
         out1 = f"{work}/epoch1"
         PIPE.materialize_epoch(
@@ -1207,7 +1219,7 @@ def q_materialize_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, out1, salt=EPOCH_SALT
         ).localCheckpoint()
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        discard(work)
 
 
 @register(

@@ -22,6 +22,13 @@ they replace: r15 left 211 orphaned checkpoint dirs under /tmp).
 Callers whose results are consumed lazily (a returned DataFrame
 reading a scratch parquet sink) rely on exactly this exit-time
 cleanup; callers done with a dir sooner should `discard()` it.
+
+``SPARK_GRAFT_DISK_LOCAL=1`` forces every scratch dir (and, via
+``session.py``, ``spark.local.dir``) back onto the default disk temp
+root — the knob for (a) blowup-tier probes whose staging/shuffle bytes
+could pressure a 50%-of-RAM tmpfs, and (b) the A-leg of pre/post
+probes reproducing the root-disk I/O mechanism this module exists to
+remove (tools/probe_streamed_window.py).
 """
 
 from __future__ import annotations
@@ -32,9 +39,17 @@ import shutil
 import tempfile
 
 _CREATED: list[str] = []
+# dirs discard()ed early — re-swept at exit because Spark's state-store
+# maintenance thread can recreate files under a checkpoint dir shortly
+# AFTER a stateful availableNow query terminates (r16 advisor, low):
+# anything recreated on tmpfs after the eager rmtree would otherwise be
+# untracked RAM until process death.
+_DISCARDED: list[str] = []
 
 
 def _ram_base() -> str | None:
+    if os.environ.get("SPARK_GRAFT_DISK_LOCAL"):
+        return None
     base = "/dev/shm"
     if os.path.isdir(base) and os.access(base, os.W_OK):
         return base
@@ -55,16 +70,21 @@ def scratch_dir(prefix: str) -> str:
 def discard(path: str) -> None:
     """Remove one scratch dir now (idempotent) — for callers that know
     the dir is dead before exit, e.g. a runner deleting its checkpoint
-    as soon as the bounded query terminates."""
+    as soon as the bounded query terminates. The path stays on the
+    exit re-sweep list: state-store maintenance can recreate files
+    under a just-terminated stream's checkpoint after this rmtree."""
     shutil.rmtree(path, ignore_errors=True)
     try:
         _CREATED.remove(path)
     except ValueError:
         pass
+    else:
+        _DISCARDED.append(path)
 
 
 @atexit.register
 def _cleanup() -> None:
-    for d in _CREATED:
+    for d in (*_CREATED, *_DISCARDED):
         shutil.rmtree(d, ignore_errors=True)
     _CREATED.clear()
+    _DISCARDED.clear()

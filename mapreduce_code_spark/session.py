@@ -19,6 +19,45 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# process-wide spark.local.dir (shuffle/spill/broadcast scratch), created
+# once — get_spark may be called many times but only the FIRST JVM
+# creation reads the conf, and one dir per process keeps the exit sweep
+# trivial
+_LOCAL_DIR: str | None = None
+
+
+def _tmpfs_local_dir() -> str | None:
+    """RAM-backed ``spark.local.dir`` for this process, or None to keep
+    Spark's default (disk) behavior.
+
+    Why (r16 verdict #1): the r16 probe proved a concurrent small-file
+    fsync/rename writer on the root filesystem selectively inflates
+    queries whose timed path commits files there — and after the
+    streamed checkpoints moved to tmpfs (``scratch.py``), the driver
+    window's flags moved one tier down, onto batch rows whose SHUFFLE
+    writes still landed on the root disk via the default
+    ``spark.local.dir=/tmp``. Shuffle blocks at bench scale (sf0.1) are
+    single-digit MBs per query — trivially RAM-safe in 128 GiB — so the
+    bench/driver session's shuffle scratch moves to tmpfs too, taking
+    every remaining timed-path root-disk commit out of reach of
+    whatever else the host is fsyncing. On a real cluster this knob is
+    moot: executors get dedicated local SSD/NVMe scratch, not a shared
+    root disk.
+
+    Honors ``SPARK_GRAFT_DISK_LOCAL=1`` (via ``scratch._ram_base``) for
+    blowup-tier probes whose spill could pressure tmpfs, and returns
+    None when /dev/shm is absent. NOTE: only effective on the FIRST
+    SparkContext creation in a process — ``getOrCreate`` on a live
+    session cannot move its local dirs."""
+    global _LOCAL_DIR
+    from mapreduce_code_spark.scratch import _ram_base, scratch_dir
+
+    if _ram_base() is None:
+        return None
+    if _LOCAL_DIR is None:
+        _LOCAL_DIR = scratch_dir("sparklocal_")
+    return _LOCAL_DIR
+
 # Broadcast caps for jobs over HIGH-DUPLICATION (highly-compressible)
 # corpora — the regime every dedup job is in by definition. Both of
 # Spark's automatic broadcast decisions estimate from COMPRESSED bytes:
@@ -101,6 +140,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    local_dir = _tmpfs_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -120,6 +120,23 @@ def test_zero_typical_falls_back_to_floor_not_dropped():
     # whose median (1.0) stays clean
     assert out["run_contended"] is False
     assert out["regressed"] == ["z"]
+    # fold side (r16 advisor, low): the 0.0 incumbent is ABSENT, and a
+    # flagged query without an incumbent stays unseeded — 0.0 must not
+    # round-trip into the sidecar forever
+    assert "z" not in out["typical"]
+
+
+def test_zero_typical_reseeds_unflagged_query_from_runs():
+    """The other half of the r16 advisor low: an UNFLAGGED query whose
+    committed typical is 0.0 must re-seed from this run's repeats — not
+    fold the 0.0 into a 3-element median that biases the seed low."""
+    timings = {"y": 1.0, "a": 1.0, "b": 1.0}
+    runs = {"y": [1.0, 1.2], "a": [1.0, 1.0], "b": [1.0, 1.0]}
+    prior = {"y": 1.0, "a": 1.0, "b": 1.0}
+    out = fold_policy(timings, runs, prior, {"y": 0.0})
+    assert out["regressed"] == []
+    # median([1.0, 1.2]) = 1.1, NOT median([0.0, 1.0, 1.2]) = 1.0
+    assert out["typical"]["y"] == 1.1
 
 
 def test_sub_noise_floor_queries_never_flag():
@@ -131,12 +148,53 @@ def test_sub_noise_floor_queries_never_flag():
 
 def test_typical_fold_moves_both_directions():
     """min-folded floors only ever decrease; typical must track drift
-    BOTH ways (3-element median of incumbent + this run's repeats)."""
+    BOTH ways (3-element median of incumbent + this run's repeats).
+    Downward movement is UNclamped — it only tightens the next bar."""
     runs_fast = {"a": [0.8, 0.85]}
     out = fold_policy({"a": 0.8}, runs_fast, {"a": 0.79}, {"a": 1.0})
-    assert out["typical"]["a"] == 0.85  # moved down
+    assert out["typical"]["a"] == 0.85  # moved down, unclamped
     runs_slow = {"a": [1.2, 1.25]}
     out = fold_policy({"a": 1.2}, runs_slow, {"a": 0.79}, {"a": 1.0})
     # 1.2/1.0 median ratio = 1.2 < 1.25: still clean, typical moves up
+    # — but only to the 10% drift clamp (r16 verdict #2), not straight
+    # to the inflated reading
     assert out["run_contended"] is False
-    assert out["typical"]["a"] == 1.2
+    assert out["typical"]["a"] == 1.1
+
+
+def test_contended_marked_query_keeps_prior_typical():
+    """r16 verdict #2, first rule: a query whose own repeats spread >3x
+    within the run (the sidecar's per-query 'contended' marker) must NOT
+    fold — the r16 driver window folded similarity_semantic_dedup's
+    17.6/4.7 s repeats into typical WHILE marking the row contended
+    (3.257 -> 4.664)."""
+    timings = {"a": 4.7, "b": 1.0, "c": 1.0}
+    runs = {"a": [17.6, 4.7], "b": [1.0, 1.0], "c": [1.0, 1.0]}
+    prior = {"a": 3.0, "b": 1.0, "c": 1.0}
+    typical = {"a": 3.3, "b": 1.0, "c": 1.0}
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["contended"] == ["a"]
+    # min 4.7 vs typical 3.3 = 1.42x: under the 1.5x bar, so the old
+    # within-bar rule would have folded median(3.3, 17.6, 4.7) = 4.7
+    assert out["regressed"] == []
+    assert out["typical"]["a"] == 3.3  # prior kept exactly
+    # a contended-marked query with NO incumbent stays unseeded
+    out2 = fold_policy(timings, runs, prior, {"b": 1.0, "c": 1.0})
+    assert "a" not in out2["typical"]
+
+
+def test_fold_clamps_upward_drift_to_ten_percent():
+    """r16 verdict #2, second rule: a dirty-but-sub-bar window (both
+    repeats at 1.25-1.49x typical — the exact r16 shape that moved five
+    heavy rows' typicals up 1.26-1.43x in one fold) moves typical at
+    most 10% per fold."""
+    timings = {"a": 1.30, "b": 1.0, "c": 1.0}
+    runs = {"a": [1.40, 1.30], "b": [1.0, 1.0], "c": [1.0, 1.0]}
+    prior = {"a": 0.9, "b": 1.0, "c": 1.0}
+    typical = {"a": 1.0, "b": 1.0, "c": 1.0}
+    out = fold_policy(timings, runs, prior, typical)
+    assert out["run_contended"] is False
+    assert out["regressed"] == []
+    assert out["contended"] == []
+    # unclamped median(1.0, 1.40, 1.30) = 1.30; clamp holds it at 1.1
+    assert out["typical"]["a"] == 1.1

@@ -58,6 +58,36 @@ def test_exit_cleanup_sweeps_tracked_dirs():
     assert SC._CREATED == []
 
 
+def test_exit_cleanup_resweeps_discarded_dirs():
+    """r16 advisor (low): Spark's state-store maintenance thread can
+    recreate files under a checkpoint dir shortly AFTER the bounded
+    query terminates — so a dir removed early by discard() must be
+    swept AGAIN at exit, or the recreated tmpfs files hold RAM until
+    process death."""
+    d = SC.scratch_dir("sg_resweep_")
+    SC.discard(d)
+    assert d in SC._DISCARDED
+    # model the maintenance thread recreating the dir post-discard
+    os.makedirs(d, exist_ok=True)
+    (Path(d) / "late_state").write_text("1")
+    SC._cleanup()
+    assert not os.path.exists(d)
+    assert SC._DISCARDED == []
+
+
+def test_disk_local_env_forces_disk_scratch(monkeypatch):
+    """SPARK_GRAFT_DISK_LOCAL=1 is the blowup-tier / probe-pre-leg knob
+    (r16 verdict #1): every scratch dir must land on the default disk
+    temp root, never tmpfs."""
+    monkeypatch.setenv("SPARK_GRAFT_DISK_LOCAL", "1")
+    assert SC._ram_base() is None
+    d = SC.scratch_dir("sg_disk_")
+    try:
+        assert not d.startswith("/dev/shm/"), d
+    finally:
+        SC.discard(d)
+
+
 def test_run_available_now_cleans_its_checkpoint(spark, tmp_path):
     """The bounded memory-sink runner checkpoints to a scratch dir and
     discards it as soon as the query terminates — the sink rows live in

@@ -36,6 +36,13 @@ Usage: python tools/probe_streamed_window.py [mode] [out.json]
   contender; "cpu" = contended leg with N short-burst CPU spinners —
   models a driver process doing its own work during the bench window)
 Emits one JSON line; write it to a probe receipt when done.
+
+SPARK_GRAFT_PROBE_SUBSET=a,b,c overrides the query subset (r16 verdict
+#1: the r17 follow-up probes the BATCH shuffle-writing rows the driver
+window flagged after the streamed rows were fixed). Because run_leg
+propagates the environment, exporting SPARK_GRAFT_DISK_LOCAL=1 gives a
+pre-fix leg (Spark local dirs + scratch back on the root disk) and the
+default environment the post-fix (tmpfs) leg.
 """
 
 from __future__ import annotations
@@ -53,8 +60,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 # the two flagged rows, two streamed controls that did NOT flag, and
-# two batch controls (one shuffle-heavy, one the verdict-#5 nit row)
+# two batch controls (one shuffle-heavy, one the verdict-#5 nit row);
+# SPARK_GRAFT_PROBE_SUBSET overrides (module docstring)
 SUBSET = [
+    s
+    for s in os.environ.get("SPARK_GRAFT_PROBE_SUBSET", "").split(",")
+    if s
+] or [
     "dedup_streamed_incremental",
     "events_streamed_view_purchase",
     "events_streamed_tumbling",
@@ -168,13 +180,13 @@ def main() -> int:
         )
     result: dict = {"subset": SUBSET, "legs": legs}
     if "idle" in legs and "contended" in legs:
+        # both sides guarded (r16 advisor, low): a 0/absent IDLE parse
+        # must skip the query, not ZeroDivisionError away the whole
+        # receipt after both legs already ran
         result["inflation"] = {
-            n: round(
-                legs["contended"]["timings"][n] / legs["idle"]["timings"][n],
-                2,
-            )
-            for n in legs["idle"]["timings"]
-            if legs["contended"]["timings"].get(n)
+            n: round(legs["contended"]["timings"][n] / t, 2)
+            for n, t in legs["idle"]["timings"].items()
+            if t and legs["contended"]["timings"].get(n)
         }
     print(json.dumps(result))
     if len(sys.argv) > 2:

@@ -118,7 +118,7 @@ def main() -> int:
         "typical": new_typical,
         "runs": last.get("runs"),
         "contended": last.get("contended"),
-        "median_ratio_vs_prior": 1.0,
+        "median_ratio_vs_reference": 1.0,
         "run_contended": False,
         "regressed_vs_prior": [],
         "sgd_iterations": last.get("sgd_iterations"),

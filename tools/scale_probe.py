@@ -221,6 +221,11 @@ def cleanup_blowups() -> int:
 def main() -> int:
     if "--cleanup" in sys.argv:
         return cleanup_blowups()
+    # blowup tiers multiply data 10-1000x: per-query scratch dirs
+    # (epoch shards, streamed staging) must stay on disk here, not the
+    # 50%-of-RAM tmpfs the bench-scale allocator prefers (scratch.py);
+    # setdefault so a caller can still force either way explicitly
+    os.environ.setdefault("SPARK_GRAFT_DISK_LOCAL", "1")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
