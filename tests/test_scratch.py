@@ -50,23 +50,36 @@ def test_discard_removes_and_untracks():
     SC.discard(d)  # idempotent
 
 
-def test_exit_cleanup_sweeps_tracked_dirs():
+def test_exit_cleanup_sweeps_tracked_dirs(monkeypatch):
+    """Exercises _cleanup against an ISOLATED tracked list: since the
+    r17 spark.local.dir move, _CREATED also holds the live session's
+    shuffle-scratch dir, and calling the real exit sweep mid-suite
+    deleted it out from under the JVM — every later shuffle write in
+    the shared session failed with FileNotFoundException (found when
+    this test ran after session-creating suites)."""
     d = SC.scratch_dir("sg_exit_")
     (Path(d) / "x").write_text("1")
+    SC._CREATED.remove(d)
+    monkeypatch.setattr(SC, "_CREATED", [d])
+    monkeypatch.setattr(SC, "_DISCARDED", [])
     SC._cleanup()
     assert not os.path.exists(d)
     assert SC._CREATED == []
 
 
-def test_exit_cleanup_resweeps_discarded_dirs():
+def test_exit_cleanup_resweeps_discarded_dirs(monkeypatch):
     """r16 advisor (low): Spark's state-store maintenance thread can
     recreate files under a checkpoint dir shortly AFTER the bounded
     query terminates — so a dir removed early by discard() must be
     swept AGAIN at exit, or the recreated tmpfs files hold RAM until
-    process death."""
+    process death. Runs against isolated lists for the same
+    live-session reason as the sweep test above."""
     d = SC.scratch_dir("sg_resweep_")
     SC.discard(d)
     assert d in SC._DISCARDED
+    SC._DISCARDED.remove(d)
+    monkeypatch.setattr(SC, "_CREATED", [])
+    monkeypatch.setattr(SC, "_DISCARDED", [d])
     # model the maintenance thread recreating the dir post-discard
     os.makedirs(d, exist_ok=True)
     (Path(d) / "late_state").write_text("1")
