@@ -963,22 +963,27 @@ _INGEST_SPLITS: dict[tuple[str, int], str] = {}
 def _ingest_split_src(
     spark: SparkSession, sf_dir: str, n_files: int = 3
 ) -> str:
-    import atexit
     import glob
-    import shutil
-    import tempfile
+
+    from mapreduce_code_spark.scratch import scratch_dir
 
     src = _INGEST_SPLITS.get((sf_dir, n_files))
     # validate on hit: an exit-reaped or externally cleaned dir rebuilds
     if src is not None and len(glob.glob(f"{src}/f*.parquet")) == n_files:
         return src
-    # still a raw disk mkdtemp (r16 verdict #6 names it): moving this
-    # site to scratch_dir touches the two ingest rows' build path, and
-    # both are r16-fresh — the r17 must-check budget (48 stale + the
-    # epoch-shards touch) has no slack for them. Migrates in r18 when
-    # the ingest rows are stale-due anyway.
-    base = tempfile.mkdtemp(prefix="spark_graft_split_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # tmpfs scratch since r17 (r16 verdict #6 named this site; the
+    # deferral note said "r18 when the ingest rows are stale-due", but
+    # the r17 optimization measurements made the move urgent: the
+    # OWNER row pipeline_ingest_hash_log is the #1 bench floor and its
+    # whole timed path — split read, staging parquet writes, checkpoint
+    # commits, compaction rewrites — committed to the root disk, the
+    # exact mechanism the r16 probe showed the driver window inflates.
+    # Coverage argued via the full-registry driver_check sweep (the
+    # session.py precedent in rotation.py) plus a scoped post-change
+    # driver_check of both ingest rows; scratch_dir honors
+    # SPARK_GRAFT_DISK_LOCAL=1 for blowup-tier probes and sweeps the
+    # dir at exit.
+    base = scratch_dir("spark_graft_split_")
     src = f"{base}/src"
     PIPE.write_ingest_split(
         load_table(spark, sf_dir, "documents"), src, n_files=n_files
@@ -1010,11 +1015,9 @@ _INGEST_RUNS: dict[str, tuple[str, str]] = {}
 
 
 def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
     import glob
-    import shutil
-    import tempfile
 
+    from mapreduce_code_spark.scratch import discard, scratch_dir
     from mapreduce_code_spark.streaming.windows import stream_partitions
 
     hit = _INGEST_RUNS.get(sf_dir)
@@ -1029,13 +1032,16 @@ def _ingest_run_staging(spark: SparkSession, sf_dir: str) -> str:
         ):
             return staging
         # half-valid remnant: reap it rather than abandoning it to the
-        # atexit hook (review finding)
+        # atexit hook (review finding); discard() because the base is a
+        # tracked scratch dir since r17
         del _INGEST_RUNS[sf_dir]
-        shutil.rmtree(old_base, ignore_errors=True)
-    # raw disk mkdtemp retained for the same budget reason as
-    # _ingest_split_src above — migrates to scratch_dir in r18
-    base = tempfile.mkdtemp(prefix="spark_graft_ingestrun_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+        discard(old_base)
+    # tmpfs scratch since r17, same rationale as _ingest_split_src
+    # above: the streamed run under this dir (staging sinks, stream
+    # checkpoint, shard writes) IS pipeline_ingest_hash_log's timed
+    # path — the heaviest bench floor — and every one of its small
+    # fsync'd commits previously landed on the contended root disk.
+    base = scratch_dir("spark_graft_ingestrun_")
     # n_shards(=8) state/shuffle partitions for the run (r9 A/B, SURVEY
     # §9): the per-micro-batch keeper window + anti-join and the final
     # shard write are test-corpus-sized, where per-partition overhead
@@ -1060,10 +1066,14 @@ def _evict_ingest_runs() -> None:
     its own), so unlike the in-memory cache there is no cross-session
     scoping question a concurrent second process could lose: deleting
     ours never touches another process's run."""
-    import shutil
+    from mapreduce_code_spark.scratch import discard
 
     for sf_dir, (base, _staging) in list(_INGEST_RUNS.items()):
-        shutil.rmtree(base, ignore_errors=True)
+        # discard (not a raw rmtree): the run base is a tracked scratch
+        # dir since r17, and discard keeps it on the exit re-sweep list
+        # in case the just-terminated stream's state-store maintenance
+        # recreates files under it
+        discard(base)
         del _INGEST_RUNS[sf_dir]
 
 

@@ -44,7 +44,9 @@ ROUND_FIRST: list[str] = [
     # spark.local.dir move is surface-wide plumbing whose coverage is
     # argued via the full-registry driver_check sweep (r16 verdict #3's
     # prescribed alternative), not 98 rotation slots. Must-check =
-    # 48 + 1 = 49, slack 1. Shared-build OWNERS lead their consumers
+    # 48 + 1 = 49, slack 1 — taken by pipeline_ingest_hash_log (end of
+    # this list): the r17 ingest-scratch migration touched its build
+    # path. Shared-build OWNERS lead their consumers
     # (bench cache hygiene): apriori_frequent_items -> itemsets/rules,
     # dedup_near_dup_scalable -> components_starcontract,
     # text_bpe_merges -> text_bpe_encode.
@@ -97,6 +99,18 @@ ROUND_FIRST: list[str] = [
     "relational_rolling_24h",
     "relational_events_orders_asof",
     "relational_events_close_pairs",
+    # r17 optimization touch: the streamed-ingest run's work tree
+    # (split, staging, checkpoint, shards) moved from a raw disk
+    # mkdtemp to the tmpfs scratch allocator — the r16-verdict-#6
+    # deferral was reversed because the OWNER row is the #1 bench
+    # floor and its timed path committed to the contended root disk.
+    # That touches BOTH ingest rows' build paths; the owner takes the
+    # one remaining budget slot (must-check = 48 + 1 + 1 = 50, slack
+    # 0), and pipeline_ingest_manifest — which reads the SAME
+    # completed run the owner's slot re-certifies — is argued via the
+    # full-registry driver_check sweep (scratch/driver_check_r17_*,
+    # ALL OK), the session.py precedent above.
+    "pipeline_ingest_hash_log",
 ]
 ROUND_LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the
