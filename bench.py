@@ -285,9 +285,23 @@ def main() -> int:
     nation.groupBy("n_regionkey").count().write.mode("overwrite").format(
         "noop"
     ).save()
-    nation.mapInPandas(lambda it: it, schema=nation.schema).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # Warm the WHOLE Python worker pool, not one worker: nation is a
+    # single input split, so a bare mapInPandas here forked exactly one
+    # worker — every later pandas-UDF query running at local[N]
+    # parallelism then paid (N-1) worker spawns + per-worker
+    # pandas/pyarrow imports inside its FIRST timed run (measured r17:
+    # regression_sgd_linear first-run 5.9 s vs a 1.2 s floor, and every
+    # first repeat of the mapInPandas/applyInPandasWithState rows
+    # carried the same tail). Repartitioning the warmup to the
+    # session's parallelism pays that cost once, untimed — guide §4.5's
+    # init-once rule applied to the harness itself.
+    n_cpus = spark.sparkContext.defaultParallelism
+    # range(4N) round-robined into N partitions guarantees every
+    # partition is non-empty (nation's 25 rows would leave some of 32
+    # empty), so every worker slot demonstrably forks and imports
+    spark.range(4 * n_cpus).repartition(n_cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     qs = queries()
     only = set(sys.argv[1:])
