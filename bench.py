@@ -1,21 +1,27 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-short JSON line: {"metric": ..., "value": fresh_total, "merged_value":
-..., "run_contended": bool, "unit": "sec", "sf": ..., "n_queries": N,
-"queries_sidecar": "bench_timings.json"}. "value" is THIS run's
-best-of-N total — the number that can regress when the code does
-(round-6 advisor: a min-merged headline is monotonically non-increasing
-and therefore blind to regressions). "merged_value" is the per-query-min
-merge with the committed sidecar — the engine-time floor, for reading a
-contended host run against history; a run uniformly slower than that
-history sets "run_contended", and a contended run's times are NOT folded
-into the sidecar mins (a contention-distorted sample, fast or slow, is
-not evidence about engine time).
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+TWO JSON lines (r17 verdict #1 — see stdout_payloads for the protocol):
+a FULL line carrying "queries" ({name: this run's fresh best-of-N sec})
+and "regressed_vs_prior", then a SHORT line — the r17-compatible
+contract line, printed LAST so any tail-window or last-line parser
+always finds a complete object. "value" is THIS run's best-of-N total —
+the number that can regress when the code does (round-6 advisor: a
+min-merged headline is monotonically non-increasing and therefore blind
+to regressions). "merged_value" is the per-query-min merge with the
+committed sidecar — the engine-time floor, for reading a contended host
+run against history; a run uniformly slower than that history sets
+"run_contended", and a contended run's times are NOT folded into the
+sidecar mins (a contention-distorted sample, fast or slow, is not
+evidence about engine time).
 
 Per-query timings (and per-run times when SPARK_GRAFT_BENCH_REPEATS>1)
-go to bench_timings.json next to this file — the driver keeps only a
+go to bench_timings.json next to this file (the driver keeps only a
 2000-char tail of stdout, and a 68-query timings dict inline overflowed
-it three rounds running (BENCH_r0{1,2,3}.json all "parsed": null).
+it three rounds running — BENCH_r0{1,2,3}.json all "parsed": null; the
+full stdout line now carries the same map for consumers that read full
+stdout), plus a bench_timings_c{cpus}.json copy so the driver's
+lower-core-count second run can't clobber the main run's detail, plus
+rotation.json (the correctness-rotation state — r17 verdict #7).
 
 Execution is forced through the noop sink (full pipeline runs, nothing
 collected to the driver), which measures engine time rather than
@@ -192,6 +198,109 @@ def fold_policy(
     }
 
 
+def stdout_payloads(
+    timings: dict[str, float],
+    merged: dict[str, float],
+    regressed: list[str],
+    run_contended: bool,
+    sf,
+    cpus: int,
+) -> tuple[dict, dict]:
+    """The two stdout JSON payloads, pure so tests can pin the
+    protocol without a Spark run.
+
+    WHY TWO LINES (r17 verdict #1 vs the round-1-3 lesson): the driver
+    keeps only a ~2000-char tail of the bench output and parses the
+    JSON line out of that tail — an inline 98-query map is ~3.4k chars,
+    so a single line carrying it can NEVER be parsed from the tail
+    (BENCH_r0{1,2,3}.json: "parsed": null, the whole headline lost).
+    But the r17 PERF comparator's per-query table was EMPTY because the
+    short line carries no per-query data and the comparator does not
+    read the sidecar. So the bench prints BOTH:
+
+      line 1 (full): every short-line key PLUS "queries" ({name: THIS
+        run's fresh best-of-N seconds — the value that regresses when
+        the code does}), "regressed_vs_prior" (the flagged names the
+        r17 verdict said were unrecoverable), and "cpus". A consumer
+        reading full stdout gets the per-query detail.
+      line 2 (short, LAST): exactly the r17 schema — under any
+        tail-window or last-line parsing strategy the final line is a
+        complete, parseable JSON object, so the headline can never be
+        truncated away again. A tail window sees at worst a mid-line
+        fragment of line 1 (unparseable, skipped) followed by the
+        complete short line.
+
+    The short line is the one-line JSON of the driver contract; the
+    full line strictly adds keys and is printed first so it can never
+    shadow the short line under last-line parsing."""
+    short = {
+        "metric": "engine_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "merged_value": round(sum(merged.values()), 3),
+        "n_floor_queries": len(merged),
+        "run_contended": run_contended,
+        "n_regressed": len(regressed),
+        "unit": "sec",
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries_sidecar": "bench_timings.json",
+        "rotation_sidecar": "rotation.json",
+    }
+    full = dict(short)
+    full["queries"] = {n: round(t, 3) for n, t in timings.items()}
+    full["regressed_vs_prior"] = list(regressed)
+    full["cpus"] = cpus
+    return full, short
+
+
+def rotation_payload(correctness_dir: Path) -> dict:
+    """The rotation-legibility sidecar (r17 verdict #7): PERF_r17
+    reported 47 queries "dropped" and 48 "newly passing" every round
+    because the driver's ~50-row correctness budget rotates disjoint
+    subsets of the 98-query surface — sound (adjacent rounds' union is
+    the full surface) but illegible to a reader holding only the
+    JSONs. This emits the rotation state as data: the must-check
+    prefix the next sweep will verify, the full registered surface,
+    and whether (newest CORRECTNESS rows) ∪ (must-check prefix) covers
+    every registered query."""
+    import re
+
+    from mapreduce_code_spark.registry import queries
+    from mapreduce_code_spark.rotation import ROUND_FIRST
+
+    registered = sorted(queries())
+    newest: list[str] = []
+    newest_round = None
+    rows = sorted(
+        correctness_dir.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if rows:
+        newest_round = int(re.search(r"r(\d+)", rows[-1].name).group(1))
+        try:
+            newest = sorted(json.loads(rows[-1].read_text()))
+        except (ValueError, TypeError):
+            newest = []
+    covered = set(newest) | set(ROUND_FIRST)
+    return {
+        "explains": (
+            "the driver verifies ~50 queries per round in registry "
+            "order, so adjacent CORRECTNESS files cover rotating "
+            "subsets of the full registered surface; a PERF diff that "
+            "keys on one round's file alone reads the rotation as "
+            "dropped/newly-passing queries. The real drop signal is a "
+            "name missing from the REGISTERED surface or from the "
+            "bench's n_queries."
+        ),
+        "newest_correctness_round": newest_round,
+        "n_newest_correctness_rows": len(newest),
+        "must_check_prefix_next_round": list(ROUND_FIRST),
+        "n_registered": len(registered),
+        "registered": registered,
+        "union_covers_full_surface": covered >= set(registered),
+    }
+
+
 def net_shuffles(df) -> int:
     """True shuffle-Exchange count for a DataFrame's physical plan.
 
@@ -296,10 +405,16 @@ def main() -> int:
     # session's parallelism pays that cost once, untimed — guide §4.5's
     # init-once rule applied to the harness itself.
     n_cpus = spark.sparkContext.defaultParallelism
-    # range(4N) round-robined into N partitions guarantees every
-    # partition is non-empty (nation's 25 rows would leave some of 32
-    # empty), so every worker slot demonstrably forks and imports
-    spark.range(4 * n_cpus).repartition(n_cpus).mapInPandas(
+    # 4N rows in ONE input partition, round-robined into N partitions:
+    # a single round-robin stream deals rows to consecutive output
+    # partitions (one pseudorandom starting offset, then modular
+    # sweep), so 4N consecutive rows provably land in every output
+    # partition and every worker slot forks and imports. With nation
+    # (25 rows, 1 split) the old warmup forked exactly one worker; with
+    # MULTIPLE input partitions of 4 rows each, coverage was only
+    # probabilistic — each input partition starts its sweep at its own
+    # offset, so an output partition could stay cold (r17 ADVICE).
+    spark.range(0, 4 * n_cpus, 1, 1).repartition(n_cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
@@ -468,9 +583,9 @@ def main() -> int:
     contended = policy["contended"]
     fresh_total = round(sum(timings.values()), 3)
     merged_total = round(sum(merged.values()), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if not only:
-        sidecar_path.write_text(
-            json.dumps(
+        sidecar_payload = json.dumps(
                 {
                     "total_sec": merged_total,
                     "n_floor_queries": len(merged),
@@ -501,29 +616,26 @@ def main() -> int:
                 indent=1,
                 sort_keys=True,
             )
+        sidecar_path.write_text(sidecar_payload)
+        # per-core-count copy (r17 verdict #1): the driver benches the
+        # same HEAD twice (main core count, then a lower one) and the
+        # second run's fold used to OVERWRITE the first's per-query
+        # detail — the r17 32-core run's one flagged row was
+        # unrecoverable from the committed artifacts. The canonical
+        # fold above still carries the cross-run floor history; this
+        # copy preserves each core count's own reading.
+        (here / f"bench_timings_c{cpus}.json").write_text(sidecar_payload)
+        # rotation-legibility sidecar (r17 verdict #7)
+        (here / "rotation.json").write_text(
+            json.dumps(rotation_payload(here), indent=1, sort_keys=True)
         )
-    print(
-        json.dumps(
-            {
-                "metric": "engine_bench_total",
-                "value": fresh_total,
-                "merged_value": merged_total,
-                # coverage of the floor total: on a contended run newly
-                # registered queries have no prior floor and drop out of
-                # merged_value, so a shrunken total must be VISIBLY a
-                # shrunken total, not read as a faster floor (round-7
-                # advisor item)
-                "n_floor_queries": len(merged),
-                "run_contended": run_contended,
-                "n_regressed": len(regressed),
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "queries_sidecar": "bench_timings.json",
-            },
-            separators=(",", ":"),
-        )
+    full, short = stdout_payloads(
+        timings, merged, regressed, run_contended, sf, cpus
     )
+    # full line FIRST, short line LAST — see stdout_payloads' docstring
+    # for why the order is load-bearing (tail-window parsing)
+    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(short, separators=(",", ":")))
     return 0
 
 

@@ -198,3 +198,59 @@ def test_fold_clamps_upward_drift_to_ten_percent():
     assert out["contended"] == []
     # unclamped median(1.0, 1.40, 1.30) = 1.30; clamp holds it at 1.1
     assert out["typical"]["a"] == 1.1
+
+
+# --------------------------------------------------------- r18 protocol
+
+def test_stdout_payloads_two_line_protocol():
+    """r17 verdict #1: the driver's PERF comparator reads per-query
+    timings from the bench's stdout JSON, but the driver also keeps
+    only a ~2000-char tail — so bench.py prints a FULL line (with
+    "queries" + "regressed_vs_prior") first and the r17-compatible
+    SHORT line last. Pins: (a) the short line stays small enough that
+    a 2000-char tail window always contains it whole, even at the
+    98-query surface; (b) the full line is the short line plus the
+    per-query keys, so any consumer parsing either line gets a
+    consistent headline."""
+    import json
+
+    from bench import stdout_payloads
+
+    timings = {f"relational_query_name_number_{i:02d}": 1.234 for i in range(98)}
+    full, short = stdout_payloads(
+        timings, timings, ["relational_query_name_number_07"], False, "0.1", 32
+    )
+    short_line = json.dumps(short, separators=(",", ":"))
+    assert len(short_line) < 1000, "short line must fit a 2000-char tail"
+    assert "queries" not in short
+    assert full["queries"] == {n: 1.234 for n in timings}
+    assert full["regressed_vs_prior"] == ["relational_query_name_number_07"]
+    assert full["cpus"] == 32
+    # full is a strict superset of short (same headline values)
+    for k, v in short.items():
+        assert full[k] == v
+
+
+def test_rotation_payload_covers_surface_with_current_must_check(tmp_path):
+    """r17 verdict #7: the rotation sidecar must make the driver's
+    50-row correctness rotation legible — (newest CORRECTNESS rows) ∪
+    (must-check prefix) has to cover the registered surface, and the
+    payload says so explicitly."""
+    import json
+
+    from bench import rotation_payload
+    from mapreduce_code_spark.registry import queries
+    from mapreduce_code_spark.rotation import ROUND_FIRST
+
+    reg = sorted(queries())
+    # synthesize a newest-CORRECTNESS file = everything the must-check
+    # prefix does NOT name (the rotation invariant the real files obey)
+    covered_last_round = [n for n in reg if n not in set(ROUND_FIRST)]
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in covered_last_round})
+    )
+    p = rotation_payload(tmp_path)
+    assert p["newest_correctness_round"] == 99
+    assert p["n_registered"] == len(reg)
+    assert p["union_covers_full_surface"] is True
+    assert p["must_check_prefix_next_round"] == list(ROUND_FIRST)
