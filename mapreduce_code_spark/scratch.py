@@ -47,13 +47,49 @@ _CREATED: list[str] = []
 _DISCARDED: list[str] = []
 
 
+#: Minimum free bytes /dev/shm must have for a NEW scratch dir to land
+#: on it (r17 verdict #2: the tmpfs default was a local-mode assumption
+#: with no capacity guard — a blowup-tier run that forgot
+#: SPARK_GRAFT_DISK_LOCAL=1 would spill shuffle bytes into RAM until
+#: the host OOMed, because tmpfs pages ARE RAM). 8 GiB default,
+#: overridable via SPARK_GRAFT_TMPFS_MIN_FREE_GB.
+_DEFAULT_MIN_FREE_BYTES = 8 * 1024**3
+
+
+def _min_free_bytes() -> int:
+    gb = os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB")
+    if gb:
+        try:
+            return int(float(gb) * 1024**3)
+        except ValueError:
+            pass
+    return _DEFAULT_MIN_FREE_BYTES
+
+
 def _ram_base() -> str | None:
     if os.environ.get("SPARK_GRAFT_DISK_LOCAL"):
         return None
     base = "/dev/shm"
-    if os.path.isdir(base) and os.access(base, os.W_OK):
-        return base
-    return None
+    if not (os.path.isdir(base) and os.access(base, os.W_OK)):
+        return None
+    # Capacity guard (r17 verdict #2): admission check at ALLOCATION
+    # time — a new scratch dir only lands on tmpfs when the filesystem
+    # still has headroom, otherwise it falls back to the default disk
+    # temp root automatically (no manual opt-out needed). This is an
+    # admission check, not a mid-run migration: a dir already handed
+    # out (notably spark.local.dir, fixed at JVM start) stays where it
+    # is, and a job whose spill GROWS past the headroom after admission
+    # still fails with ENOSPC on tmpfs rather than OOMing the host —
+    # tmpfs is capped at 50% of RAM by default, which is the actual
+    # backstop. The guard's job is the common failure: STARTING a
+    # large-scale run against an already-pressured tmpfs.
+    try:
+        st = os.statvfs(base)
+    except OSError:
+        return None
+    if st.f_bavail * st.f_frsize < _min_free_bytes():
+        return None
+    return base
 
 
 def scratch_dir(prefix: str) -> str:

@@ -101,6 +101,42 @@ def test_disk_local_env_forces_disk_scratch(monkeypatch):
         SC.discard(d)
 
 
+def test_low_tmpfs_headroom_falls_back_to_disk(monkeypatch):
+    """Capacity guard (r17 verdict #2): when /dev/shm's free space is
+    below the headroom floor, a NEW scratch dir must land on the disk
+    temp root automatically — the opt-out must not be manual."""
+    real_statvfs = os.statvfs
+
+    class _Full:
+        def __init__(self, st):
+            self.f_bavail = 16  # 16 frags free -> way under any floor
+            self.f_frsize = st.f_frsize
+
+    monkeypatch.setattr(
+        os, "statvfs", lambda p: _Full(real_statvfs(p))
+    )
+    assert SC._ram_base() is None
+    d = SC.scratch_dir("sg_full_")
+    try:
+        assert not d.startswith("/dev/shm/"), d
+    finally:
+        SC.discard(d)
+
+
+def test_tmpfs_headroom_floor_env_override(monkeypatch):
+    """SPARK_GRAFT_TMPFS_MIN_FREE_GB tunes the guard; an absurdly high
+    floor must push allocation to disk even on a healthy tmpfs, and 0
+    must re-admit it (the statvfs path stays exercised either way)."""
+    if SC._ram_base() is None:
+        import pytest
+
+        pytest.skip("host has no usable /dev/shm to guard")
+    monkeypatch.setenv("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "1048576")
+    assert SC._ram_base() is None
+    monkeypatch.setenv("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "0")
+    assert SC._ram_base() == "/dev/shm"
+
+
 def test_run_available_now_cleans_its_checkpoint(spark, tmp_path):
     """The bounded memory-sink runner checkpoints to a scratch dir and
     discards it as soon as the query terminates — the sink rows live in
