@@ -29,8 +29,14 @@ Spark-first execution:
   AND of flags, count) and emits ONE row; the driver combines the
   ~numPartitions tiny rows. Mathematically identical to the reference's
   reduce, with shuffle volume O(partitions · d) instead of O(rows · d).
-- θ travels driver → executors via a broadcast variable per iteration
-  (replacing the per-JVM HDFS theta-file read, ``logisticreg.java:67-75``).
+- θ travels driver → executors inside the kernel closure per iteration
+  (replacing the per-JVM HDFS theta-file read, ``logisticreg.java:67-75``;
+  d=4 doubles — a broadcast per iteration was pure churn at this size).
+- The per-record sweep itself runs as a compiled C kernel with the
+  identical IEEE op sequence when a C compiler is available
+  (``_NATIVE_SRC`` — guide §4.2), falling back to the bit-identical
+  pure-Python loop otherwise; inputs cross the Arrow boundary as flat
+  float64 columns so the native sweep reads them zero-copy.
 
 Determinism: snapshot averaging depends on partition layout and
 in-partition order. ``sgd_fit`` therefore assigns each row a RANGE split
@@ -64,6 +70,98 @@ MAX_ITER = 50  # logisticreg.java:147 (the conf "numIter"=2 at :152 is unused)
 
 _PARTIAL_SCHEMA = "all_continue boolean, n long, theta_sum array<double>"
 
+# --------------------------------------------------------------- native
+# The per-record sweep in C (r18, guide §4.2 "do the heavy lifting in
+# native code inside the UDF"): the trajectory-averaged SGD is
+# inherently SEQUENTIAL per partition (theta mutates at almost every
+# record), so it can never vectorize through numpy — and the r18 probe
+# showed the pure-Python loop dominates each iteration (~0.5 s/iter at
+# sf0.1's 600k rows; flat-column Arrow transfer alone changed nothing:
+# probe_sgd_flat_r18.json). The C body below executes the EXACT
+# reference float sequence — h += x[j]*theta[j] (logisticreg.java:77),
+# theta[j] += alpha*(err*x[j]) (:85's parenthesization), per-record
+# snapshot sums — on IEEE doubles. Compiled with -ffp-contract=off so
+# no FMA contraction can change a rounding, and without any
+# fast-math/reassociation flag; glibc exp() is the same function
+# CPython's math.exp wraps, so the sigmoid bits match the Python
+# fallback on this platform. Bit-parity is enforced three ways: the
+# pinned-theta golden oracle (sgd_theta_pinned), the DuckDB driver
+# row, and tests/test_regression.py's native-vs-python equality test.
+_NATIVE_SRC = r"""
+#include <math.h>
+
+void sweep(const double **xs, const double *ys, long long n, int d,
+           double alpha, double accuracy, int logistic,
+           double *theta, double *snap, long long *n_out,
+           int *all_continue) {
+    for (long long i = 0; i < n; i++) {
+        double h = 0.0;
+        for (int j = 0; j < d; j++)
+            h += xs[j][i] * theta[j];               /* logisticreg.java:77 */
+        if (logistic) {
+            if (h < -709.0) h = 0.0;                /* exp clamp, as Python */
+            else if (h > 709.0) h = 1.0;
+            else h = 1.0 / (1.0 + exp(-h));
+        }
+        double y = ys[i];
+        if (fabs(h - y) > accuracy) {
+            double err = y - h;
+            for (int j = 0; j < d; j++)
+                theta[j] += alpha * (err * xs[j][i]); /* logisticreg.java:85 */
+        } else {
+            *all_continue = 0;                      /* this record's flag */
+        }
+        for (int j = 0; j < d; j++)
+            snap[j] += theta[j];                    /* logisticreg.java:87,92 */
+    }
+    *n_out += n;
+}
+"""
+
+# compiled-.so path cache: None = not tried, "" = tried and unavailable
+_NATIVE_SO: str | None = None
+
+
+def _native_kernel_path() -> str:
+    """Compile the C sweep once per process into an exit-swept scratch
+    dir and return the .so path, or "" when no working C compiler is
+    available (the kernel closure then runs the bit-identical Python
+    loop). Driver-side only: in local mode the workers share the
+    filesystem, so shipping the path through the closure suffices; on
+    a real cluster the workers won't see the file and every task falls
+    back to the Python loop (same bits, slower) — deploys that want
+    the native path there ship the .so via spark.files and it is found
+    by basename."""
+    global _NATIVE_SO
+    if _NATIVE_SO is not None:
+        return _NATIVE_SO
+    import shutil as _shutil
+    import subprocess
+
+    from mapreduce_code_spark.scratch import scratch_dir
+
+    cc = _shutil.which("cc") or _shutil.which("gcc")
+    if cc is None:
+        _NATIVE_SO = ""
+        return _NATIVE_SO
+    d = scratch_dir("sgd_native_")
+    src = f"{d}/sweep.c"
+    so = f"{d}/sweep.so"
+    with open(src, "w") as f:
+        f.write(_NATIVE_SRC)
+    try:
+        subprocess.run(
+            [cc, "-O2", "-fPIC", "-shared", "-ffp-contract=off",
+             "-o", so, src],
+            check=True,
+            capture_output=True,
+            timeout=60,
+        )
+        _NATIVE_SO = so
+    except (subprocess.SubprocessError, OSError):
+        _NATIVE_SO = ""
+    return _NATIVE_SO
+
 # Most recent fit's iteration count per link, recorded by sgd_fit.
 # bench.py copies it into its sidecar (r9 verdict #5): the SGD queries'
 # wall time is iterations × per-iteration cost, and the stop rule is
@@ -85,36 +183,111 @@ class SGDResult:
     n_splits_effective: int = 0
 
 
-def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
-    # theta_b is the Broadcast handle — resolving .value INSIDE the kernel
-    # keeps theta out of the per-task closure (one torrent copy per
-    # executor instead of one serialized copy per task)
+def _partition_kernel(
+    theta_in, alpha: float, accuracy: float, link: str, so_path: str = ""
+):
+    # theta travels as a PLAIN TUPLE in the closure (r18): every
+    # registered fit has d=4, so the old per-iteration broadcast
+    # created/destroyed a torrent block per iteration to ship 32 bytes
+    # — per-task closure copies of a 4-double tuple are strictly
+    # cheaper at any executor count. A future huge-d caller should
+    # reintroduce a broadcast; the loop cost model changes long before
+    # theta serialization does.
+    #
+    # The kernel expects FLAT float64 columns y, x0..x{d-1} (not one
+    # array<double> column): flat columns arrive as contiguous float64
+    # Arrow buffers that hand zero-copy pointers to the native sweep.
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Hot sequential loop in PURE PYTHON floats (r10: 2× over the
-        # previous numpy-per-row form — three small-array dispatches per
-        # record cost more than d=4 float ops), and the float ORDER is
-        # now exactly the reference's: the dot accumulates sequentially
-        # h += x[j]*theta[j] (logisticreg.java:77 — numpy's `x @ theta`
-        # rounds pairwise and diverged in the last ulp), and the update
-        # scales as alpha * ((y-h) * x[j]) (logisticreg.java:85's
-        # parenthesization, not the hoisted (alpha*(y-h)) * x[j]).
-        # math.exp beats np.exp on scalars ~10×.
         from math import exp as _exp
 
-        theta = [float(t) for t in theta_b.value]
+        theta = [float(t) for t in theta_in]
         d = len(theta)
         rng_d = range(d)
         snap_sum = [0.0] * d
         n = 0
         all_continue = True
         logistic = link == "logistic"
+        lib = None
+        if so_path:
+            # native sweep (guide §4.2): same float sequence, compiled
+            # — see _NATIVE_SRC. Any load failure (missing file on a
+            # remote executor, no loader) silently falls back to the
+            # bit-identical Python loop below.
+            try:
+                import ctypes
+
+                lib = ctypes.CDLL(so_path)
+                c_dbl_p = ctypes.POINTER(ctypes.c_double)
+                lib.sweep.argtypes = [
+                    ctypes.POINTER(c_dbl_p), c_dbl_p,
+                    ctypes.c_longlong, ctypes.c_int,
+                    ctypes.c_double, ctypes.c_double, ctypes.c_int,
+                    c_dbl_p, c_dbl_p,
+                    ctypes.POINTER(ctypes.c_longlong),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.sweep.restype = None
+            except OSError:
+                lib = None
+        if lib is not None:
+            import ctypes
+
+            c_dbl_p = ctypes.POINTER(ctypes.c_double)
+            theta_a = np.asarray(theta, dtype=np.float64)
+            snap_a = np.zeros(d, dtype=np.float64)
+            n_c = ctypes.c_longlong(0)
+            cont_c = ctypes.c_int(1)
+            for pdf in batches:
+                ys = np.ascontiguousarray(
+                    pdf["y"].to_numpy(), dtype=np.float64
+                )
+                cols = [
+                    np.ascontiguousarray(
+                        pdf[f"x{j}"].to_numpy(), dtype=np.float64
+                    )
+                    for j in rng_d
+                ]
+                ptrs = (c_dbl_p * d)(
+                    *[c.ctypes.data_as(c_dbl_p) for c in cols]
+                )
+                lib.sweep(
+                    ptrs,
+                    ys.ctypes.data_as(c_dbl_p),
+                    len(ys),
+                    d,
+                    alpha,
+                    accuracy,
+                    1 if logistic else 0,
+                    theta_a.ctypes.data_as(c_dbl_p),
+                    snap_a.ctypes.data_as(c_dbl_p),
+                    ctypes.byref(n_c),
+                    ctypes.byref(cont_c),
+                )
+            yield pd.DataFrame(
+                {
+                    "all_continue": [bool(cont_c.value)],
+                    "n": [n_c.value],
+                    "theta_sum": [snap_a.tolist()],
+                }
+            )
+            return
+        # Pure-Python fallback — THE float-order reference (r10: 2×
+        # over the previous numpy-per-row form), byte-for-byte the
+        # sequence the reference computes: the dot accumulates
+        # sequentially h += x[j]*theta[j] (logisticreg.java:77 —
+        # numpy's `x @ theta` rounds pairwise and diverged in the last
+        # ulp), and the update scales as alpha * ((y-h) * x[j])
+        # (logisticreg.java:85's parenthesization, not the hoisted
+        # (alpha*(y-h)) * x[j]). math.exp beats np.exp on scalars ~10×
+        # and wraps the same libm exp the native sweep calls.
         for pdf in batches:
             ys = pdf["y"].tolist()
-            xs = np.stack(pdf["features"].to_numpy()).tolist()
-            for y, x in zip(ys, xs):
+            cols = [pdf[f"x{j}"].tolist() for j in rng_d]
+            for i in range(len(ys)):
+                y = ys[i]
                 h = 0.0
                 for j in rng_d:
-                    h += x[j] * theta[j]  # logisticreg.java:77
+                    h += cols[j][i] * theta[j]  # logisticreg.java:77
                 if logistic:
                     # clamp: math.exp overflows past ~709 (np.exp → inf);
                     # saturate h to 0/1 the same way inf would
@@ -127,7 +300,8 @@ def _partition_kernel(theta_b, alpha: float, accuracy: float, link: str):
                 if abs(h - y) > accuracy:
                     err = y - h
                     for j in rng_d:
-                        theta[j] += alpha * (err * x[j])  # logisticreg.java:85
+                        # logisticreg.java:85
+                        theta[j] += alpha * (err * cols[j][i])
                 else:
                     all_continue = False  # this record's flag is "false"
                 for j in rng_d:
@@ -187,7 +361,6 @@ def sgd_fit(
     if link not in ("linear", "logistic"):
         raise ValueError(f"unknown link {link!r}")
     spark = points.sparkSession
-    sc = spark.sparkContext
     n_part = n_partitions or points.rdd.getNumPartitions()
     # Deterministic layout → reproducible trajectory averaging (SURVEY
     # §7.2). repartitionByRange is NOT deterministic (r11 finding: its
@@ -197,8 +370,19 @@ def sgd_fit(
     # splits — and each split is placed on its own partition exactly
     # via the salt lookup (one cheap min/max agg + one tiny probe job,
     # once per fit, never per iteration).
+    # ONE setup job: row_id bounds AND the feature width d — the old
+    # separate `pts.select("features").first()` head job cost a second
+    # scan-sized action per fit (r18 probe: 0.4-0.5 s of the warm
+    # total, the cache build it forced just moves into iteration 1's
+    # collect). min(size) is deterministic over any row order; for the
+    # (uniform-d) fixtures it equals the old first-row d exactly, and
+    # a ragged frame — already undefined behavior for the sweep — now
+    # fails on the short row rather than on whichever row happened to
+    # land first.
     bounds = points.select(
-        F.min("row_id").alias("lo"), F.max("row_id").alias("hi")
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.min(F.size("features")).alias("d"),
     ).first()
     if bounds["lo"] is None:
         raise ValueError(
@@ -206,6 +390,7 @@ def sgd_fit(
             "(an empty partition sweep would divide by zero)"
         )
     lo, span = bounds["lo"], bounds["hi"] - bounds["lo"] + 1
+    d = bounds["d"]
     salts = _exact_partition_salts(spark, n_part)
     # Equal-WIDTH buckets via one integer DIV: exact at any id
     # magnitude (a double-rounded floor could misassign boundary rows)
@@ -236,14 +421,20 @@ def sgd_fit(
         )
         .repartition(n_part, "__salt")
         .sortWithinPartitions("row_id")
-        .select("y", "features")
+        # FLAT float64 columns (r18): array<double> crossed the Arrow
+        # boundary as a child-array-with-offsets that pandas turns
+        # into one ndarray object PER ROW; y, x0..x{d-1} cross as d+1
+        # contiguous float64 buffers the native sweep reads zero-copy.
+        # Same values, same order — the kernel's float sequence is
+        # untouched (probe_sgd_flat_r18.json: theta bit-equal).
+        .select(
+            "y",
+            *[F.col("features").getItem(j).alias(f"x{j}") for j in range(d)],
+        )
     )
     pts.persist()
     try:
-        head = pts.select("features").first()
-        if head is None:  # unreachable (bounds checked above); belt
-            raise ValueError("sgd_fit: points frame is empty")
-        d = len(head["features"])
+        so_path = _native_kernel_path()
         theta = np.zeros(d)  # logisticreg.java:161-164
         converged = False
         it = 0
@@ -252,12 +443,16 @@ def sgd_fit(
         # n_splits_effective = 0 — no sweep ever touched a split
         partials: list = []
         for it in range(1, max_iter + 1):
-            theta_b = sc.broadcast(theta)
             partials = pts.mapInPandas(
-                _partition_kernel(theta_b, alpha, accuracy, link),
+                _partition_kernel(
+                    tuple(float(t) for t in theta),
+                    alpha,
+                    accuracy,
+                    link,
+                    so_path,
+                ),
                 schema=_PARTIAL_SCHEMA,
             ).collect()
-            theta_b.destroy()
             total = sum(r["n"] for r in partials)
             snap = np.sum([np.asarray(r["theta_sum"]) for r in partials], axis=0)
             theta = snap / total  # reducer average, logisticreg.java:136-138

@@ -1162,7 +1162,25 @@ def keyword_ranked(
     Scale shape: the corpus explodes once into distinct (doc_id, word);
     the query-side word set is tiny and broadcast, so the corpus never
     shuffles for the join — only the overlap counts (already filtered to
-    matching candidates) hit a keyed exchange."""
+    matching candidates) hit a keyed exchange. Since r18 the leg runs
+    in THREE net exchanges (was five — plans/r18 pair):
+    - the query vocabulary comes from a PRUNED documents scan
+      (``doc_id < n_queries`` reaches the parquet reader as a
+      PushedFilter) instead of re-deriving it from the spread corpus —
+      dropping the second spread exchange AND the pre-broadcast
+      distinct's exchange; the duplicate (query_id, word) pairs this
+      leaves in the (tiny either way) broadcast are absorbed by the
+      map-side partial of the (q, d, word) dedup below BEFORE anything
+      shuffles, so shuffle bytes are unchanged;
+    - the dedup's exchange stays keyed (q, d, word): it is where
+      map-side partial aggregation compresses corpus word multiplicity
+      (§2.3 "aggregate before you shuffle");
+    - ONE ``repartition(query_id)`` then serves BOTH the overlap count
+      (grouping (q, d) ⊇ {q}: subset-key satisfaction) and the rank
+      window (partition (q)), replacing their two exchanges. Per-task
+      volume under the q key is the query's candidate list — the same
+      frame the rank window always processed per query — so no new
+      skew bound is introduced."""
     exploded = (
         spread(documents)
         .select(
@@ -1171,9 +1189,12 @@ def keyword_ranked(
         .where(F.col("word") != "")
     )
     qw = (
-        exploded.where(F.col("doc_id") < n_queries)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
+        documents.where(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
     )
     # broadcast-join the RAW exploded corpus against the query vocabulary
     # BEFORE any distinct: the only rows that ever reach a shuffle are
@@ -1185,6 +1206,7 @@ def keyword_ranked(
         .where(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id", "word")
         .distinct()
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
@@ -1237,17 +1259,40 @@ def hybrid_rrf(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").alias("r_dense"),
+        F.lit(None).cast("int").alias("r_sparse"),
     )
     sparse = keyword_ranked(documents, n_queries, k_leg).select(
-        "query_id", "doc_id", F.col("rank").alias("r_sparse")
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("int").alias("r_dense"),
+        F.col("rank").alias("r_sparse"),
     )
     score = _RRF.format(k=rrf_k)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_score"), F.asc("doc_id")
     )
+    # Fusion as UNION + per-(query, doc) aggregate instead of a
+    # FULL-OUTER join (r18, plans/r18 pair): each leg emits a (q, d)
+    # at most once, so max() over the ≤2 union rows reconstructs
+    # exactly the join's (r_dense, r_sparse) pairs — same row set,
+    # same values. The join needed THREE exchanges (both ~100-row legs
+    # re-shuffled from hash(q) to hash(q, d) for the SortMergeJoin,
+    # then the final window re-shuffled back to hash(q)); the union
+    # needs ONE ``repartition(query_id)``, which subset-key-satisfies
+    # the (q, d) aggregate AND the final rank window. Stage barriers
+    # dominate these tiny frames, and at scale the fused frame is
+    # n_queries x 2·k_leg rows — never a skew concern.
+    fused = (
+        dense.unionByName(sparse)
+        .repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("r_dense").alias("r_dense"),
+            F.max("r_sparse").alias("r_sparse"),
+        )
+    )
     return (
-        dense.join(sparse, ["query_id", "doc_id"], "full_outer")
-        .withColumn("rrf_score", F.expr(score))
+        fused.withColumn("rrf_score", F.expr(score))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "r_dense", "r_sparse", "rrf_score", "rank")

@@ -523,7 +523,22 @@ def _ingest_batch(
     staging dirs come out identical. Idempotent per (batch data,
     batch_id): the anti-join reads only hash logs with batch_id < this
     one (a replay must not see its own half-written log), and both
-    staging writes overwrite their own batch_id subdir."""
+    staging writes overwrite their own batch_id subdir.
+
+    The two staging writes run CONCURRENTLY (r18, guide §2.6 — overlap
+    independent jobs): both read only the pinned ``keep``/``hits``
+    frames plus their own sources (the hash write scans nothing else;
+    the chunk write rescans the batch file for text), they target
+    disjoint subdirs, and replay safety is unchanged — a crash after
+    either write but before the checkpoint commit replays the batch,
+    which overwrites BOTH batch_id subdirs with identical rows, so the
+    write ORDER between them was never load-bearing. At bench scale
+    this removes one of the four per-batch job latencies (~0.8-1.0 s
+    across the 3-batch run — probe_ingest_knobs_r18.json); at cluster
+    scale the second job's tasks back-fill executors idled by the
+    first job's tail, which is exactly guide §2.6's point."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
     hashes_dir = f"{staging_dir}/hashes"
@@ -538,13 +553,22 @@ def _ingest_batch(
     )
     keep = meta.filter(F.col("doc_id") == F.col("keeper_id")).localCheckpoint()
     keep = _dedup_against_history(keep, hashes_dir, batch_id)
-    keep.select("content_hash").write.mode("overwrite").parquet(
-        f"{hashes_dir}/batch_id={batch_id}"
-    )
-    surv = keep.filter(F.col("quality") >= min_quality)
-    _keyed_chunks(
-        batch.select("doc_id", "text"), surv, chunk_size, chunk_stride
-    ).write.mode("overwrite").parquet(f"{chunks_dir}/batch_id={batch_id}")
+
+    def _write_hashes() -> None:
+        keep.select("content_hash").write.mode("overwrite").parquet(
+            f"{hashes_dir}/batch_id={batch_id}"
+        )
+
+    def _write_chunks() -> None:
+        surv = keep.filter(F.col("quality") >= min_quality)
+        _keyed_chunks(
+            batch.select("doc_id", "text"), surv, chunk_size, chunk_stride
+        ).write.mode("overwrite").parquet(f"{chunks_dir}/batch_id={batch_id}")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_write_hashes), pool.submit(_write_chunks)]
+        for f in futures:
+            f.result()  # re-raise either failure -> the batch never commits
 
 
 def _dedup_against_history(keep: DataFrame, hashes_dir: str, batch_id: int) -> DataFrame:

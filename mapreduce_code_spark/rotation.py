@@ -32,85 +32,79 @@ fails at build time if the stale+new set exceeds 50.
 from __future__ import annotations
 
 ROUND_FIRST: list[str] = [
-    # --- round 17 rotation: the 48 queries whose latest green row is
-    # r15 (no row in CORRECTNESS_r16.json — due this round) PLUS the
-    # one r16-covered query whose build path was TOUCHED by the r17
-    # tempdir-site migration (r16 verdict #6): pipeline_epoch_transfer
-    # reads _epoch_shards_src, which moved from a raw /tmp mkdtemp to
-    # the tmpfs scratch allocator (its sibling consumer
-    # pipeline_materialize_epoch is already in the stale set). The
-    # OTHER two r17 perf changes need no rotation rows: bench.py's
-    # fold-policy change touches no query build path, and session.py's
-    # spark.local.dir move is surface-wide plumbing whose coverage is
-    # argued via the full-registry driver_check sweep (r16 verdict #3's
-    # prescribed alternative), not 98 rotation slots. Must-check =
-    # 48 + 1 = 49, slack 1 — taken by pipeline_ingest_hash_log (end of
-    # this list): the r17 ingest-scratch migration touched its build
-    # path. Shared-build OWNERS lead their consumers
-    # (bench cache hygiene): apriori_frequent_items -> itemsets/rules,
-    # dedup_near_dup_scalable -> components_starcontract,
-    # text_bpe_merges -> text_bpe_encode.
-    "pipeline_materialize_epoch",
-    "pipeline_epoch_transfer",
-    "pipeline_curated_corpus",
-    "pipeline_quality_margins",
-    "apriori_frequent_items",
-    "apriori_frequent_itemsets",
-    "apriori_association_rules_ref",
+    # --- round 18 rotation: the 48 queries whose latest green row is
+    # r16 (no row in CORRECTNESS_r17.json — due this round) PLUS the
+    # two r17-covered queries whose kernel the r18 optimization round
+    # TOUCHED: regression_sgd_linear / regression_sgd_logistic (the
+    # per-record sweep now runs as a compiled C kernel with the
+    # identical IEEE op sequence over flat float64 columns, theta in
+    # the closure instead of a per-iteration broadcast — the highest-
+    # risk diff of the round, so both rows take the 2-slot slack;
+    # their pinned-theta golden oracles are exactly the bit-parity
+    # check the change needs). The round's OTHER touched-but-not-stale
+    # row, pipeline_ingest_hash_log (its two per-batch staging writes
+    # now overlap — plans/pipeline._ingest_batch), exceeds the 50-row
+    # budget; its coverage is argued the r17-precedent way: its twin
+    # pipeline_ingest_manifest IS in the stale set and re-certifies
+    # the SAME shared streamed run end-to-end against its own oracle,
+    # the replay/fault-injection tests pin the write-order-freedom the
+    # change relies on, and the full-registry driver_check sweeps
+    # (driver_check_r18_*.log, ALL OK) cover the row itself. Shared-
+    # build OWNERS lead their consumers (bench cache hygiene):
+    # graph_pagerank_clicks -> triangle/coreness;
+    # dedup_streamed_incremental owns corpus_shingles.
     "regression_sgd_linear",
     "regression_sgd_logistic",
-    "regression_ols_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_near_dup_scalable",
-    "dedup_components_starcontract",
-    "dedup_incremental",
-    "text_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_winnow_fingerprint",
-    "text_tfidf",
-    "text_repetition_gopher",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "similarity_topk_cosine",
-    "similarity_cosine_dups",
-    "similarity_topk_ivf_pinned",
-    "similarity_quantize_int8",
-    "multimodal_meta",
-    "multimodal_features",
-    "sampling_train_val_split",
-    "sampling_global_shuffle",
-    "sampling_quality_weighted",
-    "sampling_pack_documents",
-    "events_json_props",
-    "events_sliding_window",
-    "events_session_paths",
-    "events_user_running_totals",
-    "graph_lpa_communities",
-    "relational_pricing_summary",
-    "relational_customer_order_history",
-    "relational_distinct_part_stats",
-    "relational_quantity_quartiles",
-    "relational_histogram_quantiles",
-    "relational_hourly_gapfill",
-    "relational_rolling_24h",
-    "relational_events_orders_asof",
-    "relational_events_close_pairs",
-    # r17 optimization touch: the streamed-ingest run's work tree
-    # (split, staging, checkpoint, shards) moved from a raw disk
-    # mkdtemp to the tmpfs scratch allocator — the r16-verdict-#6
-    # deferral was reversed because the OWNER row is the #1 bench
-    # floor and its timed path committed to the contended root disk.
-    # That touches BOTH ingest rows' build paths; the owner takes the
-    # one remaining budget slot (must-check = 48 + 1 + 1 = 50, slack
-    # 0), and pipeline_ingest_manifest — which reads the SAME
-    # completed run the owner's slot re-certifies — is argued via the
-    # full-registry driver_check sweep (scratch/driver_check_r17_*,
-    # ALL OK), the session.py precedent above.
-    "pipeline_ingest_hash_log",
+    "similarity_hybrid_rrf",  # r18 kernel touch (stale anyway): leg +
+    # fusion exchange fusion, 11 -> 5 net shuffles (plans/r18)
+    "pipeline_ingest_manifest",  # re-certifies the r18-touched shared
+    # streamed-ingest run (threaded staging writes) end to end
+    "pipeline_materialize_manifest",
+    "dedup_streamed_incremental",
+    "dedup_substring_spans",
+    "similarity_label_centroids",
+    "similarity_assign_centroids",
+    "similarity_semantic_dedup",
+    "text_contamination_ngram",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "sampling_streamed_stratified",
+    "sampling_chunk_documents",
+    "sampling_source_cap",
+    "sampling_temperature_mix",
+    "multimodal_frame_plan",
+    "graph_pagerank_clicks",
+    "graph_triangle_clicks",
+    "graph_coreness_clicks",
+    "events_streamed_tumbling",
+    "events_streamed_session",
+    "events_streamed_view_purchase",
+    "events_streamed_anomaly",
+    "events_streamed_attribution",
+    "events_drift_chisq",
+    "events_retention_cohorts",
+    "relational_regional_revenue",
+    "relational_streamed_hll",
+    "relational_topk_parts_per_brand",
+    "relational_rollup_pricing",
+    "relational_grouping_sets",
+    "relational_cube_order_stats",
+    "relational_pivot_returnflag",
+    "relational_kv_upsert",
+    "relational_countmin_heavy_hitters",
+    "relational_bloom_customers",
+    "relational_idle_customers",
+    "relational_scd2_prices",
+    "relational_funnel_stages",
+    "relational_unpivot_measures",
+    "relational_setops_customers",
+    "relational_filter_case_orders",
+    "relational_above_avg_orders",
+    "relational_integrity_checks",
+    "relational_profile",
+    "relational_winsorized_prices",
+    "relational_pointintime_prices",
+    "relational_returned_orders",
 ]
 ROUND_LAST: list[str] = [
     # (empty this round: the four batch twins that used to be the

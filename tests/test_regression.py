@@ -215,3 +215,26 @@ def test_sgd_sparse_row_id_domain_tracks_scan_blocks(spark, linear_micro):
         fit_dense2.iterations,
         fit_dense2.converged,
     )
+
+
+def test_native_sweep_bit_equals_python_fallback(linear_micro, separable_micro):
+    """r18: the per-record sweep compiles to C (guide §4.2) with the
+    identical IEEE op sequence; a cluster executor without the .so
+    falls back to the pure-Python loop. The two paths must produce
+    BIT-IDENTICAL theta trajectories — this pins it through the real
+    sgd_fit on both links (the sigmoid path exercises libm exp)."""
+    import mapreduce_code_spark.operators.regression as R
+
+    if not R._native_kernel_path():
+        pytest.skip("no C compiler on this host — python path is the only path")
+    for pts, link in ((linear_micro, "linear"), (separable_micro, "logistic")):
+        native = sgd_fit(pts, link=link, max_iter=5, n_partitions=4)
+        prior = R._NATIVE_SO
+        R._NATIVE_SO = ""  # force the python fallback
+        try:
+            python = sgd_fit(pts, link=link, max_iter=5, n_partitions=4)
+        finally:
+            R._NATIVE_SO = prior
+        assert native.theta == python.theta, link  # bitwise: == on floats
+        assert native.iterations == python.iterations
+        assert native.converged == python.converged

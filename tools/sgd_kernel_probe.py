@@ -44,18 +44,15 @@ import numpy as np
 import pandas as pd
 
 
-class _FakeBroadcast:
-    def __init__(self, value):
-        self.value = value
-
-
 def _batch(n_rows: int, d: int = 4, seed: int = 7) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     feats = rng.normal(size=(n_rows, d))
     ys = (feats @ np.array([0.5, -0.25, 0.1, 0.05]) > 0).astype("float64")
-    return pd.DataFrame(
-        {"y": ys, "features": [row for row in feats]}
-    )
+    # flat float64 columns, the r18 kernel layout (y, x0..x{d-1})
+    cols = {"y": ys}
+    for j in range(d):
+        cols[f"x{j}"] = feats[:, j]
+    return pd.DataFrame(cols)
 
 
 def main() -> int:
@@ -65,7 +62,7 @@ def main() -> int:
     from mapreduce_code_spark.operators.regression import _partition_kernel
 
     pdf = _batch(n_rows)
-    theta = _FakeBroadcast([0.0, 0.0, 0.0, 0.0])
+    theta = (0.0, 0.0, 0.0, 0.0)
 
     def _min_of(k, fn):
         best = None
@@ -82,7 +79,7 @@ def main() -> int:
     # ~30% extra and belongs to neither leg; min-of-3 after.
     def to_lists():
         pdf["y"].tolist()
-        np.stack(pdf["features"].to_numpy()).tolist()
+        [pdf[f"x{j}"].tolist() for j in range(4)]
 
     to_lists()  # warm-up
     to_lists_s = _min_of(3, to_lists)
@@ -95,6 +92,7 @@ def main() -> int:
     for link in ("linear", "logistic"):
         kern = _partition_kernel(theta, alpha=0.001, accuracy=0.1, link=link)
 
+
         def run():
             result = list(kern(iter([pdf])))
             assert result[0]["n"].iloc[0] == n_rows
@@ -106,6 +104,35 @@ def main() -> int:
             "rows_per_s_core": int(n_rows / kernel_s),
             "float_loop_rows_per_s_core": int(n_rows / max(loop_s, 1e-9)),
         }
+
+    # (1b) the native sweep (r18), same batch — reports the speedup and
+    # verifies the partials agree bit-for-bit with the Python loop
+    from mapreduce_code_spark.operators.regression import _native_kernel_path
+
+    so = _native_kernel_path()
+    out["native_available"] = bool(so)
+    if so:
+        for link in ("linear", "logistic"):
+            kern_py = _partition_kernel(theta, alpha=0.001, accuracy=0.1, link=link)
+            ref = list(kern_py(iter([pdf])))[0]
+            kern_c = _partition_kernel(
+                theta, alpha=0.001, accuracy=0.1, link=link, so_path=so
+            )
+
+            def run_c():
+                result = list(kern_c(iter([pdf])))
+                assert result[0]["n"].iloc[0] == n_rows
+
+            native_s = _min_of(3, run_c)
+            got = list(kern_c(iter([pdf])))[0]
+            out[f"native_{link}"] = {
+                "sec": round(native_s, 4),
+                "rows_per_s_core": int(n_rows / native_s),
+                "bit_equal_python": bool(
+                    list(got["theta_sum"].iloc[0]) == list(ref["theta_sum"].iloc[0])
+                    and got["all_continue"].iloc[0] == ref["all_continue"].iloc[0]
+                ),
+            }
 
     if "--spark" in sys.argv:
         i = sys.argv.index("--spark")
