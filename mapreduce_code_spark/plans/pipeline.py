@@ -482,19 +482,43 @@ def ingest_training_set(
         # so every id below the current one can never replay — exactly
         # compact_hash_log's precondition. The current batch's own log
         # (written later this invocation) is never touched.
+        #
+        # The fold runs CONCURRENTLY with the batch's keeper window
+        # (r18, guide §2.6): the window and its localCheckpoint read
+        # only the batch's own metadata, never the hash log, and the
+        # first log reader — the history anti-join — waits on the fold
+        # via the barrier below, so every ordering guarantee above is
+        # preserved while the fold's job overlaps the window's.
+        compact_fut = None
+        pool = None
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_hash_log(
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            compact_fut = pool.submit(
+                compact_hash_log,
                 spark,
                 staging_dir,
-                before_batch_id=batch_id,
+                batch_id,
                 # defense-in-depth (r12): the construction argument above
                 # is also VERIFIED against the commit log
-                checkpoint_dir=checkpoint_dir,
+                checkpoint_dir,
             )
-        _ingest_batch(
-            batch, batch_id, staging_dir, min_quality, chunk_size,
-            chunk_stride,
-        )
+        try:
+            _ingest_batch(
+                batch, batch_id, staging_dir, min_quality, chunk_size,
+                chunk_stride,
+                # positional: fault-injection tests stub this function
+                # with (batch, batch_id, *args) signatures
+                compact_fut.result if compact_fut is not None else None,
+            )
+        finally:
+            if pool is not None:
+                # surfaces a fold failure even when _ingest_batch raised
+                # first (shutdown waits; result() re-raises if unread)
+                pool.shutdown(wait=True)
+                if compact_fut is not None and compact_fut.exception():
+                    raise compact_fut.exception()
 
     _drive_foreach_batch(docs_stream, handle, checkpoint_dir)
     if not _dir_exists(spark, chunks_dir):
@@ -517,6 +541,7 @@ def _ingest_batch(
     min_quality: float,
     chunk_size: int,
     chunk_stride: int,
+    history_barrier=None,
 ) -> None:
     """One micro-batch of :func:`ingest_training_set` — module-level so
     the crash-replay test can re-invoke a batch directly and assert the
@@ -524,6 +549,11 @@ def _ingest_batch(
     batch_id): the anti-join reads only hash logs with batch_id < this
     one (a replay must not see its own half-written log), and both
     staging writes overwrite their own batch_id subdir.
+
+    ``history_barrier`` (r18): optional zero-arg callable invoked after
+    the keeper window's checkpoint but BEFORE the first hash-log read —
+    the join point for a caller that overlapped a log fold with the
+    window (the window reads only batch metadata, never the log).
 
     The two staging writes run CONCURRENTLY (r18, guide §2.6 — overlap
     independent jobs): both read only the pinned ``keep``/``hits``
@@ -552,6 +582,12 @@ def _ingest_batch(
         "keeper_id", F.min("doc_id").over(w)
     )
     keep = meta.filter(F.col("doc_id") == F.col("keeper_id")).localCheckpoint()
+    if history_barrier is not None:
+        # wait for a concurrently-running hash-log fold (see
+        # ingest_training_set.handle) before the FIRST log read below —
+        # the window/checkpoint above never touches the log, so it
+        # safely overlapped the fold
+        history_barrier()
     keep = _dedup_against_history(keep, hashes_dir, batch_id)
 
     def _write_hashes() -> None:
