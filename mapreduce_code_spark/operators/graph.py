@@ -310,11 +310,35 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # a < b always, so on degree ties the lower id (a) wins the order.
     a_first = F.col("deg_a") <= F.col("deg_b")
-    o = _persist(j.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    ))
+    # The oriented edge cache is hash-partitioned (and sorted) on the
+    # wedge join's key BEFORE persisting — the same device as
+    # pagerank's src-partitioned edge cache (r18; this kernel was the
+    # one graph cache persisted unpartitioned): the wedge self-join's
+    # two scans of o carry distinct attribute ids, so WITHOUT the
+    # pre-partitioning EnsureRequirements shuffled BOTH sides on u
+    # (edge-pair-scale exchanges — the plan's two biggest); with it,
+    # the two cache scans are co-partitioned on the join key and the
+    # wedge join runs exchange-free. One build-time exchange replaces
+    # two per-read exchanges of the same frame.
+    o = _persist(
+        j.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "deg_v"
+            ),
+        )
+        .repartition("u")
+        .sortWithinPartitions("u")
+    )
+    # materialize BEFORE planning the wedge join: an un-executed cached
+    # plan is AdaptiveSparkPlan isFinalPlan=false, whose output
+    # partitioning EnsureRequirements treats as unknown — the wedge
+    # join would keep both u-exchanges anyway. Once materialized, the
+    # scans report hash(u)/sorted(u) and the self-join (and its sorts)
+    # plan exchange-free; the count itself is one cheap pass that the
+    # first downstream action would have paid identically.
+    o.count()
     o1 = o.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
     o2 = o.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
     wedges = o1.join(o2, "u").where(
